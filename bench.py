@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Methodology (BASELINE.md notes): warmed session on local[$SPARK_GRAFT_CPUS];
+we time query EXECUTION (build plan + collect) — session startup and
+table registration are excluded, matching how a resident engine serves
+queries. One warm-up pass primes the JVM/code-gen caches; reported time
+is the best of 2 timed runs per query (steady-state throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family — scan/project, filter, hash agg,
+# broadcast join, top-k, star-join composite, expressions.
+HEADLINE = [
+    "scan_project",
+    "filter_predicate",
+    "agg_pricing_summary",
+    "join_orders_customer",
+    "topk_orders",
+    "composite_top_regions",
+    "expr_arithmetic",
+]
+
+# Wide-output queries are executed via the noop sink (full computation,
+# no driver-side Arrow transfer) — benching collect() on 600k rows would
+# measure serialization, not the engine.
+LARGE_OUTPUT = {"scan_project", "filter_predicate", "expr_arithmetic", "join_orders_customer"}
+
+
+def _run(df, name: str) -> int:
+    if name in LARGE_OUTPUT:
+        df.write.format("noop").mode("overwrite").save()
+        return 0
+    return len(df.collect())
+
+
+def main() -> None:
+    from bo_sql_spark.queries import load_all
+    from bo_sql_spark.session import get_session
+
+    reg = load_all()
+    names = [n for n in HEADLINE if n in reg]
+    names += sorted(n for n, s in reg.items() if "bench" in s.tags and n not in names)
+
+    spark = get_session(app_name="bo-sql-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM JIT, codegen cache, parquet footer cache.
+    for name in names:
+        _run(reg[name].builder(spark, SF_DIR), name)
+
+    times: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = reg[name].builder(spark, SF_DIR)
+            n = _run(df, name)
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        times[name] = round(best, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

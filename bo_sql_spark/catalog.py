@@ -1,0 +1,119 @@
+"""Table catalog over the synthetic star schema.
+
+Replaces the reference's ``Catalog`` (reference include/catalog/catalog.h:16-62):
+name -> table registration plus per-column statistics. In Spark the
+catalog is the session catalog; statistics come from an aggregate query
+(the reference computes min/max/NDV at CSV load time,
+src/storage/csv_loader.cpp:73-159 — we compute them on demand, and on a
+cluster you'd persist them with ANALYZE TABLE for CBO).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
+
+# The driver-provided synthetic tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every parquet table in ``sf_dir`` as a temp view.
+
+    Parquet scans are the scale path: columnar, predicate-pushdown and
+    column-pruning friendly. At 100 TB these would be partitioned
+    directories behind the same names; nothing downstream changes.
+    """
+    # events.parquet uses TIMESTAMP(NANOS), unrepresentable in Spark; read
+    # the raw int64 nanos (runtime conf — the caller's session may not have
+    # it, e.g. the driver's own plain SparkSession) and fix up below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = _fix_nanos_ts(df)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _fix_nanos_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent
+    (micros max). With spark.sql.legacy.parquet.nanosAsLong it arrives as
+    int64 nanos; keep the lossless ``ts_ns`` and derive a micros ``ts``.
+    Oracle-checked queries over events compare at >= second granularity
+    (epoch seconds / window starts) so the ns tail never enters a hash.
+    """
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        return df
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+@dataclass
+class ColumnStats:
+    """Per-column stats, mirroring reference ColumnStats (catalog.h:24-40)."""
+
+    name: str
+    dtype: str
+    min: object
+    max: object
+    ndv: int
+
+
+def describe_table(spark: SparkSession, name: str) -> tuple[int, list[ColumnStats]]:
+    """Row count + per-column (min, max, approx NDV) in ONE aggregate pass.
+
+    The reference computes exact NDV with a std::set per column
+    (csv_loader.cpp:73-159) — O(n) memory, impossible at 100 TB. We use
+    HyperLogLog (approx_count_distinct), which is what ANALYZE TABLE
+    uses internally; one job scans the table once for all columns.
+    """
+    df = spark.table(name)
+    aggs: list = [F.count(F.lit(1)).alias("__rows")]
+    atomic = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() not in ("array", "map", "struct", "binary")
+    }
+    for c in atomic:
+        aggs.append(F.min(c).alias(f"min__{c}"))
+        aggs.append(F.max(c).alias(f"max__{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"ndv__{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    stats = [
+        ColumnStats(
+            name=f.name,
+            dtype=f.dataType.simpleString(),
+            min=row.get(f"min__{f.name}"),
+            max=row.get(f"max__{f.name}"),
+            ndv=int(row.get(f"ndv__{f.name}") or 0),
+        )
+        for f in df.schema.fields
+    ]
+    return int(row["__rows"]), stats
+
+
+def show_tables(spark: SparkSession) -> list[str]:
+    """Catalog listing (reference `SHOW TABLES`, src/cli/main.cpp:173-187)."""
+    return sorted(t.name for t in spark.catalog.listTables())
