@@ -1,0 +1,212 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+The reference engine has no dedup at all (no DISTINCT even — reference
+parser.h:9-14). These are the operators a 100 TB training-data pipeline
+runs FIRST, so they are designed shuffle-light:
+
+- exact dedup: one hash-partitioned groupBy on a 128-bit content hash —
+  the canonical map-side-combinable pattern.
+- MinHash+LSH: per-doc signature is an embarrassingly-parallel map;
+  candidate generation shuffles (band_hash) keys — tiny rows — instead
+  of an O(n^2) cross join; only candidates touch full token sets.
+- SimHash: 64-bit signature via one explode + groupBy(doc) — bounded
+  state per doc, then banding like LSH.
+
+Determinism: all hashing is xxhash64 with fixed literal seeds — stable
+across runs, partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from bo_sql_spark.functions import cosine_similarity, word_shingles
+
+
+# ------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct content; adds ``dup_count``.
+
+    Dedup key is md5 over the concatenated content columns: grouping on
+    a fixed-width hash instead of raw (possibly megabyte) content keeps
+    shuffle rows small. Collision odds at 128 bits are ~0 below 2^60 rows.
+    """
+    key = F.md5(F.concat_ws("\x1f", *content_cols))
+    return (
+        df.withColumn("content_hash", key)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ----------------------------------------------------------- MinHash
+def minhash_signature(
+    text: Column | str, n_hashes: int = 32, shingle_k: int = 3
+) -> Column:
+    """array<bigint> MinHash signature of the text's word shingles.
+
+    min over shingles of xxhash64(seed_i, shingle) approximates a random
+    permutation per i. Pure expression — computed in codegen during the
+    scan, no shuffle, no UDF.
+
+    NB: the per-seed lambda must be single-argument — PySpark passes the
+    ARRAY INDEX to a two-argument transform lambda, which would shadow
+    the seed and collapse all n_hashes 'permutations' into one.
+    """
+    sh = word_shingles(text, shingle_k)
+
+    def component(seed: int):
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s)))
+
+    return F.array(*[component(i) for i in range(n_hashes)])
+
+
+def lsh_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in >=1 LSH band.
+
+    Shuffle unit is (band_hash) -> tiny (id) rows; a self-join per band
+    bucket yields pairs. Collision prob is the S-curve 1-(1-s^r)^b
+    (s = true Jaccard): defaults b=16, r=2 put the curve's knee at
+    (1/b)^(1/r) = 0.25, giving ~0.998 recall at s=0.57 — right for a
+    0.5 verify threshold. Fewer candidates (raise r) trades recall for
+    verify cost.
+    """
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = df.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h")) for b in range(bands)])
+        ).alias("bh"),
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two array<string> set columns."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: signature -> LSH candidates -> exact verify.
+
+    Returns (id_a, id_b, jacc) for verified near-duplicate pairs.
+    Only LSH candidates ever have their shingle sets compared, so the
+    expensive exact step runs on O(candidates), not O(n^2).
+    """
+    with_sig = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_k).alias("minhash"),
+    )
+    cands = lsh_band_pairs(with_sig, id_col, "minhash", bands, n_hashes // bands)
+    sets_a = with_sig.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sets_b = with_sig.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", "jacc")
+    )
+
+
+# ----------------------------------------------------------- SimHash
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Each token hashes to 64 bits; bit j of the signature is the sign of
+    sum over tokens of (+1 if bit j set else -1). One explode + one
+    groupBy(doc): state is 64 longs per doc regardless of doc length.
+    """
+    tok = F.explode(
+        F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "))
+    ).alias("tok")
+    exploded = docs.select(F.col(id_col), tok).withColumn(
+        "h", F.xxhash64(F.lit(7), F.col("tok"))
+    )
+    # bit j tested via shiftright (1<<63 would overflow signed int64)
+    bit_sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    min_long = -(1 << 63)  # bit 63 set == long sign bit
+    for j in range(64):
+        one = F.lit(min_long) if j == 63 else F.lit(1 << j)
+        bit = F.when(F.col(f"b{j}") > 0, one).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+# ------------------------------------------------ embedding near-dup
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs with cosine similarity >= threshold (brute force).
+
+    O(n^2) — correct baseline for verification and small dims; the scale
+    path buckets by random-hyperplane LSH first (see
+    operators.similarity.hyperplane_bucket) and compares within buckets.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+    )

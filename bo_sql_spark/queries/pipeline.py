@@ -1,1 +1,468 @@
-"""Placeholder — filled in as operators land."""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal, as-of join, JSON extraction.
+
+These wrap the bo_sql_spark.operators modules into graded entries.
+Oracle design notes:
+- xxhash64-based operators (MinHash/LSH, SimHash, hyperplane buckets)
+  have no DuckDB twin -> rows-only checks, with a SEPARATE exact
+  oracle-checked query covering the same semantic (n-gram Jaccard for
+  near-dup, brute-force cosine for ANN) so correctness of the family is
+  still gated.
+- Cosine math is written as the same explicit double-precision
+  dot/sqrt formula on both engines (accumulate in index order) — bit-
+  identical, then rounded to 6dp for the hash.
+- DuckDB can't substr BLOBs -> binary heads are compared as hex-string
+  prefixes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bo_sql_spark.catalog import load_tables
+from bo_sql_spark.functions import cosine_similarity
+from bo_sql_spark.operators import dedup as D
+from bo_sql_spark.operators import multimodal as M
+from bo_sql_spark.operators import similarity as S
+from bo_sql_spark.operators import text as T
+from bo_sql_spark.operators.asof import asof_join
+from bo_sql_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# ------------------------------------------------------------- dedup
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT)    AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact content dedup: group on md5(text), keep min doc_id. "
+    "Shuffle rows are (16-byte hash, id) — content never moves.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return D.exact_dedup(t["documents"], ["text"], "doc_id")
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=None,  # xxhash64 signatures are Spark-specific
+    doc="MinHash(32) + LSH(16 bands x 2 rows) + exact-Jaccard verify at "
+    "0.5: the scale near-dup pipeline (candidates only, never O(n^2)). "
+    "Rows-only check; the Jaccard math itself is oracle-gated by "
+    "dedup_ngram_jaccard.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return D.minhash_dedup_pairs(t["documents"], threshold=0.5).select(
+        "id_a", "id_b", F.round("jacc", 6).alias("jacc")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jacc
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.4
+    """,
+    doc="Exact token-set Jaccard pairs (>= 0.4) on a doc subset — the "
+    "ground-truth twin of the MinHash pipeline, O(n^2) bounded to the "
+    "subset. |A ∪ B| computed as |A|+|B|-|A ∩ B| on both engines.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 150)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("tok"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("tok").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+    jacc = inter / union.cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jacc_raw", jacc)
+        .filter(F.col("jacc_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("jacc_raw", 6).alias("jacc"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 bit signatures are Spark-specific
+    doc="64-bit SimHash per doc (one explode + groupBy, 64-long state "
+    "per doc). Rows-only: row count must equal |documents|.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return D.simhash64(t["documents"])
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 2000
+    )
+    SELECT id_a, id_b, ROUND(sim, 6) AS cos_sim
+    FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE sim >= 0.40
+    """,
+    doc="Embedding near-dup pairs (cosine >= 0.40, brute force on a "
+    "bounded subset). Same double dot/sqrt formula on both engines.",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].filter(F.col("vec_id") < 2000)
+    return D.embedding_near_dup_pairs(emb, threshold=0.40)
+
+
+# -------------------------------------------------------- similarity
+@register(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id, ROUND(sim, 6) AS cos_sim
+    FROM (
+        SELECT vec_id,
+               list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        FROM e CROSS JOIN q
+    )
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Exact cosine top-10 to the vec_id=0 query vector. Spark plan: "
+    "broadcast 1-row query + codegen'd score + TakeOrderedAndProject "
+    "(per-partition heaps, no global sort) — O(n) scan at any scale.",
+    tags=("pipeline", "similarity"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("sim", 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # hyperplane projections use session-side literals; the
+    # exact-search twin (similarity_topk) is the oracle-gated baseline
+    doc="ANN top-10 via random-hyperplane LSH (8 bits, seed 42): scan "
+    "only the query's bucket (~1/256 of rows). Approximate by design.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return S.ann_topk_lsh(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@register(
+    "similarity_bucket_histogram",
+    oracle=None,  # same hyperplane-literal reason as above
+    doc="LSH bucket occupancy histogram — the data-engineer's skew check "
+    "before trusting bucketed ANN at scale.",
+    tags=("pipeline", "similarity"),
+)
+def similarity_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    return (
+        emb.withColumn("bucket", S.hyperplane_bucket("embedding", dim=64, bits=8))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ------------------------------------------------------ text analysis
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(
+               string_split_regex(
+                   regexp_replace(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', '\\1' || chr(31), 'g'),
+                   '\\s|' || chr(31)),
+               x -> x <> '')) AS BIGINT) AS n_subwords
+    FROM documents
+    """,
+    doc="Whitespace token count + BPE-ish subword count (letter/digit "
+    "runs + punctuation singletons via one regexp pass).",
+    tags=("pipeline", "text"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return T.token_count(t["documents"]).select("doc_id", "n_words", "n_subwords")
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+               CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks) AS stop_ratio,
+               CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / greatest(length(norm), 1) AS punct_ratio
+        FROM n
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(stop_ratio, 6)    AS stop_ratio,
+           ROUND(punct_ratio, 6)   AS punct_ratio,
+           ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+                 + least(stop_ratio * 5.0, 1.0) * 0.3
+                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3, 6) AS quality
+    FROM m
+    """,
+    doc="C4/Gopher-style quality signals: token count, mean word length, "
+    "stopword ratio, punctuation ratio, composite score. Pure codegen.",
+    tags=("pipeline", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return T.quality_score(t["documents"]).select(
+        "doc_id", "n_tokens", "mean_word_len", "stop_ratio", "punct_ratio", "quality"
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, lang,
+               len(list_filter(tok, x -> x IN ('der','die','und','das','ist'))) AS h_de,
+               len(list_filter(tok, x -> x IN ('the','and','of','to','a')))     AS h_en,
+               len(list_filter(tok, x -> x IN ('el','la','los','que','de')))    AS h_es,
+               len(list_filter(tok, x -> x IN ('le','la','et','les','des')))    AS h_fr,
+               len(list_filter(tok, x -> x IN ('de','shi','le','wo','ni')))     AS h_zh
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+    FROM hits
+    """,
+    doc="Marker-word language ID (argmax over per-language common-word "
+    "hit counts, ties -> lexicographically first). The fixture text is "
+    "synthetic word salad, so this gates the OPERATOR, not accuracy.",
+    tags=("pipeline", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return T.lang_id(t["documents"]).select("doc_id", "lang", "lang_guess")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    ), p AS (
+        SELECT doc_id, norm,
+               unnest(generate_series(1, greatest(length(norm) - 29, 1))) AS pos
+        FROM n
+    )
+    SELECT doc_id, MIN(md5(substr(norm, pos, 30))) AS fp_min,
+                   MAX(md5(substr(norm, pos, 30))) AS fp_max
+    FROM p
+    GROUP BY doc_id
+    """,
+    doc="Winnowing-style rolling fingerprint: min/max md5 over all "
+    "30-char windows of normalized text (shift-tolerant signature; "
+    "explode -> hash -> groupBy, sub-document parallel).",
+    tags=("pipeline", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return T.fingerprint(t["documents"])
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM events
+    GROUP BY k
+    """,
+    doc="JSON extraction from the events.props payload column + "
+    "group-agg on the extracted key.",
+    tags=("pipeline", "text", "events"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# -------------------------------------------------------- multimodal
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           'image/fake'                            AS media_type,
+           CAST(n_chars % 64 + 1 AS BIGINT)        AS width,
+           CAST(doc_id % 48 + 1 AS BIGINT)         AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(hex(encode(text)), 1, 16)        AS head_hex
+    FROM documents
+    """,
+    doc="Multimodal plumbing end-to-end: synthesize binary blobs "
+    "(header + payload) JVM-side, decode via Arrow-batched mapInPandas "
+    "(the pluggable codec leaf), emit typed metadata. The oracle "
+    "recomputes every decoded field from first principles — this gates "
+    "the full distributed decode path, not just the schema.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_fake_blob_df(t["documents"])
+    decoded = M.decode_image(blobs, codec="fake")
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_bytes",
+        F.hex("payload_head").alias("head_hex"),
+    )
+
+
+@register(
+    "multimodal_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(12 + octet_length(encode(text)) AS BIGINT) AS blob_bytes,
+           'image/fake' AS mime,
+           source       AS origin
+    FROM documents
+    """,
+    doc="Metadata-only media stats (no decode) — the 'filter before you "
+    "decode' step; blob length = 12-byte header + utf-8 payload.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_fake_blob_df(t["documents"])
+    return M.media_stats(blobs).select("doc_id", "blob_bytes", "mime", "origin")
+
+
+# ------------------------------------------------------------ as-of
+@register(
+    "asof_join_purchases",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tsn, value
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS tsn,
+               value AS p_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.tsn,
+           p.p_event_id, ROUND(p.p_value, 2) AS p_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.tsn >= p.tsn
+    """,
+    doc="As-of join: each click gets the user's most recent prior "
+    "purchase. Spark lacks this operator natively — implemented as a "
+    "cogrouped applyInPandas merge_asof (one shuffle per side on "
+    "user_id, Arrow batches, sorted two-pointer per group). Compared "
+    "on exact int64 micros against DuckDB's native ASOF JOIN (DuckDB "
+    "reads the ns parquet column at us resolution).",
+    tags=("pipeline", "asof"),
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    tsn_us = F.expr("ts_ns DIV 1000")  # us granularity, matching DuckDB's read
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", tsn_us.alias("tsn"), "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        tsn_us.alias("tsn"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        clicks, purchases, on="tsn", by="user_id", right_cols=["p_event_id", "p_value"]
+    )
+    return joined.select(
+        "event_id", "user_id", "tsn", "p_event_id", F.round("p_value", 2).alias("p_value")
+    )

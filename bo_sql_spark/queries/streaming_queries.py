@@ -1,1 +1,128 @@
-"""Placeholder — filled in as operators land."""
+"""Graded streaming queries: Structured Streaming pipelines drained
+bounded (availableNow) into memory tables, oracle-checked against batch
+SQL over the same rows.
+
+This is the strongest correctness statement available for streaming:
+bounded replay of the stream must agree exactly with the batch
+semantics of the same window definitions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bo_sql_spark.queries import register
+from bo_sql_spark.streaming import (
+    events_stream,
+    run_to_memory,
+    sessionize,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+
+def _drain(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    run_to_memory(df, name)
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    doc="Watermarked 1h tumbling windows per event_type, drained with "
+    "availableNow — must equal the batch GROUP BY over the same rows.",
+    tags=("streaming",),
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(
+        spark, tumbling_counts(events_stream(spark, sf_dir)), "mem_tumbling"
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH starts AS (
+        SELECT CAST(epoch(to_timestamp(floor(epoch(ts) / 1800) * 1800)) AS BIGINT) AS s0
+        FROM events
+    ), both_windows AS (
+        SELECT s0 AS window_start FROM starts
+        UNION ALL
+        SELECT s0 - 1800 AS window_start FROM starts
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM both_windows
+    GROUP BY window_start
+    """,
+    doc="Sliding windows (1h wide, 30min slide): every event belongs to "
+    "two windows; oracle materializes both memberships via UNION ALL.",
+    tags=("streaming",),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(
+        spark, sliding_counts(events_stream(spark, sf_dir)), "mem_sliding"
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value, epoch_us(ts) AS tsu,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, value, tsu,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    )
+    SELECT CAST(MIN(tsu) // 1000000 AS BIGINT) AS session_start,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    doc="Session windows (10min gap) per user via session_window() — "
+    "the genuinely-stateful streaming operator. Oracle is the classic "
+    "gaps-and-islands rewrite (lag + running sum of session breaks); "
+    "a new session starts when the inter-event gap >= 10min (session "
+    "windows are end-exclusive).",
+    tags=("streaming",),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(
+        spark, sessionize(events_stream(spark, sf_dir)), "mem_sessions"
+    )
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming dedup (dropDuplicatesWithinWatermark on event_id — "
+    "state bounded by the watermark horizon) + counts; equals batch "
+    "COUNT(DISTINCT event_id).",
+    tags=("streaming",),
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(
+        spark, stream_dedup(events_stream(spark, sf_dir)), "mem_dedup"
+    )

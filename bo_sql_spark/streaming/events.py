@@ -1,0 +1,144 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference has no streaming at all (SURVEY §2.3); these are the
+Spark-native stateful operators a live event feed needs: watermarked
+tumbling/sliding windows, session windows, and streaming dedup.
+
+Test/grading harness runs them BOUNDED: ``readStream`` over the same
+parquet file with ``trigger(availableNow=True)`` drains everything and
+terminates, so results are deterministic and oracle-comparable against
+batch SQL over the identical rows. In production the same pipeline
+points at Kafka/files and simply never terminates — the plan is
+unchanged, which is the point of Structured Streaming.
+
+Timestamps: events.ts is parquet TIMESTAMP(NANOS); the stream reads it
+as int64 nanos (nanosAsLong) and derives a micros ``ts``, exactly like
+the batch catalog path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # int64 nanos (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table (bounded file stream)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources need a DIRECTORY; select the one table file
+    # via glob filter (in production this is the landing directory that
+    # new files keep arriving into)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def sessionize(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: events merge while gaps < ``gap``.
+
+    State is one open session per user (merged incrementally as events
+    arrive); the watermark bounds how long a session can stay open.
+    """
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    window — bounded memory forever, unlike a batch distinct.
+    """
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a bounded stream into an in-memory table (blocking).
+
+    availableNow processes the full backlog in rate-limited batches then
+    stops — the streaming equivalent of 'run to completion'.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,167 @@
+"""Unit tests for the pipeline operators on controlled fixtures —
+behavioral checks the end-to-end oracle harness can't express
+(recall of LSH candidates, SimHash locality, codec error paths...).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bo_sql_spark.operators import dedup as D
+from bo_sql_spark.operators import multimodal as M
+from bo_sql_spark.operators import similarity as S
+from bo_sql_spark.operators import text as T
+from bo_sql_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_exact_duplicates(docs):
+    out = D.exact_dedup(docs, ["text"], "doc_id").collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[1] == 2  # docs 1 and 4 collapse, min id kept
+    assert by_id[2] == 1 and by_id[3] == 1
+    assert 4 not in by_id
+
+
+def test_minhash_finds_near_duplicates_not_distinct_docs(docs):
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # one-word difference -> high jaccard
+    assert (1, 4) in got  # identical
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_jaccard_value_is_exact(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jacc"] for r in D.minhash_dedup_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(1, 4)] == 1.0
+
+
+def test_simhash_locality(docs, spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    assert sigs[1] == sigs[4]  # identical docs -> identical signature
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near-dup differs in few bits; unrelated doc differs in many
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+
+
+def test_embedding_near_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),  # ~same direction as 1
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        + [(9, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["cos_sim"] == 1.0
+    assert out[1]["vec_id"] == 9
+
+
+def test_ann_lsh_subset_of_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    ann = S.ann_topk_lsh(emb.filter(F.col("vec_id") != 0), qvec, k=5)
+    rows = ann.collect()
+    assert 0 < len(rows) <= 5
+    # every ANN hit must really be in the query's bucket -> its cosine
+    # must appear in the exact ranking with the same value
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in S.cosine_topk(
+            emb.filter(F.col("vec_id") != 0), qvec, k=10**6
+        ).collect()
+    }
+    for r in rows:
+        assert exact[r["vec_id"]] == r["cos_sim"]
+
+
+def test_lang_id_marker_words(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze ist das"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in T.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_quality_score_ranges(docs):
+    for r in T.quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_fingerprint_shift_tolerance(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, "PREFIX " + base)], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: (r["fp_min"], r["fp_max"]) for r in T.fingerprint(df).collect()}
+    # a pure prefix shift preserves at least one extreme window hash
+    assert fp[1][0] == fp[2][0] or fp[1][1] == fp[2][1]
+
+
+def test_multimodal_decode_roundtrip(docs):
+    blobs = M.make_fake_blob_df(
+        docs.withColumn("n_chars", F.length("text").cast("long")).withColumn(
+            "source", F.lit("unit")
+        )
+    )
+    out = {r["doc_id"]: r for r in M.decode_image(blobs, codec="fake").collect()}
+    row1 = out[1]
+    assert row1["media_type"] == "image/fake"
+    assert row1["width"] >= 1 and row1["height"] >= 1
+    assert row1["n_bytes"] > 0
+
+
+def test_multimodal_real_codec_is_explicit_stub(docs):
+    blobs = M.make_fake_blob_df(
+        docs.withColumn("n_chars", F.length("text").cast("long")).withColumn(
+            "source", F.lit("unit")
+        )
+    )
+    with pytest.raises(Exception, match="NotImplementedError|media libraries"):
+        M.decode_image(blobs, codec="jpeg").collect()
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 10)], "k long, tsn long"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 15, "b"), (3, 1, "z")], "k long, tsn long, tag string"
+    )
+    out = asof_join(left, right, on="tsn", by="k", right_cols=["tag"])
+    got = {(r["k"], r["tsn"]): r["tag"] for r in out.collect()}
+    assert got[(1, 10)] == "a"  # most recent at-or-before 10
+    assert got[(1, 20)] == "b"
+    assert got[(1, 5)] is None  # nothing before 5
+    assert got[(2, 10)] is None  # key with no right rows
