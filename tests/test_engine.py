@@ -1,0 +1,92 @@
+"""Engine surface tests: command dispatch, formatters, load path.
+
+Mirrors the reference's CLI smoke scenarios (reference smoke.sh:72-90)
+at the Engine API level; the subprocess-level CLI is exercised by the
+verify flow (see .claude/skills/verify).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bo_sql_spark.engine import Engine
+from bo_sql_spark.formatters import to_csv, to_markdown
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    e = Engine(spark)
+    e.load_dir(sf_dir)
+    return e
+
+
+def test_select_markdown(engine):
+    out = engine.execute("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    lines = out.splitlines()
+    assert lines[0].startswith("| r_regionkey | r_name")
+    assert lines[1].startswith("|-")
+    assert len(lines) == 2 + 5  # header + sep + 5 regions
+
+
+def test_empty_result_markdown(engine):
+    out = engine.execute("SELECT * FROM region WHERE r_regionkey < 0")
+    assert out == "(no results)"
+
+
+def test_set_format_csv(engine):
+    assert "csv" in engine.execute("SET FORMAT csv")
+    out = engine.execute("SELECT r_name FROM region ORDER BY r_regionkey LIMIT 1")
+    assert out.splitlines()[0] == "r_name"
+    engine.execute("SET FORMAT markdown")
+
+
+def test_csv_quoting(spark):
+    df = spark.createDataFrame(
+        [('a,b', 'say "hi"', 'plain')], "c1 string, c2 string, c3 string"
+    )
+    out = to_csv(df)
+    assert out.splitlines()[1] == '"a,b","say ""hi""",plain'
+
+
+def test_markdown_null_and_float(spark):
+    df = spark.sql("SELECT CAST(NULL AS STRING) AS s, CAST(1.5 AS DOUBLE) AS d")
+    out = to_markdown(df)
+    assert "NULL" in out and "1.500000" in out
+
+
+def test_show_tables(engine):
+    out = engine.execute("SHOW TABLES")
+    assert "lineitem" in out and "region" in out
+
+
+def test_describe(engine):
+    out = engine.execute("DESCRIBE region")
+    assert "rows: 5" in out
+    assert "r_regionkey" in out and "ndv=" in out
+
+
+def test_explain_shows_pushdown(engine):
+    out = engine.execute(
+        "EXPLAIN SELECT l_orderkey FROM lineitem WHERE l_quantity > 30"
+    )
+    assert "Scan parquet" in out
+    assert "PushedFilters" in out
+
+
+def test_load_table_roundtrip(engine, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,val,when\n1,2.5,20240101\n2,3.5,20240202\n")
+    out = engine.execute(f"LOAD TABLE mini FROM '{p}'")
+    assert "loaded mini" in out
+    res = engine.execute("SELECT id, val, when FROM mini ORDER BY id")
+    assert "2024-01-01" in res  # yyyymmdd inference kicked in
+
+
+def test_error_does_not_raise_in_execute(engine):
+    with pytest.raises(Exception):
+        engine.sql("SELECT bogus_column FROM region").collect()
+
+
+def test_exit_raises_eof(engine):
+    with pytest.raises(EOFError):
+        engine.execute("EXIT")
