@@ -32,13 +32,25 @@ TABLES = (
 )
 
 
+# (session id, sf_dir) most recently registered + its DataFrames; avoids
+# re-reading 10 parquet footers on every query when the same directory is
+# queried repeatedly (the common case for the REPL, bench, and the driver).
+_registered: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every parquet table in ``sf_dir`` as a temp view.
 
     Parquet scans are the scale path: columnar, predicate-pushdown and
     column-pruning friendly. At 100 TB these would be partitioned
     directories behind the same names; nothing downstream changes.
+    Memoized per (session, dir): temp views are session-global state, so
+    only re-registration on a *different* directory is needed.
     """
+    key = id(spark)
+    cached = _registered.get(key)
+    if cached is not None and cached[0] == sf_dir:
+        return cached[1]
     # events.parquet uses TIMESTAMP(NANOS), unrepresentable in Spark; read
     # the raw int64 nanos (runtime conf — the caller's session may not have
     # it, e.g. the driver's own plain SparkSession) and fix up below.
@@ -53,6 +65,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = _fix_nanos_ts(df)
         df.createOrReplaceTempView(name)
         out[name] = df
+    _registered[key] = (sf_dir, out)
     return out
 
 

@@ -1,0 +1,104 @@
+"""Plan-shape assertions: the 100 TB discipline, enforced in CI.
+
+Each headline query's physical plan must be the plan we'd want on a
+1000-executor cluster — dimension joins broadcast (no fact-side
+shuffle), filters and projections pushed into the parquet scan,
+aggregations partial+final, top-k fused (no global sort), per-group
+top-N trimmed below the shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bo_sql_spark.plans import (
+    explain_str,
+    has_operator,
+    pushed_filters,
+    read_schema_columns,
+)
+from bo_sql_spark.queries import load_all
+
+REG = load_all()
+
+
+def _df(spark, sf_dir, name):
+    return REG[name].builder(spark, sf_dir)
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    scans = read_schema_columns(_df(spark, sf_dir, "scan_project"))
+    assert scans, "no parquet scan found"
+    # 16-column lineitem must be read as exactly the 5 referenced columns
+    assert sorted(scans[0]) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_linenumber",
+        "l_orderkey",
+        "l_quantity",
+    ]
+
+
+def test_filter_is_pushed_to_scan(spark, sf_dir):
+    pf = pushed_filters(_df(spark, sf_dir, "filter_predicate"))
+    assert any("l_quantity" in f or "l_discount" in f for f in pf), pf
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = _df(spark, sf_dir, "join_orders_customer")
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "SortMergeJoin")
+
+
+def test_star_join_never_shuffles_fact_side(spark, sf_dir):
+    df = _df(spark, sf_dir, "composite_top_regions")
+    text = explain_str(df, "simple")
+    assert "SortMergeJoin" not in text
+    # lineitem->orders is the only possibly-shuffled join; all dims broadcast
+    assert text.count("BroadcastHashJoin") >= 3
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    text = explain_str(_df(spark, sf_dir, "agg_pricing_summary"), "simple")
+    assert "partial_sum" in text or "partial_count" in text, text
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    df = _df(spark, sf_dir, "topk_orders")
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_window_topn_trims_below_shuffle(spark, sf_dir):
+    df = _df(spark, sf_dir, "window_topn_per_group")
+    assert has_operator(df, "WindowGroupLimit")
+
+
+def test_semi_join_not_row_multiplying(spark, sf_dir):
+    text = explain_str(_df(spark, sf_dir, "join_semi"), "simple")
+    assert "LeftSemi" in text
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    """The LSH pipeline must never plan a cartesian product."""
+    df = _df(spark, sf_dir, "dedup_minhash_pairs")
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text
+
+
+def test_similarity_topk_no_sort_shuffle(spark, sf_dir):
+    df = _df(spark, sf_dir, "similarity_topk")
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_pricing_summary", "filter_predicate", "global_agg"],
+)
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir, name):
+    # AQE materializes codegen stages only at runtime: execute, then
+    # inspect the FINAL plan (isFinalPlan=true)
+    df = _df(spark, sf_dir, name)
+    df.collect()
+    text = explain_str(df, "simple")
+    # '*(n)' prefixes mark WholeStageCodegen stages in simple mode
+    assert "*(" in text, text
