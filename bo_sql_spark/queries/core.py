@@ -259,6 +259,76 @@ def composite_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The reference README's own sample queries (reference README.md:114-133),
+# mapped onto the star schema. Dates emitted as yyyymmdd BIGINT — the
+# reference's DATE32 representation (SURVEY §1.2).
+# --------------------------------------------------------------------------
+@register(
+    "ref_revenue_by_day",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS order_day,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY order_day
+    ORDER BY order_day
+    """,
+    doc="Reference sample Q1 'Revenue by day' (README.md:117-123): "
+    "status filter + date range + group + order. Both filters push to "
+    "the parquet scan.",
+    tags=("core", "reference-sample"),
+)
+def ref_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & F.col("o_orderdate").between("1996-01-01", "1996-12-31")
+        )
+        .groupBy(
+            F.date_format("o_orderdate", "yyyyMMdd").cast("long").alias("order_day")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .orderBy("order_day")
+    )
+
+
+@register(
+    "ref_top_skus",
+    oracle="""
+    SELECT l_partkey AS sku,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_partkey
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, sku
+    LIMIT 20
+    """,
+    doc="Reference sample Q2 'Top SKUs by revenue' (README.md:125-133): "
+    "join + grouped revenue + top-20. Orders side broadcasts after its "
+    "filter; limit is a TakeOrderedAndProject.",
+    tags=("core", "reference-sample"),
+)
+def ref_top_skus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("sku"))
+        .agg(rev.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "sku")
+        .limit(20)
+        .select("sku", F.round("_rev", 2).alias("rev"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Expression semantics: arithmetic, comparison, CASE (reference
 # expression.cpp:31-120 — we adopt standard semantics per SURVEY §4.3)
 # --------------------------------------------------------------------------

@@ -719,6 +719,186 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (pure filter + global agg): the canonical "
+    "predicate-pushdown benchmark — every predicate reaches the parquet "
+    "row-group statistics; zero shuffle beyond the 1-row final agg.",
+    tags=("extended", "tpch"),
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo",
+    oracle="""
+    SELECT ROUND(
+               100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    doc="TPC-H Q14 shape (promo revenue share): broadcast dim join + "
+    "conditional aggregation in one pass.",
+    tags=("extended", "tpch"),
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "regex_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           regexp_replace(c_name, '[0-9]+', '#', 'g')            AS name_masked,
+           CAST(regexp_matches(c_mktsegment, '^B') AS BIGINT)    AS seg_starts_b
+    FROM customer
+    WHERE regexp_matches(c_name, '00[0-9]$')
+    """,
+    doc="Regex functions (extract/replace/match) — portable pattern "
+    "subset so Java regex and RE2 agree.",
+    tags=("extended", "functions"),
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_name").rlike("00[0-9]$"))
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", "([0-9]+)", 1).cast("long").alias("name_num"),
+            F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+            F.col("c_mktsegment").rlike("^B").cast("long").alias("seg_starts_b"),
+        )
+    )
+
+
+@register(
+    "array_agg_sorted",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string/array aggregation per group (collect_list -> "
+    "array_sort -> join, the deterministic form of list aggregation).",
+    tags=("extended", "aggregate"),
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="PIVOT (long->wide counts per status). Spark pivot with an "
+    "explicit value list — one pass, no per-value scans.",
+    tags=("extended", "aggregate"),
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    wide = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return wide.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+    "SQL percentile_cont linear interpolation).",
+    tags=("extended", "aggregate"),
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        )
+    )
+
+
 # ------------------------------------------------------- events (batch)
 @register(
     "events_hourly",
