@@ -80,7 +80,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT user_id, value, epoch_us(ts) AS tsu,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -100,14 +100,49 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Session windows (10min gap) per user via session_window() — "
     "the genuinely-stateful streaming operator. Oracle is the classic "
     "gaps-and-islands rewrite (lag + running sum of session breaks); "
-    "a new session starts when the inter-event gap >= 10min (session "
-    "windows are end-exclusive).",
+    "a new session starts when the inter-event gap EXCEEDS 10min "
+    "(boundary events merge — verified against session_window on a "
+    "crafted fixture in tests/test_streaming.py).",
     tags=("streaming",),
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         spark, sessionize(events_stream(spark, sf_dir)), "mem_sessions"
     )
+
+
+@register(
+    "stream_funnel_conversions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tsn,
+               max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        FROM events
+    )
+    SELECT user_id,
+           CAST(last_click AS BIGINT) AS click_tsn,
+           CAST(tsn AS BIGINT)        AS purchase_tsn
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND last_click IS NOT NULL
+      AND tsn - last_click <= 1800000000
+    """,
+    doc="CUSTOM stateful streaming operator (applyInPandasWithState): "
+    "click->purchase funnel with 30min attribution; one int64 of state "
+    "per user. Oracle is the batch window-function rewrite (most recent "
+    "prior click via max over preceding rows) — the bounded replay must "
+    "reproduce it exactly.",
+    tags=("streaming", "stateful"),
+)
+def stream_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.streaming.stateful import funnel_conversions
+
+    df = funnel_conversions(events_stream(spark, sf_dir))
+    spark.sql("DROP TABLE IF EXISTS mem_funnel")
+    run_to_memory(df, "mem_funnel", output_mode="append")
+    return spark.table("mem_funnel")
 
 
 @register(

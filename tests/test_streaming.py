@@ -1,0 +1,77 @@
+"""Unit tests for the streaming module on crafted event sequences."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+
+@pytest.fixture()
+def event_file(spark, tmp_path):
+    """A tiny events parquet dir with controlled nanosecond timestamps."""
+    us = 1_000_000
+    rows = [
+        # user 1: click at t=0, purchase at t=10min (converts),
+        # purchase at t=50min (too late vs last click at 0)
+        (1, 1, 0, "click", 1.0, "{}"),
+        (2, 1, 600 * us * 1000, "purchase", 2.0, "{}"),
+        (3, 1, 3000 * us * 1000, "purchase", 3.0, "{}"),
+        # user 2: purchase with no prior click (never converts)
+        (4, 2, 100 * us * 1000, "purchase", 4.0, "{}"),
+        # user 2: click then click then purchase (last click wins)
+        (5, 2, 200 * us * 1000, "click", 5.0, "{}"),
+        (6, 2, 300 * us * 1000, "click", 6.0, "{}"),
+        (7, 2, 400 * us * 1000, "purchase", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts long, event_type string, value double, props string",
+    )
+    path = str(tmp_path / "stream_fixture")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stream_fixture(spark, path):
+    from bo_sql_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(path)
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def test_funnel_semantics(spark, event_file):
+    from bo_sql_spark.streaming.stateful import funnel_conversions
+    from bo_sql_spark.streaming.events import run_to_memory
+
+    out = funnel_conversions(_stream_fixture(spark, event_file))
+    spark.sql("DROP TABLE IF EXISTS mem_funnel_unit")
+    run_to_memory(out, "mem_funnel_unit", output_mode="append")
+    got = {
+        (r["user_id"], r["click_tsn"], r["purchase_tsn"])
+        for r in spark.table("mem_funnel_unit").collect()
+    }
+    assert got == {
+        (1, 0, 600 * 1_000_000),  # converts within 30min
+        (2, 300 * 1_000_000, 400 * 1_000_000),  # most recent click wins
+    }
+
+
+def test_session_window_merges_by_gap(spark, event_file):
+    from bo_sql_spark.streaming.events import run_to_memory, sessionize
+
+    out = sessionize(_stream_fixture(spark, event_file), gap="10 minutes")
+    spark.sql("DROP TABLE IF EXISTS mem_sess_unit")
+    run_to_memory(out, "mem_sess_unit")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("mem_sess_unit").collect()
+    }
+    # user 1: events at 0s/600s MERGE (a boundary event exactly gap
+    # after the last one joins the session — gap must EXCEED 10min to
+    # split); the 3000s event is separate
+    assert (1, 0, 2) in got
+    assert (1, 3000, 1) in got
+    # user 2: 100s/200s/300s/400s all within 10min gaps -> one session
+    assert (2, 100, 4) in got
