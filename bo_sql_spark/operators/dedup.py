@@ -189,6 +189,61 @@ def simhash64(
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+# ------------------------------------- duplicate clusters (components)
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """(node, cluster_id=min reachable node) over an undirected pair set.
+
+    GraphFrames-free label propagation: each round joins every node's
+    current label against the edge list and keeps the min of (own label,
+    neighbors' labels); converges in O(log diameter) rounds for the
+    near-clique clusters dedup produces. Each round is one broadcast-or-
+    shuffle join + groupBy — at 100 TB the edge list is the candidate
+    pair set (small), not the corpus.
+
+    Driver loop with a convergence check; ``max_iter`` bounds runaway
+    chains (a path graph of length > 2^max_iter would need more rounds).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            labels.alias("old")
+            .join(new_labels.alias("new"), "node")
+            .filter(F.col("old.label") != F.col("new.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 # ------------------------------------------------ embedding near-dup
 def embedding_near_dup_pairs(
     emb: DataFrame,

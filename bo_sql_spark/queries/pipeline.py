@@ -148,6 +148,43 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(emb, threshold=0.40)
 
 
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.4
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        ) SELECT * FROM r
+    )
+    SELECT a AS node, CAST(MIN(b) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Duplicate CLUSTERS: near-dup pairs -> connected components via "
+    "iterative min-label propagation (GraphFrames-free; O(log diameter) "
+    "join rounds). The genuinely-iterative algorithm of the suite; "
+    "oracle computes the same components with a recursive CTE over the "
+    "same oracle-checked edge set (ngram-Jaccard >= 0.4, doc_id < 150).",
+    tags=("pipeline", "dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return D.connected_components(pairs)
+
+
 # -------------------------------------------------------- similarity
 @register(
     "similarity_topk",

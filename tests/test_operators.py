@@ -58,6 +58,15 @@ def test_simhash_locality(docs, spark):
     assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
 
 
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (one cluster), island pair 10-11, singleton-free
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_embedding_near_dup_pairs(spark):
     emb = spark.createDataFrame(
         [

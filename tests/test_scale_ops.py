@@ -1,0 +1,85 @@
+"""Scale-mechanism tests: salted joins/aggs produce identical results to
+their plain forms; bucketed tables join without an Exchange."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bo_sql_spark.operators.skew import salted_agg, salted_join
+from bo_sql_spark.plans import explain_str
+from bo_sql_spark.sources.bucketed import bucketed_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows share key 1 (the hot key)."""
+    rows = [(1 if i % 10 else i, float(i)) for i in range(1000)]
+    return spark.createDataFrame(rows, "k long, v double")
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(1000)], "k long, name string"
+    )
+    plain = skewed.join(dim, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    salted = (
+        salted_join(skewed, dim, "k", salt_buckets=4)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_equals_plain_agg(spark, skewed):
+    plain = {
+        (r["k"]): (r["s"], r["n"])
+        for r in skewed.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+        .collect()
+    }
+    # duplicate v as v2 so one call can both sum and count it
+    out = salted_agg(
+        skewed.withColumn("v2", F.col("v")), ["k"], {"v": "sum", "v2": "count"}, 4
+    )
+    salted = {r["k"]: (r["sum_v"], r["count_v2"]) for r in out.collect()}
+    for k, (s, n) in plain.items():
+        assert salted[k][1] == n
+        assert abs(salted[k][0] - s) < 1e-6
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # saveAsTable writes into the session warehouse dir (static conf);
+    # drop tables AND any stale directories from interrupted runs first
+    import shutil
+
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}/{t}"
+        shutil.rmtree(loc, ignore_errors=True)
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bkt_a", "k", n_buckets=4)
+    write_bucketed(b, "bkt_b", "k", n_buckets=4)
+    # tiny fixtures would broadcast (which bypasses bucketing); force the
+    # shuffle-join path the feature exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        text = explain_str(joined, "simple")
+        # co-located: a sort-merge join with NO shuffle on either side
+        assert "Exchange hashpartitioning" not in text, text
+        assert "SortMergeJoin" in text, text
+        assert joined.count() == 1000
+        # co-located groupBy on the bucket key also avoids the shuffle
+        agg = spark.table("bkt_a").groupBy("k").agg(F.sum("va").alias("s"))
+        assert "Exchange hashpartitioning" not in explain_str(agg, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
