@@ -458,6 +458,47 @@ def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_stats(blobs).select("doc_id", "blob_bytes", "mime", "origin")
 
 
+@register(
+    "rollup_daily_served",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS sum_value,
+           ROUND(MIN(value), 6)      AS min_value,
+           ROUND(MAX(value), 6)      AS max_value
+    FROM events
+    GROUP BY day_start, event_type
+    """,
+    doc="Hypertable-style continuous aggregate: materialize an HOURLY "
+    "rollup (partitioned parquet), then serve the DAILY query by "
+    "re-aggregating the rollup partials — the oracle aggregates raw "
+    "events directly, proving hour->day nesting is lossless for "
+    "algebraic aggregates.",
+    tags=("pipeline", "rollup", "events"),
+)
+def rollup_daily_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.operators.rollup_mat import (
+        daily_from_hourly,
+        materialize_hourly_rollup,
+    )
+
+    t = _t(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bosql_rollup_") + "/hourly"
+    materialize_hourly_rollup(t["events"], path)
+    daily = daily_from_hourly(spark, path)
+    return daily.select(
+        "day_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
 # ------------------------------------------------------------ as-of
 @register(
     "asof_join_purchases",

@@ -1,0 +1,93 @@
+"""Property-based differential testing: random queries, Spark vs DuckDB.
+
+Generates random filter predicates and grouped aggregations over
+lineitem and asserts Spark and DuckDB agree exactly. Catches dialect
+drift (comparison semantics, null handling, grouping) that hand-picked
+queries miss. Deterministic (derandomize) so CI never flakes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+STR_VALS = ["A", "N", "R", "O", "F"]
+CMP = ["<", "<=", ">", ">=", "=", "<>"]
+
+# constants chosen to straddle each column's actual range
+CONSTS = {
+    "l_quantity": [1.0, 10.0, 25.0, 50.0],
+    "l_extendedprice": [1000.0, 20000.0, 60000.0],
+    "l_discount": [0.0, 0.02, 0.05, 0.1],
+    "l_tax": [0.0, 0.04, 0.08],
+}
+
+
+@st.composite
+def predicate(draw, depth: int = 0):
+    kind = draw(st.sampled_from(["num", "str"] + (["and", "or", "not"] if depth < 2 else [])))
+    if kind == "num":
+        c = draw(st.sampled_from(NUM_COLS))
+        op = draw(st.sampled_from(CMP))
+        v = draw(st.sampled_from(CONSTS[c]))
+        return f"({c} {op} {v})"
+    if kind == "str":
+        c = draw(st.sampled_from(STR_COLS))
+        op = draw(st.sampled_from(["=", "<>"]))
+        v = draw(st.sampled_from(STR_VALS))
+        return f"({c} {op} '{v}')"
+    if kind == "not":
+        return f"(NOT {draw(predicate(depth + 1))})"
+    a, b = draw(predicate(depth + 1)), draw(predicate(depth + 1))
+    return f"({a} {'AND' if kind == 'and' else 'OR'} {b})"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, oracle_con, sf_dir):
+    from bo_sql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark, oracle_con
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate())
+def test_random_filter_counts_agree(ctx, pred):
+    spark, con = ctx
+    sql = f"SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS s FROM lineitem WHERE {pred}"
+    got = spark.sql(sql).first()
+    want = con.execute(sql).fetchone()
+    assert got["n"] == want[0], f"{pred}: count {got['n']} != {want[0]}"
+    gs = got["s"] if got["s"] is not None else None
+    ws = want[1]
+    assert gs == ws, f"{pred}: sum {gs} != {ws}"  # integer-valued doubles: exact
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    key=st.sampled_from(STR_COLS + ["l_linenumber"]),
+    measure=st.sampled_from(NUM_COLS),
+    pred=predicate(),
+)
+def test_random_grouped_agg_agrees(ctx, key, measure, pred):
+    spark, con = ctx
+    sql = (
+        f"SELECT {key} AS k, COUNT(*) AS n, ROUND(SUM({measure}), 2) AS s, "
+        f"ROUND(MIN({measure}), 6) AS mn, ROUND(MAX({measure}), 6) AS mx "
+        f"FROM lineitem WHERE {pred} GROUP BY {key}"
+    )
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, f"{sql}: {got[:3]} vs {want[:3]}"
