@@ -723,8 +723,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 30000)          AS abs_dev,
-           CEIL(l_discount * 100)                AS disc_pct_ceil,
-           FLOOR(l_quantity / 7)                 AS qty_bucket,
+           CAST(CEIL(l_discount * 100) AS BIGINT)  AS disc_pct_ceil,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT)   AS qty_bucket,
            SQRT(l_extendedprice)                 AS sqrt_price,
            ROUND(LN(l_extendedprice), 6)         AS ln_price
     FROM lineitem
