@@ -77,6 +77,58 @@ def hyperplane_bucket(
     return bucket.cast("long")
 
 
+def approx_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    dim: int,
+    id_left: str = "id_a",
+    id_right: str = "id_b",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    seeds: tuple[int, ...] = (42, 1042),
+) -> DataFrame:
+    """Batch-vs-batch approximate similarity join (cosine >= threshold).
+
+    Both sides get LSH buckets per seed; candidates are pairs sharing a
+    bucket under ANY seed (multi-probe union buys recall), then exact
+    cosine filters. Shuffle key is (seed, bucket) — each side moves once
+    per seed, never a cross join. Recall rises with seeds, cost with
+    2^-bits x candidate volume.
+    """
+    def bucketed(df: DataFrame, idc: str, out: str) -> DataFrame:
+        parts = []
+        for s in seeds:
+            parts.append(
+                df.select(
+                    F.col(idc).alias(out),
+                    F.col(vec_col).alias(f"v_{out}"),
+                    F.lit(s).alias("seed"),
+                    hyperplane_bucket(vec_col, dim, bits, s).alias("bucket"),
+                )
+            )
+        res = parts[0]
+        for p in parts[1:]:
+            res = res.unionAll(p)
+        return res
+
+    lb = bucketed(left, id_left, "id_a")
+    rb = bucketed(right, id_right, "id_b")
+    cands = (
+        lb.join(rb, ["seed", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_id_a", "v_id_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "cos", cosine_similarity(F.col("v_id_a"), F.col("v_id_b"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_vec: list[float],

@@ -843,6 +843,78 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q18_big_orders",
+    oracle="""
+    SELECT c_name, o_orderkey,
+           ROUND(o_totalprice, 2) AS total_price,
+           SUM(l_quantity)        AS total_qty
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_name, o_orderkey, o_totalprice
+    HAVING SUM(l_quantity) > 180
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): group at order grain "
+    "across a 3-way join, HAVING on the grouped sum. Catalyst pushes "
+    "the lineitem-side partial agg below the join via AQE.",
+    tags=("extended", "tpch"),
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(MIN(epoch(date_trunc('month', ts))) AS BIGINT) AS cohort_month
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS active_month
+        FROM events
+    )
+    SELECT f.cohort_month, a.active_month,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_month, a.active_month
+    """,
+    doc="Cohort retention matrix over events: first-seen month x active "
+    "month -> distinct users. Two aggregations + a key join — the "
+    "everyday product-analytics shape.",
+    tags=("extended", "events"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    month = F.unix_timestamp(F.date_trunc("month", F.col("ts"))).alias("m")
+    firsts = ev.select("user_id", month).groupBy("user_id").agg(
+        F.min("m").alias("cohort_month")
+    )
+    activity = ev.select("user_id", month.alias("active_month")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_month", "active_month")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
     "regex_funcs",
     oracle="""
     SELECT c_custkey,

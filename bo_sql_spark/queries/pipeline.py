@@ -242,6 +242,28 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_approx_join",
+    oracle=None,  # LSH-bucketed candidates (hyperplane literals); exact
+    # result set is a verified subset of dedup_embedding_neardup's oracle
+    doc="Batch-vs-batch approximate similarity self-join (cosine >= "
+    "0.40, 2-seed multi-probe LSH): shuffle on (seed, bucket), exact "
+    "verify on candidates only — the trillion-vector shape of "
+    "dedup_embedding_neardup. Recall vs brute force is asserted in "
+    "tests/test_operators.py.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].filter(F.col("vec_id") < 2000)
+    return S.approx_similarity_join(
+        emb.select(F.col("vec_id").alias("id_a"), "embedding"),
+        emb.select(F.col("vec_id").alias("id_b"), "embedding"),
+        threshold=0.40,
+        dim=64,
+    )
+
+
+@register(
     "similarity_bucket_histogram",
     oracle=None,  # same hyperplane-literal reason as above
     doc="LSH bucket occupancy histogram — the data-engineer's skew check "

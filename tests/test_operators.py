@@ -109,6 +109,34 @@ def test_ann_lsh_subset_of_bucket(spark, sf_dir):
         assert exact[r["vec_id"]] == r["cos_sim"]
 
 
+def test_approx_similarity_join_exactness_and_recall(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),     # identical to 1 -> must be found
+            (3, [0.98, 0.02, 0.0, 0.0]),   # near 1/2
+            (4, [0.0, 1.0, 0.0, 0.0]),     # orthogonal -> below threshold
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.approx_similarity_join(
+            emb.select(F.col("vec_id").alias("id_a"), "embedding"),
+            emb.select(F.col("vec_id").alias("id_b"), "embedding"),
+            threshold=0.9,
+            dim=4,
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert got <= brute          # exact verify: no false positives, ever
+    assert (1, 2) in got         # identical vectors always share a bucket
+    assert not any(4 in p for p in got)
+
+
 def test_lang_id_marker_words(spark):
     df = spark.createDataFrame(
         [
