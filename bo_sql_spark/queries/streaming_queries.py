@@ -21,6 +21,7 @@ from bo_sql_spark.streaming import (
     stream_dedup,
     tumbling_counts,
 )
+from bo_sql_spark.streaming.events import interval_join
 
 
 def _drain(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
@@ -143,6 +144,33 @@ def stream_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("DROP TABLE IF EXISTS mem_funnel")
     run_to_memory(df, "mem_funnel", output_mode="append")
     return spark.table("mem_funnel")
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(c.ts) // 1000000 AS BIGINT) AS click_sec,
+           CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS purchase_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND epoch_us(p.ts) >= epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+    """,
+    doc="Stream-stream INTERVAL join: every (click, purchase) pair of "
+    "the same user within 30min — watermark + interval bound the join "
+    "state on both sides. Oracle is the batch interval join at micros "
+    "granularity.",
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = interval_join(events_stream(spark, sf_dir))
+    spark.sql("DROP TABLE IF EXISTS mem_interval")
+    run_to_memory(df, "mem_interval", output_mode="append")
+    return spark.table("mem_interval")
 
 
 @register(

@@ -126,6 +126,51 @@ def stream_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    stream: DataFrame, max_gap: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks that happened in the preceding ``max_gap``.
+
+    Both sides are the same watermarked stream filtered by type; state
+    on each side is bounded by the watermark + interval condition (Spark
+    evicts rows that can no longer match). Emits one row per
+    (click, purchase) pair in the window — the relational (multi-match)
+    counterpart of the funnel operator's latest-click semantics.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {max_gap}"
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("c_ts").alias("click_sec"),
+        F.unix_timestamp("p_ts").alias("purchase_sec"),
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

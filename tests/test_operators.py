@@ -58,6 +58,11 @@ def test_simhash_locality(docs, spark):
     assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
 
 
+def test_connected_components_empty_edges(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(pairs).count() == 0
+
+
 def test_connected_components_chain_and_islands(spark):
     # chain 1-2-3-4 (one cluster), island pair 10-11, singleton-free
     pairs = spark.createDataFrame(
