@@ -57,13 +57,17 @@ def minhash_signature(
     NB: the per-seed lambda must be single-argument — PySpark passes the
     ARRAY INDEX to a two-argument transform lambda, which would shadow
     the seed and collapse all n_hashes 'permutations' into one.
+
+    Built as ONE nested transform over a seed sequence (not n_hashes
+    unrolled expressions): unrolling 32 copies of the shingle transform
+    made whole-stage codegen quadratic in n_hashes — ~26s of compile
+    time at 32 hashes; the nested form plans in milliseconds.
     """
     sh = word_shingles(text, shingle_k)
-
-    def component(seed: int):
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s)))
-
-    return F.array(*[component(i) for i in range(n_hashes)])
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(int(n_hashes) - 1).cast("long")),
+        lambda seed: F.array_min(F.transform(sh, lambda s: F.xxhash64(seed, s))),
+    )
 
 
 def lsh_band_pairs(
@@ -119,6 +123,37 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, minhash) via the FLAT plan: explode shingles, hash
+    each string once, then n_hashes min-aggregates over cheap long-pair
+    hashes. Everything stays in whole-stage codegen — the higher-order-
+    function form (minhash_signature) evaluates lambdas interpreted and
+    is ~50x slower on long documents.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    exploded = sh.select(
+        id_col, F.explode("shingles").alias("s")
+    ).withColumn("h", F.xxhash64("s"))
+    sigs = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    sigs = sigs.select(
+        id_col, F.array(*[f"mh{i}" for i in range(n_hashes)]).alias("minhash")
+    )
+    return sh.join(sigs, id_col)
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -134,11 +169,7 @@ def minhash_dedup_pairs(
     Only LSH candidates ever have their shingle sets compared, so the
     expensive exact step runs on O(candidates), not O(n^2).
     """
-    with_sig = docs.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
-        minhash_signature(F.col(text_col), n_hashes, shingle_k).alias("minhash"),
-    )
+    with_sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
     cands = lsh_band_pairs(with_sig, id_col, "minhash", bands, n_hashes // bands)
     sets_a = with_sig.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")

@@ -43,6 +43,13 @@ EVENTS_RAW_SCHEMA = StructType(
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table (bounded file stream)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Streaming disables AQE, so every stateful shuffle materializes
+    # spark.sql.shuffle.partitions state stores PER MICROBATCH. Under a
+    # caller-provided plain session that's the 200 default — ~200 tiny
+    # RocksDB/HDFS stores for a local run. Right-size it once here
+    # (only if still at the default; a tuned session is left alone).
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
     # file-stream sources need a DIRECTORY; select the one table file
     # via glob filter (in production this is the landing directory that
     # new files keep arriving into)

@@ -1,0 +1,47 @@
+"""Driver-gate rehearsal: every queries() entry vs its oracle at sf0.01,
+with per-query wall time. Run: python tools_rehearsal.py [sf_dir]."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as e
+from bo_sql_spark.catalog import TABLES
+from bo_sql_spark.testing import compare_results
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = (
+    SparkSession.builder.master("local[16]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+q, o = e.queries(), e.oracle_sql()
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+fails = []
+for name in sorted(q):
+    t0 = time.time()
+    try:
+        s = q[name](spark, SF).toPandas()
+        if name in o:
+            d = con.execute(o[name]).df()
+            ok, msg = compare_results(s, d)
+        else:
+            ok, msg = len(s) >= 0, "rows-only"
+        dt = time.time() - t0
+        status = "MATCH" if ok else "MISMATCH"
+        print(f"{dt:6.1f}s {name}: {status} rows={len(s)}" + ("" if ok else " :: " + msg[:200]), flush=True)
+        if not ok:
+            fails.append(name)
+    except Exception as ex:
+        print(f"  ERR  {name}: {str(ex)[:200]}", flush=True)
+        fails.append(name)
+print("FAILS:", fails or "none")
+spark.stop()
