@@ -71,6 +71,31 @@ def test_random_filter_counts_agree(ctx, pred):
 
 
 @settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    join_how=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    pred=predicate(),
+    status=st.sampled_from(["F", "O", "P"]),
+)
+def test_random_join_agg_agrees(ctx, join_how, pred, status):
+    spark, con = ctx
+    sql = (
+        "SELECT o_orderstatus AS st, COUNT(*) AS n, "
+        "COUNT(l_orderkey) AS n_items "
+        f"FROM (SELECT * FROM orders WHERE o_orderstatus <> '{status}') o "
+        f"{join_how} (SELECT * FROM lineitem WHERE {pred}) l "
+        "ON o.o_orderkey = l.l_orderkey GROUP BY o_orderstatus"
+    )
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, f"{sql}: {got} vs {want}"
+
+
+@settings(
     max_examples=15,
     deadline=None,
     derandomize=True,
