@@ -139,6 +139,12 @@ def main(argv: list[str] | None = None) -> int:
         "--data-dir",
         help="register every parquet table in a directory (TESTDATA layout)",
     )
+    ap.add_argument(
+        "csv",
+        nargs="?",
+        help="CSV file registered under the implicit name 'table' "
+        "(reference main.cpp:104-127)",
+    )
     args = ap.parse_args(argv)
 
     from bo_sql_spark.session import get_session
@@ -153,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
         if not path:
             ap.error(f"--load expects NAME=PATH, got {spec!r}")
         engine.load_table(name, path)
+    if args.csv:
+        engine.load_table("table", args.csv)
 
     if args.sql is not None:
         try:
