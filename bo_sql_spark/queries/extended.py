@@ -276,6 +276,30 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (neither pure rollup nor cube): "
+    "per-flag, per-status, and grand total in one pass.",
+    tags=("extended", "aggregate"),
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    _ = t
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
     "count_distinct",
     oracle="""
     SELECT o_orderstatus,
@@ -572,6 +596,117 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"))
     )
     return o.subtract(c)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+    INTERSECT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="INTERSECT ALL — multiplicity-preserving set op (min of the two "
+    "multiplicities per value).",
+    tags=("extended", "setops"),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    a = t["lineitem"].filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = t["lineitem"].filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="EXCEPT ALL — bag difference (multiplicities subtract).",
+    tags=("extended", "setops"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    a = t["orders"].filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = t["orders"].filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b)
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="FIRST_VALUE/LAST_VALUE — LAST over the full-partition frame "
+    "(the default running frame would return the current row).",
+    tags=("extended", "window"),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+    )
+
+
+@register(
+    "null_safe_equality",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber,
+           CAST(NULLIF(a.l_discount, 0.0) IS NOT DISTINCT FROM NULLIF(a.l_tax, 0.0) AS BIGINT) AS same_rate
+    FROM lineitem a WHERE a.l_orderkey <= 300
+    """,
+    doc="Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL <=> NULL "
+    "is TRUE — the 2-valued comparison 3-valued logic can't spell.",
+    tags=("extended", "functions"),
+)
+def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0))
+        .eqNullSafe(F.nullif(F.col("l_tax"), F.lit(0.0)))
+        .cast("long")
+        .alias("same_rate"),
+    )
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents WHERE doc_id < 20
+    ), p AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS g
+        FROM t
+    )
+    SELECT doc_id, CAST(g - 1 AS INT) AS pos, toks[g] AS tok FROM p
+    """,
+    doc="LATERAL explode with position (posexplode / UNNEST WITH "
+    "ORDINALITY) — the row-generating table function.",
+    tags=("extended", "functions"),
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 20)
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    return docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
 
 
 # ------------------------------------------------- subqueries and CTEs
