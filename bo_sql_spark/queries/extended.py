@@ -1135,6 +1135,141 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4)      AS qty_price_corr,
+           ROUND(stddev_samp(l_extendedprice), 2)           AS price_sd,
+           ROUND(var_samp(l_quantity), 4)                   AS qty_var,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (corr/stddev/var/covar) per group — "
+    "single-pass mergeable moments, rounded for cross-engine float "
+    "accumulation order.",
+    tags=("extended", "aggregate"),
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_cov"
+            ),
+        )
+    )
+
+
+@register(
+    "filtered_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2) AS big_rev,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS BIGINT)   AS n_small,
+           CAST(COUNT(*) AS BIGINT)                                         AS n_all
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="FILTER clause on aggregates (SQL:2003) — conditional "
+    "aggregation without CASE scaffolding; one pass.",
+    tags=("extended", "aggregate"),
+)
+def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    _ = t
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2) AS big_rev,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS BIGINT)   AS n_small,
+               CAST(COUNT(*) AS BIGINT)                                         AS n_all
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "histogram_width_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 400000 THEN 21
+                ELSE CAST(FLOOR(o_totalprice / 20000) + 1 AS BIGINT) END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY bucket
+    """,
+    doc="Equi-width histogram via width_bucket — the one-pass "
+    "distribution sketch for dashboards.",
+    tags=("extended", "aggregate"),
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(400000), F.lit(20))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "calendar_gap_fill",
+    oracle="""
+    WITH cal AS (
+        SELECT CAST(strftime(DATE '1996-01-01' + CAST(d AS INTEGER), '%Y%m%d') AS BIGINT) AS order_day
+        FROM (SELECT unnest(generate_series(0, 30)) AS d)
+    ), daily AS (
+        SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS order_day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+        GROUP BY order_day
+    )
+    SELECT cal.order_day, COALESCE(daily.n_orders, 0) AS n_orders
+    FROM cal LEFT JOIN daily USING (order_day)
+    """,
+    doc="Time-series gap filling: generated calendar spine LEFT JOIN "
+    "daily counts, zeros for silent days (sequence+explode in Spark, "
+    "generate_series in the oracle).",
+    tags=("extended", "events"),
+)
+def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    cal = spark.range(0, 31).select(
+        F.date_format(
+            F.date_add(F.lit("1996-01-01").cast("date"), F.col("id").cast("int")),
+            "yyyyMMdd",
+        )
+        .cast("long")
+        .alias("order_day")
+    )
+    daily = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-02-01")
+        )
+        .groupBy(
+            F.date_format("o_orderdate", "yyyyMMdd").cast("long").alias("order_day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cal.join(daily, "order_day", "left").select(
+        "order_day", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+@register(
     "percentile_exact",
     oracle="""
     SELECT l_returnflag,
