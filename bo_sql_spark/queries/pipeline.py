@@ -401,6 +401,89 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_vocab_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS tok
+        FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM toks
+    GROUP BY tok
+    ORDER BY doc_freq DESC, tok
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary by document frequency (distinct tokens per "
+    "doc -> explode -> count -> top-50). The BPE-training / "
+    "stopword-discovery primitive; map-side partial agg keeps the "
+    "shuffle at |vocab| rows.",
+    tags=("pipeline", "text"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+            )
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "tok")
+        .limit(50)
+    )
+
+
+@register(
+    "dedup_char_ngram_jaccard",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents WHERE doc_id < 60
+    ), g AS (
+        SELECT doc_id,
+               list_distinct(list(substr(norm, CAST(pos AS BIGINT), 5))) AS grams
+        FROM n, unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS u(pos)
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jacc
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+    doc="Character 5-gram Jaccard near-dup pairs (subset-bounded "
+    "O(n^2) ground truth) — the character-level twin of "
+    "dedup_ngram_jaccard, robust to tokenization differences.",
+    tags=("pipeline", "dedup", "text"),
+)
+def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import char_ngrams
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 60)
+    g = docs.select("doc_id", char_ngrams("text", 5).alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))).cast(
+        "double"
+    )
+    jacc = inter / union
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jacc_raw", jacc)
+        .filter(F.col("jacc_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("jacc_raw", 6).alias("jacc"))
+    )
+
+
+@register(
     "json_extract_props",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
