@@ -96,6 +96,39 @@ def test_random_join_agg_agrees(ctx, join_how, pred, status):
 
 
 @settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    part=st.sampled_from(STR_COLS),
+    order=st.sampled_from(["l_extendedprice", "l_quantity"]),
+    fn=st.sampled_from(
+        ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "COUNT(*)", "SUM(l_linenumber)"]
+    ),
+    pred=predicate(),
+)
+def test_random_window_agrees(ctx, part, order, fn, pred):
+    spark, con = ctx
+    # fully tie-broken ordering makes every window function deterministic;
+    # ranking functions don't take an explicit frame, aggregates do
+    frame = (
+        "" if "(" in fn and fn.endswith("()") and "COUNT" not in fn and "SUM" not in fn
+        else " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, CAST({fn} OVER ("
+        f"PARTITION BY {part} ORDER BY {order}, l_orderkey, l_linenumber"
+        f"{frame}) AS BIGINT) AS w "
+        f"FROM lineitem WHERE {pred}"
+    )
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, f"{sql}: first diff {next(((g, w) for g, w in zip(got, want) if g != w), None)}"
+
+
+@settings(
     max_examples=15,
     deadline=None,
     derandomize=True,
