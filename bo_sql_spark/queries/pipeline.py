@@ -128,7 +128,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id < 2000
+        FROM embeddings WHERE vec_id < 1000
     )
     SELECT id_a, id_b, ROUND(sim, 6) AS cos_sim
     FROM (
@@ -139,12 +139,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE sim >= 0.40
     """,
     doc="Embedding near-dup pairs (cosine >= 0.40, brute force on a "
-    "bounded subset). Same double dot/sqrt formula on both engines.",
+    "bounded subset, vec_id < 1000 at every SF). Same double dot/sqrt formula on both engines.",
     tags=("pipeline", "dedup", "similarity"),
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].filter(F.col("vec_id") < 2000)
+    emb = t["embeddings"].filter(F.col("vec_id") < 1000)
     return D.embedding_near_dup_pairs(emb, threshold=0.40)
 
 
@@ -254,7 +254,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].filter(F.col("vec_id") < 2000)
+    emb = t["embeddings"].filter(F.col("vec_id") < 1000)
     return S.approx_similarity_join(
         emb.select(F.col("vec_id").alias("id_a"), "embedding"),
         emb.select(F.col("vec_id").alias("id_b"), "embedding"),
