@@ -55,6 +55,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # the raw int64 nanos (runtime conf — the caller's session may not have
     # it, e.g. the driver's own plain SparkSession) and fix up below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # unix_timestamp()/date functions are session-TZ-dependent; the oracle
+    # (DuckDB) is UTC-naive. Pin UTC here too, not just in our session
+    # factory, so a caller-provided session gets identical semantics.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -1270,6 +1270,71 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    doc="UNPIVOT (wide->long) via stack(): three measure columns become "
+    "(measure, value) rows — one pass, no join.",
+    tags=("extended", "functions"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 200)
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (measure, value)",
+        )
+    )
+
+
+@register(
+    "merge_upsert_emulation",
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey, c_name, 'PREMIUM' AS c_mktsegment, ROUND(c_acctbal + 500.25, 2) AS c_acctbal
+        FROM customer WHERE c_acctbal > 8000
+    )
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM changes
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+    """,
+    doc="MERGE/upsert emulation without a table format: changes UNION "
+    "ALL (target ANTI JOIN changes) — the CDC-apply pattern; with Delta "
+    "or Iceberg the same statement is a native MERGE INTO.",
+    tags=("extended", "cdc"),
+)
+def merge_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    cust = t["customer"]
+    changes = (
+        cust.filter(F.col("c_acctbal") > 8000)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.lit("PREMIUM").alias("c_mktsegment"),
+            F.round(F.col("c_acctbal") + 500.25, 2).alias("c_acctbal"),
+        )
+    )
+    untouched = cust.join(changes.select("c_custkey"), "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    return changes.unionByName(untouched)
+
+
+@register(
     "percentile_exact",
     oracle="""
     SELECT l_returnflag,
