@@ -185,6 +185,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+@register(
+    "dedup_survivors",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.4
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        ) SELECT * FROM r
+    ), canon AS (
+        SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+    LEFT JOIN canon ON d.doc_id = canon.node
+    WHERE canon.node IS NULL OR canon.cluster_id = d.doc_id
+    """,
+    doc="END-TO-END dedup: near-dup pairs -> connected components -> "
+    "keep one canonical doc (min id) per cluster, pass singletons "
+    "through. The output is the deduplicated corpus id-set — what a "
+    "training-data pipeline actually ships.",
+    tags=("pipeline", "dedup", "iterative"),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 150).select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    canon = D.connected_components(pairs)
+    return (
+        docs.join(canon, docs.doc_id == canon.node, "left")
+        .filter(F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
 # -------------------------------------------------------- similarity
 @register(
     "similarity_topk",
