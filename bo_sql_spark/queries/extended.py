@@ -1361,6 +1361,122 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "array_functions",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS toks
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                       AS n_distinct,
+           array_to_string(toks[1:5], ',')              AS first5,
+           CAST(list_contains(toks, 'data') AS BIGINT)  AS has_data,
+           toks[1]                                      AS first_tok,
+           toks[len(toks)]                              AS last_tok
+    FROM t
+    """,
+    doc="Array function library: sort/distinct/slice/join/contains/"
+    "element access over token arrays (Spark array_* == DuckDB list_*).",
+    tags=("extended", "functions"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 40)
+    toks = F.array_sort(
+        F.array_distinct(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        )
+    )
+    d = docs.select("doc_id", toks.alias("toks"))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_distinct"),
+        # DuckDB list slicing toks[1:5] is INCLUSIVE -> 5 elements
+        F.array_join(F.slice("toks", 1, 5), ",").alias("first5"),
+        F.array_contains("toks", "data").cast("long").alias("has_data"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+    )
+
+
+@register(
+    "ratio_to_report",
+    oracle="""
+    WITH type_rev AS (
+        SELECT p_type, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+    )
+    SELECT p_type, rev,
+           ROUND(rev / SUM(rev) OVER (), 6) AS share
+    FROM type_rev
+    """,
+    doc="Ratio-to-report: each part type's revenue share via a window "
+    "over the aggregated (tiny) result — the window never sees the "
+    "fact table.",
+    tags=("extended", "window", "aggregate"),
+)
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    type_rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy()
+    return type_rev.select(
+        "p_type", "rev", F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share")
+    )
+
+
+@register(
+    "null_ordering",
+    oracle="""
+    SELECT o_orderkey, c.c_name
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+      ON o.o_custkey = c.c_custkey
+    WHERE o_orderkey <= 400
+    ORDER BY c.c_name ASC NULLS FIRST, o_orderkey
+    LIMIT 30
+    """,
+    doc="Explicit NULLS FIRST ordering — Spark defaults nulls-first on "
+    "ASC, DuckDB nulls-last: unpinned null order is a silent "
+    "cross-engine divergence, so the engine always spells it.",
+    tags=("extended", "orderby"),
+)
+def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    rich = t["customer"].filter(F.col("c_acctbal") > 9000)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 400)
+        .join(F.broadcast(rich), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .orderBy(F.col("c_name").asc_nulls_first(), "o_orderkey")
+        .limit(30)
+        .select("o_orderkey", "c_name")
+    )
+
+
+@register(
+    "approx_freq_items",
+    oracle=None,  # sketch-based, engine-specific by design
+    doc="Approximate frequent items (freqItems, lossy-count style "
+    "sketch) over order status+priority — rows-only check.",
+    tags=("extended", "approx"),
+)
+def approx_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["orders"].stat.freqItems(["o_orderstatus", "o_orderpriority"], 0.2)
+
+
 # ------------------------------------------------------- events (batch)
 @register(
     "events_hourly",
