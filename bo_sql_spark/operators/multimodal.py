@@ -138,6 +138,90 @@ def decode_image(
     return media_df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("new_width", LongType()),
+        StructField("new_height", LongType()),
+    ]
+)
+
+
+def resize_media(
+    media_df: DataFrame,
+    max_side: int = 16,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Distributed 'resize': decode dims, downscale longest side to
+    ``max_side`` preserving aspect (ceil). The pixel resample itself is
+    the pluggable codec leaf (stubbed like decode); the dimension math,
+    batch plumbing, and schema contract are real and oracle-checked.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "new_width", "new_height")}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                w = int.from_bytes(blob[4:8], "big")
+                h = int.from_bytes(blob[8:12], "big")
+                scale_den = max(w, h)
+                nw = max(1, -(-w * max_side // scale_den))  # ceil division
+                nh = max(1, -(-h * max_side // scale_den))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("byte_offset", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media_df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Frame sampling for video-like payloads: emit ``n_frames`` evenly
+    spaced (frame_idx, byte_offset, payload-window hash) records per
+    blob — a row-expanding mapInPandas (1 -> n), the shape a real
+    ffmpeg-backed sampler would use. Offsets index the post-header
+    payload; the 16-byte window hash stands in for the decoded frame.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "byte_offset", "frame_sha")}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                payload = bytes(blob[12:])
+                n = max(len(payload), 1)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    window = payload[off : off + 16]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["byte_offset"].append(off)
+                    out["frame_sha"].append(hashlib.sha256(window).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def media_stats(media_df: DataFrame, media_col: str = "media") -> DataFrame:
     """Metadata-only stats — no decode, pure JVM expressions: the common
     'filter before you decode' step of a media pipeline."""

@@ -651,6 +651,59 @@ def rollup_daily_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 48 + 1 AS BIGINT)  AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           greatest(1, (width * 16 + greatest(width, height) - 1) // greatest(width, height))  AS new_width,
+           greatest(1, (height * 16 + greatest(width, height) - 1) // greatest(width, height)) AS new_height
+    FROM dims
+    """,
+    doc="Multimodal resize: longest side scaled to 16 preserving aspect "
+    "(ceil), computed inside the Arrow-batched codec stub; the oracle "
+    "re-derives the integer dimension math from first principles.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_fake_blob_df(t["documents"])
+    return M.resize_media(blobs, max_side=16)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               unnest(generate_series(0, 3)) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT)            AS frame_idx,
+           (frame_idx * n) // 4                 AS byte_offset,
+           sha256(substr(text, CAST((frame_idx * n) // 4 + 1 AS BIGINT), 16)) AS frame_sha
+    FROM f
+    """,
+    doc="Frame sampling (1 -> n row-expanding mapInPandas): 4 evenly "
+    "spaced (offset, payload-window sha256) records per blob — the "
+    "ffmpeg-sampler shape with a deterministic stand-in for the decoded "
+    "frame. Oracle recomputes offsets and hashes (documents are ASCII, "
+    "so text substrings ARE the payload byte windows).",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_fake_blob_df(t["documents"])
+    return M.sample_frames(blobs, n_frames=4)
+
+
 # ------------------------------------------------------------ as-of
 @register(
     "asof_join_purchases",
