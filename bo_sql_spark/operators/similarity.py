@@ -47,6 +47,66 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (L2, ties -> smallest centroid id via min_by determinism).
+
+    Broadcast the centroid table, score all pairs in codegen, keep the
+    argmin per vector — one pass over the corpus, no shuffle of vectors
+    (only the tiny (id, cell) assignment shuffles for the groupBy).
+
+    Distance uses the expanded form ||v||^2 - 2 v.c + ||c||^2 with
+    sequential dot products — the exact op order the DuckDB oracle
+    runs, so argmin ties resolve identically (bitwise-equal floats).
+    """
+    from bo_sql_spark.functions import dot
+
+    v = F.col(vec_col)
+    c = F.col(cent_vec)
+    dist2 = dot(v, v) - 2 * dot(v, c) + dot(c, c)
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col, vec_col, F.col(cent_id), dist2.alias("_d2")
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(F.col(cent_id), F.col("_d2")).alias("cell"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    query_cell: int | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-Flat search: scan only the query's cell, exact cosine inside.
+
+    Single-probe recall < 1 by design; probe the p nearest cells for
+    higher recall (union of per-cell scans). Centroids here are caller-
+    provided (trained offline at scale; fixed sample vectors in tests).
+    """
+    assert centroids is not None and query_cell is not None
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cell") == query_cell)
+        .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))

@@ -311,6 +311,61 @@ def similarity_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_topk",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), qcell AS (
+        SELECT cell FROM assigned WHERE vec_id = 0
+    ), q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, ROUND(sim, 6) AS cos_sim
+    FROM (
+        SELECT a.vec_id,
+               list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM assigned a
+        JOIN vecs e USING (vec_id)
+        CROSS JOIN q
+        WHERE a.cell = (SELECT cell FROM qcell) AND a.vec_id <> 0
+    )
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="IVF-Flat ANN: coarse-quantize every vector to its nearest of "
+    "16 fixed centroids (broadcast argmin, L2 via the expanded "
+    "||v||^2 - 2v.c + ||c||^2 form in BOTH engines so float ops agree "
+    "bitwise), then exact cosine top-10 inside the query's cell only — "
+    "the inverted-file scale path, single probe.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = S.ivf_assign(emb, cents)
+    qrow = assigned.filter(F.col("vec_id") == 0).select("cell", "embedding").first()
+    qcell, qvec = qrow["cell"], [float(x) for x in qrow["embedding"]]
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        qvec,
+        query_cell=qcell,
+        k=10,
+        centroids=cents,
+    )
+
+
+@register(
     "similarity_bucket_histogram",
     oracle=None,  # same hyperplane-literal reason as above
     doc="LSH bucket occupancy histogram — the data-engineer's skew check "
