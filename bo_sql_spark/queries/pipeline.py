@@ -477,6 +477,87 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lang_confusion",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, lang,
+               len(list_filter(tok, x -> x IN ('der','die','und','das','ist'))) AS h_de,
+               len(list_filter(tok, x -> x IN ('the','and','of','to','a')))     AS h_en,
+               len(list_filter(tok, x -> x IN ('el','la','los','que','de')))    AS h_es,
+               len(list_filter(tok, x -> x IN ('le','la','et','les','des')))    AS h_fr,
+               len(list_filter(tok, x -> x IN ('de','shi','le','wo','ni')))     AS h_zh
+        FROM toks
+    ), guessed AS (
+        SELECT lang,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_guess
+        FROM hits
+    )
+    SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM guessed GROUP BY lang, lang_guess
+    """,
+    doc="Language-ID confusion matrix (ground-truth lang x guess): the "
+    "evaluation aggregate a pipeline runs before trusting a classifier "
+    "at scale — one groupBy over the classified corpus.",
+    tags=("pipeline", "text"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        T.lang_id(t["documents"])
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value)         AS mu,
+               stddev_samp(value) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 2) AS value,
+           ROUND((e.value - s.mu) / s.sd, 4) AS z_score
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sd) > 3
+    """,
+    doc="Z-score outlier detection per event_type: grouped moments "
+    "joined back (broadcast — |types| rows) and filtered at |z| > 3 — "
+    "the standard data-quality gate before training ingestion.",
+    tags=("pipeline", "events"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z_score"),
+        )
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     WITH n AS (
