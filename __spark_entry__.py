@@ -11,9 +11,17 @@ only the adapter to the driver's entry-point shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# self-locate: works even if the driver loads this file by path without
+# the repo root on sys.path
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
