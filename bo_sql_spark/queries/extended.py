@@ -1013,6 +1013,129 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 48
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): date-windowed orders "
+    "semi-joined on an EXISTS correlated subquery, counted by priority.",
+    tags=("extended", "tpch"),
+)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    big_items = t["lineitem"].filter(F.col("l_quantity") > 48)
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .join(big_items, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q10_returns",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): revenue lost to "
+    "returns per customer, top 20 — 3-way join + agg + top-k.",
+    tags=("extended", "tpch"),
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", F.round("_rev", 2).alias("revenue"), "n_name")
+    )
+
+
+@register(
+    "tpch_q13_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order distribution): double "
+    "aggregation with zero-order customers preserved via the LEFT join "
+    "(COUNT(col) skips the NULLs).",
+    tags=("extended", "tpch"),
+)
+def tpch_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(CAST(l_quantity AS BIGINT) % 7, 0) AS per_bucket,
+           COALESCE(l_extendedprice / NULLIF(CAST(l_quantity AS BIGINT) % 7, 0), -1.0) AS per_bucket_filled
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+    doc="NULL-propagating division by a sometimes-zero denominator "
+    "(try_divide / NULLIF guard) — ANSI mode makes raw x/0 an error; "
+    "this is the standard-safe spelling on both engines.",
+    tags=("extended", "functions"),
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_orderkey") <= 300)
+    denom = F.nullif(F.col("l_quantity").cast("long") % 7, F.lit(0))
+    per_bucket = F.col("l_extendedprice") / denom
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        per_bucket.alias("per_bucket"),
+        F.coalesce(per_bucket, F.lit(-1.0)).alias("per_bucket_filled"),
+    )
+
+
+@register(
     "events_cohort_retention",
     oracle="""
     WITH firsts AS (
