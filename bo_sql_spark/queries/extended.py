@@ -1110,6 +1110,37 @@ def tpch_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q22_dormant",
+    oracle="""
+    SELECT substring(c_name, 10, 2) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY code
+    """,
+    doc="TPC-H Q22 shape (dormant high-balance customers): uncorrelated "
+    "scalar subquery threshold + anti join + group by a derived code.",
+    tags=("extended", "tpch"),
+)
+def tpch_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    _ = t
+    return spark.sql(
+        """
+        SELECT substring(c_name, 10, 2) AS code,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY code
+        """
+    )
+
+
+@register(
     "try_arithmetic",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -87,6 +87,15 @@ def test_error_does_not_raise_in_execute(engine):
         engine.sql("SELECT bogus_column FROM region").collect()
 
 
+def test_cache_table_passthrough(engine):
+    # CACHE TABLE / UNCACHE TABLE are native Spark SQL — the engine
+    # passes them straight through
+    assert engine.execute("CACHE TABLE region") == "(no results)"
+    assert engine.spark.catalog.isCached("region")
+    engine.execute("UNCACHE TABLE region")
+    assert not engine.spark.catalog.isCached("region")
+
+
 def test_exit_raises_eof(engine):
     with pytest.raises(EOFError):
         engine.execute("EXIT")
