@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         extended,
         pipeline,
         streaming_queries,
+        tpch_more,
     )
 
     return REGISTRY
