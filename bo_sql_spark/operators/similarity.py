@@ -88,18 +88,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    query_cells: list[int] | None = None,
 ) -> DataFrame:
-    """IVF-Flat search: scan only the query's cell, exact cosine inside.
+    """IVF-Flat search: scan only the query's cell(s), exact cosine inside.
 
-    Single-probe recall < 1 by design; probe the p nearest cells for
-    higher recall (union of per-cell scans). Centroids here are caller-
+    Single-probe recall < 1 by design; pass ``query_cells`` (the p
+    nearest cells to the query) for higher recall — measured on the
+    sf0.1 fixture, recall@10 goes 0.27 -> 0.55 from 1 to 4 probes of 16
+    cells (SCALE.md "ANN recall, measured"). Centroids are caller-
     provided (trained offline at scale; fixed sample vectors in tests).
     """
-    assert centroids is not None and query_cell is not None
+    cells = query_cells if query_cells is not None else [query_cell]
+    assert centroids is not None and cells[0] is not None
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        assigned.filter(F.col("cell") == query_cell)
+        assigned.filter(F.col("cell").isin(cells))
         .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("_cos"))
         .orderBy(F.col("_cos").desc(), F.col(id_col))
         .limit(k)
@@ -197,24 +201,33 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     bits: int = 8,
     seed: int = 42,
+    extra_seeds: tuple[int, ...] = (),
 ) -> DataFrame:
-    """Approximate top-k: scan only the query's LSH bucket.
+    """Approximate top-k: scan only the query's LSH bucket(s).
 
     Recall < 1 by construction (that's the speed trade) — results are a
-    subset of the exact top-k's candidate pool. For higher recall,
-    union several seeds (multi-probe) before the final top-k.
+    subset of the exact top-k's candidate pool. ``extra_seeds`` adds
+    multi-probe: one scan, keep rows matching the query bucket under
+    ANY seed. Measured on the sf0.1 fixture, fewer bits + more seeds
+    beats more bits at equal scan fraction (SCALE.md "ANN recall,
+    measured"), so prefer e.g. bits=4, 2-4 seeds over bits=8 alone.
     """
     dim = len(query_vec)
     qv = np.asarray(query_vec, dtype=np.float64)
-    planes = _hyperplanes(dim, bits, seed)
-    qbucket = 0
-    for j in range(bits):
-        if float(planes[j] @ qv) > 0:
-            qbucket |= 1 << j
+    seeds = (seed, *extra_seeds)
+    match = F.lit(False)
+    for s in seeds:
+        planes = _hyperplanes(dim, bits, s)
+        qbucket = 0
+        for j in range(bits):
+            if float(planes[j] @ qv) > 0:
+                qbucket |= 1 << j
+        match = match | (
+            hyperplane_bucket(vec_col, dim, bits, s) == F.lit(qbucket)
+        )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        emb.withColumn("_bucket", hyperplane_bucket(vec_col, dim, bits, seed))
-        .filter(F.col("_bucket") == qbucket)
+        emb.filter(match)
         .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("_cos"))
         .orderBy(F.col("_cos").desc(), F.col(id_col))
         .limit(k)

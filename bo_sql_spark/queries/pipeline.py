@@ -366,6 +366,79 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_multiprobe",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), probes AS (
+        SELECT c_id
+        FROM cents CROSS JOIN q
+        ORDER BY list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv) + list_dot_product(cv, cv), c_id
+        LIMIT 4
+    )
+    SELECT vec_id, ROUND(sim, 6) AS cos_sim
+    FROM (
+        SELECT a.vec_id,
+               list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM assigned a
+        JOIN vecs e USING (vec_id)
+        CROSS JOIN q
+        WHERE a.cell IN (SELECT c_id FROM probes) AND a.vec_id <> 0
+    )
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="IVF-Flat ANN with multi-probe: scan the 4 cells nearest the "
+    "query instead of 1. Probe selection and cell assignment use the "
+    "same expanded-L2 op order in both engines (bitwise-equal floats, "
+    "ties to smallest c_id). Measured recall@10 on this fixture: "
+    "0.27 single-probe -> 0.55 at 4 probes for a 25% scan fraction "
+    "(SCALE.md).",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import dot
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qcol = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
+    cv = F.col("c_vec").cast("array<double>")
+    probe_rows = (
+        cents.select(
+            "c_id",
+            (dot(qcol, qcol) - 2 * dot(qcol, cv) + dot(cv, cv)).alias("_d2"),
+        )
+        .orderBy("_d2", "c_id")
+        .limit(4)
+        .collect()
+    )
+    probes = [r["c_id"] for r in probe_rows]
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        qvec,
+        query_cells=probes,
+        k=10,
+        centroids=cents,
+    )
+
+
+@register(
     "similarity_bucket_histogram",
     oracle=None,  # same hyperplane-literal reason as above
     doc="LSH bucket occupancy histogram — the data-engineer's skew check "

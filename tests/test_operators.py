@@ -207,3 +207,50 @@ def test_asof_join_backward_semantics(spark):
     assert got[(1, 20)] == "b"
     assert got[(1, 5)] is None  # nothing before 5
     assert got[(2, 10)] is None  # key with no right rows
+
+
+def test_ann_lsh_multiseed_dominates_single(spark, sf_dir):
+    """Extra seeds only widen the candidate pool, so the sorted top-k
+    scores of a multi-seed probe dominate the single-seed ones
+    elementwise (superset property of the scan)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    single = [r["cos_sim"] for r in S.ann_topk_lsh(corpus, qvec, k=5, bits=4).collect()]
+    multi = [
+        r["cos_sim"]
+        for r in S.ann_topk_lsh(
+            corpus, qvec, k=5, bits=4, extra_seeds=(1042, 2042)
+        ).collect()
+    ]
+    assert len(multi) >= len(single)
+    for m, s in zip(multi, single):
+        assert m >= s
+
+
+def test_ivf_multiprobe_superset_of_single(spark, sf_dir):
+    """Probing more cells scans a superset -> kth score can only improve."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    qrow = (
+        S.ivf_assign(emb, cents).filter(F.col("vec_id") == 0).first()
+    )
+    qcell = qrow["cell"]
+    qvec = [float(x) for x in qrow["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    single = [
+        r["cos_sim"]
+        for r in S.ivf_topk(corpus, qvec, query_cell=qcell, k=5, centroids=cents).collect()
+    ]
+    all_cells = list(range(16))
+    multi = [
+        r["cos_sim"]
+        for r in S.ivf_topk(
+            corpus, qvec, query_cells=all_cells, k=5, centroids=cents
+        ).collect()
+    ]
+    assert len(multi) >= len(single)
+    for m, s in zip(multi, single):
+        assert m >= s
