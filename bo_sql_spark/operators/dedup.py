@@ -226,15 +226,18 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id=min reachable node) over an undirected pair set.
 
-    GraphFrames-free label propagation: each round joins every node's
-    current label against the edge list and keeps the min of (own label,
-    neighbors' labels); converges in O(log diameter) rounds for the
-    near-clique clusters dedup produces. Each round is one broadcast-or-
-    shuffle join + groupBy — at 100 TB the edge list is the candidate
-    pair set (small), not the corpus.
+    GraphFrames-free min-label propagation with pointer doubling: each
+    round (a) takes the min over neighbors' labels (one join + groupBy
+    on the edge list) and (b) shortcuts label(v) <- label(label(v))
+    (one self-join on the label table, Shiloach-Vishkin style). The
+    shortcut makes convergence O(log diameter) on ANY graph — measured:
+    a 2^17-node path graph converges in 18 rounds where plain
+    propagation needs 2^17 (SCALE.md "Connected components: pointer
+    doubling"). At 100 TB the edge list is the candidate pair set (small),
+    not the corpus; both joins shuffle on node id.
 
-    Driver loop with a convergence check; ``max_iter`` bounds runaway
-    chains (a path graph of length > 2^max_iter would need more rounds).
+    Driver loop with a convergence check; ``max_iter`` bounds rounds
+    (log2(longest path) + ~3 suffices with doubling).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -246,7 +249,9 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -261,6 +266,20 @@ def connected_components(
                 ).alias("label"),
             )
         )
+        # pointer doubling: label(v) <- label(label(v)). Labels are
+        # always node ids and only ever decrease, so the lookup hits.
+        parents = new_labels.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            new_labels.join(parents, new_labels.label == parents.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
         changed = (
             labels.alias("old")
@@ -272,6 +291,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    connected_components.last_rounds = rounds  # instrumentation for scale tests
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
