@@ -1,4 +1,4 @@
-"""Second batch of TPC-H query shapes (Q2/Q3/Q7/Q8/Q11/Q15/Q16/Q17/Q19/Q21).
+"""Second batch of TPC-H query shapes (Q2/Q3/Q5/Q7/Q8/Q9/Q11/Q12/Q15/Q16/Q17/Q19/Q20/Q21).
 
 The reference engine supports none of these shapes (its SQL subset is
 single-join SELECT/WHERE/GROUP BY/ORDER BY/LIMIT with SUM/COUNT/AVG,
@@ -485,4 +485,218 @@ def tpch_q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): 6-way join whose "
+    "supplier join carries TWO conditions (suppkey equi + the "
+    "customer-nation = supplier-nation locality constraint). Every dim "
+    "is broadcast; the only shuffle is orders-lineitem on orderkey, and "
+    "the date window is pushed to the orders parquet scan.",
+    tags=("extended", "tpch"),
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(CAST(ROUND(amount * 100, 0) AS BIGINT)) AS BIGINT)
+             AS profit_cents
+    FROM (
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%g%'
+    )
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (product-type profit), adapted: no partsupp in "
+    "the fixture, so supply cost becomes 0.6 * p_retailprice (same "
+    "per-row arithmetic shape; identical operand order both engines so "
+    "per-row floats agree bitwise). Profit is emitted as integer cents "
+    "(round per ROW, then sum longs) — an exact, summation-order-"
+    "independent aggregate; ROUND(SUM(double), 2) flaked at sf0.01 "
+    "because the two engines' merge orders landed on opposite sides of "
+    "a cent boundary (ROADMAP #8). Part/supplier/nation broadcast; the "
+    "LIKE filter prunes the part build side before the join.",
+    tags=("extended", "tpch"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%g%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(F.round(amount * 100, 0).cast("long"))
+            .cast("long")
+            .alias("profit_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q12_late_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ship_class
+    """,
+    doc="TPC-H Q12 shape (shipmode / priority split), adapted: the "
+    "fixture has no l_shipmode or l_receiptdate, so 'late' means "
+    "shipped 60+ days after order date and the mode dimension is "
+    "l_returnflag. The lateness predicate references both join sides, "
+    "so it's a post-join filter; the single-side shipdate window still "
+    "pushes to the parquet scan. Conditional counts in one pass.",
+    tags=("extended", "tpch"),
+)
+def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_dominant_supplier",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    total AS (
+        SELECT l_partkey AS t_partkey, SUM(supp_qty) AS part_qty
+        FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN total    ON t_partkey = l_partkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE supp_qty > 0.5 * part_qty
+      AND p_name LIKE 'small%'
+      AND r_name = 'ASIA'
+    """,
+    doc="TPC-H Q20 shape (potential part promotion), adapted: no "
+    "partsupp/availqty, so 'has excess stock' becomes 'shipped more "
+    "than half the part's 1996 volume' (dominant supplier), and the "
+    "geographic scope is a region (a single nation selects zero rows "
+    "at every fixture SF — vacuous test). The correlated availqty "
+    "subquery is a two-level partial aggregate — the per-part total "
+    "re-aggregates the per-(part,supplier) rollup instead of "
+    "re-scanning lineitem, so the fact table is read once. Quantity "
+    "sums are integer-valued doubles: exact, no rounding needed for "
+    "the oracle hash.",
+    tags=("extended", "tpch"),
+)
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    total = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    small_parts = t["part"].filter(F.col("p_name").like("small%"))
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    return (
+        shipped.join(total, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .join(F.broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
     )
