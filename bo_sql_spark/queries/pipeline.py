@@ -861,6 +861,55 @@ def rollup_daily_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_incremental_refresh",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS sum_value,
+           ROUND(MIN(value), 6)      AS min_value,
+           ROUND(MAX(value), 6)      AS max_value
+    FROM events
+    GROUP BY day_start, event_type
+    """,
+    doc="Continuous-aggregate REFRESH path: materialize the hourly "
+    "rollup from half the events (even event_ids), incrementally fold "
+    "in the other half with refresh_hourly_rollup — late data landing "
+    "in every existing bucket, the adversarial case for partial "
+    "merging — then serve the daily query from the refreshed rollup. "
+    "The oracle aggregates raw events directly: count/sum/min/max "
+    "partials must merge losslessly. Refresh rewrites only the day "
+    "partitions the batch touches (dynamic partition overwrite) — "
+    "O(batch) per ingest at 100 TB, not O(history).",
+    tags=("pipeline", "rollup", "events"),
+)
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.operators.rollup_mat import (
+        daily_from_hourly,
+        materialize_hourly_rollup,
+        refresh_hourly_rollup,
+    )
+
+    t = _t(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bosql_rollup_inc_") + "/hourly"
+    materialize_hourly_rollup(t["events"].filter(F.col("event_id") % 2 == 0), path)
+    refresh_hourly_rollup(
+        spark, t["events"].filter(F.col("event_id") % 2 == 1), path
+    )
+    daily = daily_from_hourly(spark, path)
+    return daily.select(
+        "day_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+@register(
     "multimodal_resize",
     oracle="""
     WITH dims AS (
