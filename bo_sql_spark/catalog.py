@@ -11,6 +11,7 @@ cluster you'd persist them with ANALYZE TABLE for CBO).
 from __future__ import annotations
 
 import os
+import weakref
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -32,10 +33,15 @@ TABLES = (
 )
 
 
-# (session id, sf_dir) most recently registered + its DataFrames; avoids
+# Most recently registered sf_dir + its DataFrames, per live session; avoids
 # re-reading 10 parquet footers on every query when the same directory is
 # queried repeatedly (the common case for the REPL, bench, and the driver).
-_registered: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+# Keyed by a WEAK reference to the session: id() reuse after a stopped
+# session is garbage-collected could otherwise hand a new session cached
+# DataFrames bound to the dead one. Cache granularity is the directory —
+# rewriting files under an already-registered sf_dir requires a new
+# SparkSession (or a different path) to re-register.
+_registered: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -47,8 +53,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Memoized per (session, dir): temp views are session-global state, so
     only re-registration on a *different* directory is needed.
     """
-    key = id(spark)
-    cached = _registered.get(key)
+    cached = _registered.get(spark)
     if cached is not None and cached[0] == sf_dir:
         return cached[1]
     # events.parquet uses TIMESTAMP(NANOS), unrepresentable in Spark; read
@@ -69,7 +74,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = _fix_nanos_ts(df)
         df.createOrReplaceTempView(name)
         out[name] = df
-    _registered[key] = (sf_dir, out)
+    _registered[spark] = (sf_dir, out)
     return out
 
 

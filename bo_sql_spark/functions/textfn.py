@@ -34,11 +34,19 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     toks = tokens(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
+    # NULL/empty text would otherwise yield [""]: greatest(NULL-k, 0)=0
+    # (greatest SKIPS nulls) makes idx=[0], and concat_ws over a null
+    # slice is "" — so every empty doc would share one shingle and pair
+    # as a perfect duplicate of every other. Strip empty shingles; empty
+    # docs come back as [] and downstream minhash surfaces them as NULL.
+    return F.array_remove(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        ),
+        "",
     )
 
 

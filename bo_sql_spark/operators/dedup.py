@@ -26,14 +26,31 @@ from bo_sql_spark.functions import cosine_similarity, word_shingles
 
 
 # ------------------------------------------------------------- exact
+# Stands in for NULL inside the dedup key: concat_ws SKIPS nulls, so
+# without it (NULL,'x') and ('x',NULL) would concatenate identically and
+# wrongly merge. \x1e (record separator) brackets make accidental
+# collision with real text require embedded control characters.
+NULL_SENTINEL = "\x1enull\x1e"
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep one row (min id) per distinct content; adds ``dup_count``.
 
     Dedup key is md5 over the concatenated content columns: grouping on
     a fixed-width hash instead of raw (possibly megabyte) content keeps
     shuffle rows small. Collision odds at 128 bits are ~0 below 2^60 rows.
+    Each column is coalesced to ``NULL_SENTINEL`` first so NULL position
+    survives concat_ws (which drops nulls outright).
     """
-    key = F.md5(F.concat_ws("\x1f", *content_cols))
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
+                for c in content_cols
+            ],
+        )
+    )
     return (
         df.withColumn("content_hash", key)
         .groupBy("content_hash")
@@ -135,6 +152,10 @@ def minhash_signatures(
     hashes. Everything stays in whole-stage codegen — the higher-order-
     function form (minhash_signature) evaluates lambdas interpreted and
     is ~50x slower on long documents.
+
+    Documents with NULL/empty text emit no exploded rows, so the join
+    back is a LEFT join: they surface with a NULL ``minhash`` (callers
+    can see what was skipped) instead of vanishing from the output.
     """
     sh = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
@@ -151,7 +172,7 @@ def minhash_signatures(
     sigs = sigs.select(
         id_col, F.array(*[f"mh{i}" for i in range(n_hashes)]).alias("minhash")
     )
-    return sh.join(sigs, id_col)
+    return sh.join(sigs, id_col, "left")
 
 
 def minhash_dedup_pairs(
@@ -168,8 +189,15 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, jacc) for verified near-duplicate pairs.
     Only LSH candidates ever have their shingle sets compared, so the
     expensive exact step runs on O(candidates), not O(n^2).
+
+    NULL-signature docs (NULL/empty text — see minhash_signatures) are
+    excluded from banding: xxhash64 skips NULL inputs, so their band
+    hashes would all collapse to the same value and every empty doc
+    would become a candidate of every other.
     """
-    with_sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    with_sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k).filter(
+        F.col("minhash").isNotNull()
+    )
     cands = lsh_band_pairs(with_sig, id_col, "minhash", bands, n_hashes // bands)
     sets_a = with_sig.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
@@ -296,18 +324,38 @@ def connected_components(
 
 
 # ------------------------------------------------ embedding near-dup
+QUADRATIC_ROW_CAP = 10_000
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All pairs with cosine similarity >= threshold (brute force).
 
-    O(n^2) — correct baseline for verification and small dims; the scale
-    path buckets by random-hyperplane LSH first (see
-    operators.similarity.hyperplane_bucket) and compares within buckets.
+    O(n^2) — the ground-truth twin of the LSH path, for verification and
+    small fixtures ONLY; the scale path buckets by random-hyperplane LSH
+    first (see operators.similarity.hyperplane_bucket /
+    approx_similarity_join) and compares within buckets.
+
+    Guard: unless ``allow_quadratic=True``, the input is counted and a
+    ValueError raised above ``QUADRATIC_ROW_CAP`` rows — pointing this
+    at a real corpus would otherwise launch an n^2 cross join. The
+    count costs one cheap job (id column only), which is the point of a
+    guard on a deliberately-dangerous ground-truth operator.
     """
+    if not allow_quadratic:
+        n = emb.select(id_col).count()
+        if n > QUADRATIC_ROW_CAP:
+            raise ValueError(
+                f"embedding_near_dup_pairs is O(n^2) and input has {n} rows "
+                f"(cap {QUADRATIC_ROW_CAP}); use similarity."
+                "approx_similarity_join for the bucketed scale path, or pass "
+                "allow_quadratic=True if you really mean it"
+            )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -151,14 +151,21 @@ def approx_similarity_join(
     vec_col: str = "embedding",
     bits: int = 6,
     seeds: tuple[int, ...] = (42, 1042),
+    self_join: bool = True,
 ) -> DataFrame:
-    """Batch-vs-batch approximate similarity join (cosine >= threshold).
+    """Approximate similarity join (cosine >= threshold).
 
     Both sides get LSH buckets per seed; candidates are pairs sharing a
     bucket under ANY seed (multi-probe union buys recall), then exact
     cosine filters. Shuffle key is (seed, bucket) — each side moves once
     per seed, never a cross join. Recall rises with seeds, cost with
     2^-bits x candidate volume.
+
+    ``self_join=True`` (default) treats left and right as the SAME id
+    space and emits each unordered pair once (id_a < id_b) — the dedup
+    use. Pass ``self_join=False`` for genuinely different tables: every
+    (id_a, id_b) combination is kept, including pairs where the left id
+    is numerically larger than the right id.
     """
     def bucketed(df: DataFrame, idc: str, out: str) -> DataFrame:
         parts = []
@@ -178,12 +185,10 @@ def approx_similarity_join(
 
     lb = bucketed(left, id_left, "id_a")
     rb = bucketed(right, id_right, "id_b")
-    cands = (
-        lb.join(rb, ["seed", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_id_a", "v_id_b")
-        .distinct()
-    )
+    cands = lb.join(rb, ["seed", "bucket"])
+    if self_join:
+        cands = cands.filter(F.col("id_a") < F.col("id_b"))
+    cands = cands.select("id_a", "id_b", "v_id_a", "v_id_b").distinct()
     return (
         cands.withColumn(
             "cos", cosine_similarity(F.col("v_id_a"), F.col("v_id_b"))

@@ -20,13 +20,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-def with_salt(df: DataFrame, salt_buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic salt in [0, salt_buckets) — hash of the whole row's
-    stable id is overkill; a per-row uniform spread is what's needed, so
-    we hash monotonically_increasing_id (stable within a run)."""
+def with_salt(
+    df: DataFrame,
+    salt_buckets: int,
+    col_name: str = "_salt",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic salt in [0, salt_buckets): xxhash64 over the row's
+    own columns (all of them by default, or ``salt_cols``).
+
+    Derived from DATA, not from position: monotonically_increasing_id /
+    rand() are nondeterministic under task retries, and Spark's
+    nondeterministic-expression + stage-retry interaction can duplicate
+    or drop rows on recompute. A content hash gives every retry the
+    same salt. Rows that are full duplicates share a salt — spread is
+    by distinct row content, which is what real fact tables have; pass
+    ``salt_cols`` naming a high-cardinality id column when you know one.
+    """
+    cols = salt_cols if salt_cols is not None else list(df.columns)
     return df.withColumn(
         col_name,
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets)),
     )
 
 

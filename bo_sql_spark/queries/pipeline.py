@@ -37,15 +37,18 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # ------------------------------------------------------------- dedup
 @register(
     "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS content_hash,
+    # coalesce(text, sentinel) mirrors exact_dedup's NULL-position-
+    # preserving key (operators/dedup.py NULL_SENTINEL).
+    oracle=f"""
+    SELECT md5(coalesce(text, '{D.NULL_SENTINEL}')) AS content_hash,
            CAST(MIN(doc_id) AS BIGINT) AS doc_id,
            CAST(COUNT(*) AS BIGINT)    AS dup_count
     FROM documents
-    GROUP BY md5(text)
+    GROUP BY 1
     """,
-    doc="Exact content dedup: group on md5(text), keep min doc_id. "
-    "Shuffle rows are (16-byte hash, id) — content never moves.",
+    doc="Exact content dedup: group on md5(coalesce(text, sentinel)), "
+    "keep min doc_id. Shuffle rows are (16-byte hash, id) — content "
+    "never moves.",
     tags=("pipeline", "dedup"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

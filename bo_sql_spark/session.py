@@ -47,6 +47,10 @@ def get_session(
         .master(master)
         # --- determinism / dialect ---
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI is the Spark 4 default; pin it explicitly so the factory's
+        # dialect claim holds even on a Spark 3.x backport (non-ANSI default)
+        # and matches the ANSI-standard DuckDB oracle.
+        .config("spark.sql.ansi.enabled", "true")
         # --- adaptive execution: the scale workhorse ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

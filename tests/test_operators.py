@@ -34,6 +34,26 @@ def test_exact_dedup_groups_exact_duplicates(docs):
     assert 4 not in by_id
 
 
+def test_exact_dedup_null_position_distinguishes(spark):
+    # concat_ws drops NULLs; the sentinel must keep (NULL,'x') != ('x',NULL)
+    rows = [(1, None, "x"), (2, "x", None), (3, None, "x")]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    out = D.exact_dedup(df, ["a", "b"], "id").collect()
+    counts = sorted(r["dup_count"] for r in out)
+    assert counts == [1, 2]  # 1&3 merge; 2 stays distinct
+
+
+def test_minhash_null_text_surfaces_not_dropped(spark):
+    rows = [(1, "the quick brown fox jumps again"), (2, None), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["minhash"] for r in D.minhash_signatures(df).collect()}
+    assert set(sigs) == {1, 2, 3}  # null-text docs visible, not vanished
+    assert sigs[1] is not None and sigs[2] is None and sigs[3] is None
+    # and the pair pipeline must NOT pair the two empty docs with each other
+    pairs = D.minhash_dedup_pairs(df, threshold=0.1).collect()
+    assert pairs == []
+
+
 def test_minhash_finds_near_duplicates_not_distinct_docs(docs):
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
@@ -83,6 +103,18 @@ def test_embedding_near_dup_pairs(spark):
     )
     pairs = D.embedding_near_dup_pairs(emb, threshold=0.95).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_embedding_near_dup_quadratic_guard_trips(spark, monkeypatch):
+    monkeypatch.setattr(D, "QUADRATIC_ROW_CAP", 2)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        D.embedding_near_dup_pairs(emb)
+    # explicit opt-in still works
+    assert D.embedding_near_dup_pairs(emb, allow_quadratic=True).count() >= 0
 
 
 def test_cosine_topk_orders_by_similarity(spark):
@@ -140,6 +172,24 @@ def test_approx_similarity_join_exactness_and_recall(spark):
     assert got <= brute          # exact verify: no false positives, ever
     assert (1, 2) in got         # identical vectors always share a bucket
     assert not any(4 in p for p in got)
+
+
+def test_approx_similarity_join_two_tables_keeps_reversed_ids(spark):
+    # two DIFFERENT tables: left id 5 matches right id 3 — a self-join
+    # style id_a < id_b filter would wrongly drop the (5, 3) pair
+    left = spark.createDataFrame(
+        [(5, [1.0, 0.0, 0.0, 0.0])], "id_a long, embedding array<float>"
+    )
+    right = spark.createDataFrame(
+        [(3, [1.0, 0.0, 0.0, 0.0])], "id_b long, embedding array<float>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.approx_similarity_join(
+            left, right, threshold=0.9, dim=4, self_join=False
+        ).collect()
+    }
+    assert (5, 3) in got
 
 
 def test_lang_id_marker_words(spark):

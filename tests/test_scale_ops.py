@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from bo_sql_spark.operators.skew import salted_agg, salted_join
+from bo_sql_spark.operators.skew import salted_agg, salted_join, with_salt
 from bo_sql_spark.plans import explain_str
 from bo_sql_spark.sources.bucketed import bucketed_join, write_bucketed
 
@@ -29,6 +29,17 @@ def test_salted_join_equals_plain_join(spark, skewed):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salt_is_deterministic_and_spreads_hot_key(spark, skewed):
+    # retry-safety: the salt is a pure function of row content, so two
+    # independent evaluations assign every row the same salt
+    a = {(r["k"], r["v"]): r["_salt"] for r in with_salt(skewed, 8).collect()}
+    b = {(r["k"], r["v"]): r["_salt"] for r in with_salt(skewed, 8).collect()}
+    assert a == b
+    # and the hot key (k=1, 900 distinct v values) lands in many buckets
+    hot_salts = {s for (k, _), s in a.items() if k == 1}
+    assert len(hot_salts) == 8
 
 
 def test_salted_agg_equals_plain_agg(spark, skewed):
