@@ -84,11 +84,14 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))   AS sum_base_price_cents,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                                                                  AS sum_disc_price_cents,
            ROUND(AVG(l_quantity), 4)                              AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                         AS avg_price,
-           ROUND(AVG(l_discount), 6)                              AS avg_disc,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*), 0) AS BIGINT)                   AS avg_price_cents,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(l_discount * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*), 0) AS BIGINT)                   AS avg_disc_micros,
            COUNT(*)                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -97,24 +100,36 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Grouped SUM/COUNT/AVG (the reference's complete aggregate set, "
     "planner.cpp:96). Spark runs partial+final hash agg: map-side combine "
     "shrinks the shuffle to |groups|*|partitions| rows — at 100 TB the "
-    "shuffle is KB-sized because there are only ~6 groups.",
+    "shuffle is KB-sized because there are only ~6 groups. Money/rate "
+    "aggregates are integer cents/micros (round per ROW, sum longs): "
+    "exact and summation-order-independent, so the value hash can never "
+    "flake on float merge order (ROADMAP #8); avg_qty stays double "
+    "because integer-valued doubles sum exactly at any order.",
     tags=("core", "aggregate"),
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     li = t["lineitem"]
+    price_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_price_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    disc_micros = F.round(F.col("l_discount") * 1_000_000, 0).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            F.sum(price_cents).alias("sum_base_price_cents"),
+            F.sum(disc_price_cents).alias("sum_disc_price_cents"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(price_cents).cast("double") / n, 0)
+            .cast("long")
+            .alias("avg_price_cents"),
+            F.round(F.sum(disc_micros).cast("double") / n, 0)
+            .cast("long")
+            .alias("avg_disc_micros"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -186,22 +201,29 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*)                          AS n_rows,
            COUNT(l_quantity)                 AS n_qty,
            SUM(l_quantity)                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)    AS sum_price,
-           ROUND(AVG(l_discount), 6)         AS avg_disc
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(l_discount * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*), 0) AS BIGINT) AS avg_disc_micros
     FROM lineitem
     """,
     doc="Ungrouped aggregate — single-row result, partial agg per "
-    "partition then one tiny final reduce.",
+    "partition then one tiny final reduce. Money/rate outputs are "
+    "integer cents/micros (order-independent exact sums, ROADMAP #8).",
     tags=("core", "aggregate"),
 )
 def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
+    disc_micros = F.round(F.col("l_discount") * 1_000_000, 0).cast("long")
     return t["lineitem"].agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("l_quantity").alias("n_qty"),
         F.sum("l_quantity").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "sum_price_cents"
+        ),
+        F.round(F.sum(disc_micros).cast("double") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("avg_disc_micros"),
     )
 
 
@@ -214,7 +236,8 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name,
            SUM(l_quantity)                                   AS total_qty,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                                                             AS revenue_cents,
            COUNT(*)                                          AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -248,9 +271,11 @@ def composite_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.sum("l_quantity").alias("total_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("total_qty").desc(), "r_name")
@@ -267,7 +292,7 @@ def composite_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_revenue_by_day",
     oracle="""
     SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS order_day,
-           ROUND(SUM(o_totalprice), 2) AS rev
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
     FROM orders
     WHERE o_orderstatus = 'F'
       AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
@@ -290,7 +315,11 @@ def ref_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.date_format("o_orderdate", "yyyyMMdd").cast("long").alias("order_day")
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            )
+        )
         .orderBy("order_day")
     )
 
@@ -299,21 +328,28 @@ def ref_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_top_skus",
     oracle="""
     SELECT l_partkey AS sku,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+             AS rev_cents
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
     GROUP BY l_partkey
-    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, sku
+    ORDER BY rev_cents DESC, sku
     LIMIT 20
     """,
     doc="Reference sample Q2 'Top SKUs by revenue' (README.md:125-133): "
     "join + grouped revenue + top-20. Orders side broadcasts after its "
-    "filter; limit is a TakeOrderedAndProject.",
+    "filter; limit is a TakeOrderedAndProject. Revenue is integer cents "
+    "and the top-20 cut orders on the exact cents value, so neither the "
+    "hash nor the LIMIT boundary depends on float summation order.",
     tags=("core", "reference-sample"),
 )
 def ref_top_skus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+            "long"
+        )
+    )
     return (
         t["lineitem"]
         .join(
@@ -321,10 +357,9 @@ def ref_top_skus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy(F.col("l_partkey").alias("sku"))
-        .agg(rev.alias("_rev"))
-        .orderBy(F.col("_rev").desc(), "sku")
+        .agg(rev.alias("rev_cents"))
+        .orderBy(F.col("rev_cents").desc(), "sku")
         .limit(20)
-        .select("sku", F.round("_rev", 2).alias("rev"))
     )
 
 

@@ -197,13 +197,16 @@ def multi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "having_filter",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_spent
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_spent_cents
     FROM orders
     GROUP BY o_custkey
-    HAVING COUNT(*) >= 3 AND SUM(o_totalprice) > 300000
+    HAVING COUNT(*) >= 3
+       AND SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) > 30000000
     """,
     doc="HAVING over grouped aggregates — parsed-but-dropped in the "
-    "reference (SURVEY §4.3 #6); real filter-above-aggregate here.",
+    "reference (SURVEY §4.3 #6); real filter-above-aggregate here. The "
+    "HAVING threshold compares integer cents so the row-inclusion cut "
+    "itself is float-order-independent, not just the emitted value.",
     tags=("extended", "aggregate"),
 )
 def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,10 +216,11 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("_raw_total"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_spent_cents"
+            ),
         )
-        .filter((F.col("n_orders") >= 3) & (F.col("_raw_total") > 300000))
-        .select("o_custkey", "n_orders", F.round("_raw_total", 2).alias("total_spent"))
+        .filter((F.col("n_orders") >= 3) & (F.col("total_spent_cents") > 30_000_000))
     )
 
 
@@ -394,15 +398,16 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total_cents
     FROM orders
     """,
-    doc="Running total per customer (cumulative frame). Identical "
-    "sequential accumulation order on both engines (total order via "
-    "date+key tie-break) keeps floats bit-stable; rounded anyway.",
+    doc="Running total per customer (cumulative frame), summed as integer "
+    "cents: window-aggregate internals differ across engines (DuckDB "
+    "evaluates windowed sums with a segment tree, not sequentially), so "
+    "exact longs are the only order-proof representation.",
     tags=("extended", "window"),
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,10 +417,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return t["orders"].select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.sum(cents).over(w).alias("running_total_cents"),
     )
 
 
@@ -482,15 +488,16 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
                PARTITION BY o_custkey
                ORDER BY epoch(o_orderdate)
-               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS spend_30d_cents
     FROM orders
     """,
     doc="RANGE frame (value-based window): trailing-30-day spend per "
     "customer — peers at the same timestamp aggregate together, unlike "
-    "a ROWS frame.",
+    "a ROWS frame. Integer cents keep the sliding sum exact under either "
+    "engine's frame-evaluation order.",
     tags=("extended", "window"),
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,10 +507,11 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_timestamp("o_orderdate"))
         .rangeBetween(-2592000, 0)
     )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return t["orders"].select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.sum(cents).over(w).alias("spend_30d_cents"),
     )
 
 
@@ -737,9 +745,15 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
     FROM orders
-    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+          > 1.5 * (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                          / COUNT(*) FROM orders)
     """,
-    doc="Scalar subquery in WHERE — one tiny agg job feeds a pushed filter.",
+    doc="Scalar subquery in WHERE — one tiny agg job feeds a pushed "
+    "filter. The threshold compares exact per-row cents against "
+    "1.5 x (exact cent sum / count): every operand is an integer or a "
+    "deterministic function of integers, so the row cut cannot move "
+    "with float summation order.",
     tags=("extended", "subquery"),
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,7 +763,9 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
         FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+              > 1.5 * (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                              / COUNT(*) FROM orders)
         """
     )
 
@@ -758,16 +774,18 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cte_query",
     oracle="""
     WITH nation_sales AS (
-        SELECT n_name, ROUND(SUM(o_totalprice), 2) AS sales
+        SELECT n_name,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sales_cents
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY n_name
     )
-    SELECT n_name, sales FROM nation_sales WHERE sales > 1000000
+    SELECT n_name, sales_cents FROM nation_sales WHERE sales_cents > 100000000
     """,
     doc="CTE (WITH) — full Spark SQL support; the reference has none "
-    "(non-goal, reference README.md:16).",
+    "(non-goal, reference README.md:16). Sales in integer cents; the "
+    "CTE-consumer filter cuts on the exact value.",
     tags=("extended", "subquery"),
 )
 def cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,13 +794,14 @@ def cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH nation_sales AS (
-            SELECT n_name, ROUND(SUM(o_totalprice), 2) AS sales
+            SELECT n_name,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sales_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
         )
-        SELECT n_name, sales FROM nation_sales WHERE sales > 1000000
+        SELECT n_name, sales_cents FROM nation_sales WHERE sales_cents > 100000000
         """
     )
 
@@ -831,11 +850,12 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(YEAR(o_orderdate) AS BIGINT)  AS yr,
            CAST(MONTH(o_orderdate) AS BIGINT) AS mth,
            CAST(COUNT(*) AS BIGINT)           AS n_orders,
-           ROUND(SUM(o_totalprice), 2)        AS revenue
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents
     FROM orders
     GROUP BY yr, mth
     """,
-    doc="Date extraction + grouping by calendar month.",
+    doc="Date extraction + grouping by calendar month; revenue as exact "
+    "integer cents (ROADMAP #8).",
     tags=("extended", "functions"),
 )
 def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,7 +868,9 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "revenue_cents"
+            ),
         )
     )
 
@@ -912,7 +934,8 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+             AS revenue_cents,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -936,9 +959,11 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast(
+                    "long"
+                )
+            ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1048,7 +1073,8 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returns",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+             AS revenue_cents,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -1056,16 +1082,21 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation   ON c_nationkey = n_nationkey
     WHERE l_returnflag = 'R'
     GROUP BY c_custkey, c_name, n_name
-    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    ORDER BY revenue_cents DESC, c_custkey
     LIMIT 20
     """,
     doc="TPC-H Q10 shape (returned-item reporting): revenue lost to "
-    "returns per customer, top 20 — 3-way join + agg + top-k.",
+    "returns per customer, top 20 — 3-way join + agg + top-k. Exact "
+    "cents keep both the hash and the top-20 cut order-independent.",
     tags=("extended", "tpch"),
 )
 def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+            "long"
+        )
+    )
     return (
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
@@ -1075,10 +1106,10 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(rev.alias("_rev"))
-        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .agg(rev.alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
         .limit(20)
-        .select("c_custkey", "c_name", F.round("_rev", 2).alias("revenue"), "n_name")
+        .select("c_custkey", "c_name", "revenue_cents", "n_name")
     )
 
 
@@ -1114,14 +1145,17 @@ def tpch_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT substring(c_name, 10, 2) AS code,
            CAST(COUNT(*) AS BIGINT) AS n_custs,
-           ROUND(SUM(c_acctbal), 2) AS total_bal
+           SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS total_bal_cents
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+          > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY code
     """,
     doc="TPC-H Q22 shape (dormant high-balance customers): uncorrelated "
-    "scalar subquery threshold + anti join + group by a derived code.",
+    "scalar subquery threshold + anti join + group by a derived code. "
+    "Balance threshold and total are exact cents (float-order-proof).",
     tags=("extended", "tpch"),
 )
 def tpch_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,9 +1165,11 @@ def tpch_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT substring(c_name, 10, 2) AS code,
                CAST(COUNT(*) AS BIGINT) AS n_custs,
-               ROUND(SUM(c_acctbal), 2) AS total_bal
+               SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS total_bal_cents
         FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+              > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+                        / COUNT(*) FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY code
         """
@@ -1324,7 +1360,8 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filtered_agg",
     oracle="""
     SELECT o_orderstatus,
-           ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2) AS big_rev,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               FILTER (WHERE o_totalprice > 100000)                          AS big_rev_cents,
            CAST(COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS BIGINT)   AS n_small,
            CAST(COUNT(*) AS BIGINT)                                         AS n_all
     FROM orders
@@ -1340,7 +1377,8 @@ def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus,
-               ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2) AS big_rev,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   FILTER (WHERE o_totalprice > 100000)                          AS big_rev_cents,
                CAST(COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS BIGINT)   AS n_small,
                CAST(COUNT(*) AS BIGINT)                                         AS n_all
         FROM orders
@@ -1559,17 +1597,20 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ratio_to_report",
     oracle="""
     WITH type_rev AS (
-        SELECT p_type, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+        SELECT p_type,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                 AS rev_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type
     )
-    SELECT p_type, rev,
-           ROUND(rev / SUM(rev) OVER (), 6) AS share
+    SELECT p_type, rev_cents,
+           ROUND(CAST(rev_cents AS DOUBLE) / SUM(rev_cents) OVER (), 6) AS share
     FROM type_rev
     """,
     doc="Ratio-to-report: each part type's revenue share via a window "
     "over the aggregated (tiny) result — the window never sees the "
-    "fact table.",
+    "fact table. Revenue in exact cents; the share divides identical "
+    "integers on both engines so the 6dp round can't straddle.",
     tags=("extended", "window", "aggregate"),
 )
 def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,14 +1620,20 @@ def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("rev")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            ).alias("rev_cents")
         )
     )
     w = Window.partitionBy()
     return type_rev.select(
-        "p_type", "rev", F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share")
+        "p_type",
+        "rev_cents",
+        F.round(
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w), 6
+        ).alias("share"),
     )
 
 
