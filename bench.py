@@ -35,10 +35,32 @@ HEADLINE = [
     "expr_arithmetic",
 ]
 
+# Pipeline tier: the LLM-data-pipeline operators end-to-end — dedup
+# (minhash -> clusters -> survivors), ANN multiprobe, as-of join. These
+# catch regressions the core tier can't see (explode/shuffle-heavy and
+# applyInPandas paths).
+PIPELINE = [
+    "dedup_survivors",
+    "similarity_ivf_multiprobe",
+    "asof_join_purchases",
+]
+
+# Streaming tier: one bounded replay through the microbatch engine.
+# Timed once (not best-of-2): per-query time is dominated by stream
+# startup, which IS the cost a user pays per replay.
+STREAMING = ["stream_tumbling_hourly"]
+
 # Wide-output queries are executed via the noop sink (full computation,
 # no driver-side Arrow transfer) — benching collect() on 600k rows would
 # measure serialization, not the engine.
-LARGE_OUTPUT = {"scan_project", "filter_predicate", "expr_arithmetic", "join_orders_customer"}
+LARGE_OUTPUT = {
+    "scan_project",
+    "filter_predicate",
+    "expr_arithmetic",
+    "join_orders_customer",
+    "dedup_survivors",
+    "asof_join_purchases",
+}
 
 
 def _run(df, name: str) -> int:
@@ -53,26 +75,40 @@ def main() -> None:
     from bo_sql_spark.session import get_session
 
     reg = load_all()
-    names = [n for n in HEADLINE if n in reg]
-    names += sorted(n for n, s in reg.items() if "bench" in s.tags and n not in names)
+    core = [n for n in HEADLINE if n in reg]
+    core += sorted(n for n, s in reg.items() if "bench" in s.tags and n not in core)
+    pipeline = [n for n in PIPELINE if n in reg]
+    streaming = [n for n in STREAMING if n in reg]
 
     spark = get_session(app_name="bo-sql-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: JVM JIT, codegen cache, parquet footer cache.
-    for name in names:
+    for name in core + pipeline:
         _run(reg[name].builder(spark, SF_DIR), name)
 
     times: dict[str, float] = {}
-    for name in names:
+
+    def _time(name: str, runs: int) -> float:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = reg[name].builder(spark, SF_DIR)
             n = _run(df, name)
             best = min(best, time.perf_counter() - t0)
             assert n >= 0
-        times[name] = round(best, 4)
+        return round(best, 4)
+
+    for name in core + pipeline:
+        times[name] = _time(name, runs=2)
+    for name in streaming:
+        times[name] = _time(name, runs=1)
+
+    tiers = {
+        "core": round(sum(times[n] for n in core), 4),
+        "pipeline": round(sum(times[n] for n in pipeline), 4),
+        "streaming": round(sum(times[n] for n in streaming), 4),
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -82,10 +118,13 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # value stays the CORE total so BENCH_r{N} comparisons stay
+                # apples-to-apples with rounds 1-2; tier totals are separate.
                 "metric": "headline_query_wall_time",
-                "value": round(sum(times.values()), 4),
+                "value": tiers["core"],
                 "unit": "sec",
                 "queries": times,
+                "tiers": tiers,
                 "sf": sf_val,
             }
         )

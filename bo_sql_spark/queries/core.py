@@ -84,8 +84,9 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity)                                        AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))   AS sum_base_price_cents,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                                                                  AS sum_base_price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
                                                                   AS sum_disc_price_cents,
            ROUND(AVG(l_quantity), 4)                              AS avg_qty,
            CAST(ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
@@ -201,7 +202,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*)                          AS n_rows,
            COUNT(l_quantity)                 AS n_qty,
            SUM(l_quantity)                   AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
            CAST(ROUND(CAST(SUM(CAST(ROUND(l_discount * 1000000, 0) AS BIGINT)) AS DOUBLE)
                       / COUNT(*), 0) AS BIGINT) AS avg_disc_micros
     FROM lineitem
@@ -236,7 +237,7 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name,
            SUM(l_quantity)                                   AS total_qty,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
                                                              AS revenue_cents,
            COUNT(*)                                          AS n_items
     FROM lineitem
@@ -292,7 +293,7 @@ def composite_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_revenue_by_day",
     oracle="""
     SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS order_day,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders
     WHERE o_orderstatus = 'F'
       AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
@@ -328,7 +329,7 @@ def ref_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_top_skus",
     oracle="""
     SELECT l_partkey AS sku,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
              AS rev_cents
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'

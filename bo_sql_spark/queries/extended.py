@@ -197,7 +197,7 @@ def multi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "having_filter",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_spent_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_spent_cents
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 3
@@ -398,10 +398,10 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total_cents
     FROM orders
     """,
     doc="Running total per customer (cumulative frame), summed as integer "
@@ -488,10 +488,10 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
                PARTITION BY o_custkey
                ORDER BY epoch(o_orderdate)
-               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS spend_30d_cents
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS spend_30d_cents
     FROM orders
     """,
     doc="RANGE frame (value-based window): trailing-30-day spend per "
@@ -775,7 +775,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH nation_sales AS (
         SELECT n_name,
-               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sales_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sales_cents
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -850,7 +850,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(YEAR(o_orderdate) AS BIGINT)  AS yr,
            CAST(MONTH(o_orderdate) AS BIGINT) AS mth,
            CAST(COUNT(*) AS BIGINT)           AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders
     GROUP BY yr, mth
     """,
@@ -934,7 +934,7 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast",
     oracle="""
-    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS BIGINT)
              AS revenue_cents,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
@@ -1073,7 +1073,7 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returns",
     oracle="""
     SELECT c_custkey, c_name,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
              AS revenue_cents,
            n_name
     FROM customer
@@ -1145,7 +1145,7 @@ def tpch_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT substring(c_name, 10, 2) AS code,
            CAST(COUNT(*) AS BIGINT) AS n_custs,
-           SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS total_bal_cents
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_bal_cents
     FROM customer
     WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
           > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
@@ -1360,8 +1360,8 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filtered_agg",
     oracle="""
     SELECT o_orderstatus,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
-               FILTER (WHERE o_totalprice > 100000)                          AS big_rev_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               FILTER (WHERE o_totalprice > 100000) AS BIGINT)               AS big_rev_cents,
            CAST(COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS BIGINT)   AS n_small,
            CAST(COUNT(*) AS BIGINT)                                         AS n_all
     FROM orders
@@ -1598,13 +1598,13 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH type_rev AS (
         SELECT p_type,
-               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
                  AS rev_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type
     )
     SELECT p_type, rev_cents,
-           ROUND(CAST(rev_cents AS DOUBLE) / SUM(rev_cents) OVER (), 6) AS share
+           ROUND(CAST(rev_cents AS DOUBLE) / CAST(SUM(rev_cents) OVER () AS BIGINT), 6) AS share
     FROM type_rev
     """,
     doc="Ratio-to-report: each part type's revenue share via a window "

@@ -62,6 +62,39 @@ def normalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(rows)
 
 
+def _dtype_kind(dtype: Any) -> str:
+    """Coarse dtype class that mirrors how the driver renders values.
+
+    The driver stringifies fetched cells before hashing, so int32 vs
+    int64 is harmless but int64 vs float64 is fatal (106140089767 vs
+    1.061401e+11). DuckDB HUGEINT (from SUM(BIGINT)) fetches as
+    float64 — the round-2 regression — which this catches."""
+    kind = getattr(dtype, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime"}.get(
+        kind, "object"
+    )
+
+
+def compare_dtypes(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
+) -> tuple[bool, str]:
+    """Per-column fetched-dtype-kind parity (names sorted, driver-style)."""
+    bad = []
+    for col in sorted(spark_pdf.columns):
+        if col not in oracle_pdf.columns:
+            continue
+        sk = _dtype_kind(spark_pdf[col].dtype)
+        ok = _dtype_kind(oracle_pdf[col].dtype)
+        # An all-NULL (or empty) oracle column fetches as object/float
+        # regardless of declared type — not a hashable difference.
+        if sk != ok and not oracle_pdf[col].isna().all():
+            if not spark_pdf[col].isna().all():
+                bad.append(f"{col}: spark={sk} oracle={ok}")
+    if bad:
+        return False, "fetched-dtype mismatch: " + "; ".join(bad)
+    return True, "ok"
+
+
 def compare_results(
     spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
 ) -> tuple[bool, str]:
@@ -70,6 +103,9 @@ def compare_results(
             f"column mismatch: spark={sorted(spark_pdf.columns)} "
             f"oracle={sorted(oracle_pdf.columns)}"
         )
+    ok, msg = compare_dtypes(spark_pdf, oracle_pdf)
+    if not ok:
+        return False, msg
     if len(spark_pdf) != len(oracle_pdf):
         return False, f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     a, b = normalize(spark_pdf), normalize(oracle_pdf)

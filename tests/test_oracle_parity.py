@@ -22,6 +22,35 @@ def test_query_matches_oracle(spark, oracle_con, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+# DuckDB types whose pandas fetch silently changes the value's rendered
+# form: HUGEINT (SUM(BIGINT)) fetches as float64 — int64 on the Spark
+# side — so the driver's value hash diverges on dtype even when every
+# cell is numerically identical (the round-2 regression). DECIMAL can
+# fetch as float64 or Decimal objects depending on width. Oracles must
+# CAST aggregate outputs back to BIGINT/DOUBLE explicitly.
+_FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_oracle_declared_types_fetch_clean(oracle_con, name):
+    """Bind (don't execute) each oracle; reject driver-hash-unsafe types."""
+    from bo_sql_spark.queries import load_all
+
+    spec = load_all()[name]
+    if spec.oracle is None:
+        pytest.skip("rows-only query, no oracle")
+    rel = oracle_con.sql(spec.oracle)
+    bad = [
+        f"{col}:{typ}"
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types])
+        if any(f in typ.upper() for f in _FORBIDDEN_DUCK_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: oracle declares driver-hash-unsafe types {bad}; "
+        "wrap the aggregate in CAST(... AS BIGINT) (see tpch_q9)"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
