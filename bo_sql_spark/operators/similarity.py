@@ -111,6 +111,59 @@ def ivf_topk(
     )
 
 
+def materialize_ivf_assignment(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+) -> None:
+    """Persist the IVF coarse assignment as parquet PARTITIONED BY cell.
+
+    The scale fix for per-query reassignment: ``ivf_assign`` costs a
+    full corpus scan + |centroids| scores per row, so paying it inside
+    every ``ivf_topk`` call makes each query O(corpus). Materialized
+    once and partitioned by ``cell``, a probe-cell filter becomes
+    PARTITION PRUNING at the source — a query reads O(cells_probed /
+    n_cells) of the index, and the 100 TB corpus is scanned exactly
+    once per (re)build, amortized over every query served.
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, cent_id, cent_vec)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_served(
+    spark,
+    assignment_path: str,
+    query_vec: list[float],
+    query_cells: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Answer one ANN query from a materialized IVF assignment.
+
+    ``cell IN (probes)`` lands on the partition column, so the scan
+    touches only the probed cells' directories (PartitionFilters in the
+    plan — pinned by tests/test_scale_ops.py). Inside the pruned cells:
+    exact cosine + TakeOrderedAndProject, same as ``ivf_topk``.
+    """
+    assigned = spark.read.parquet(assignment_path)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = assigned.filter(F.col("cell").isin([int(c) for c in query_cells]))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return (
+        out.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))

@@ -442,6 +442,83 @@ def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_served",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), answer AS (
+        SELECT qid, vec_id, sim FROM (
+            SELECT CAST(0 AS BIGINT) AS qid, a.vec_id,
+                   list_dot_product(e.v, q.v)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS sim
+            FROM assigned a
+            JOIN vecs e USING (vec_id)
+            CROSS JOIN (SELECT v FROM vecs WHERE vec_id = 0) q
+            WHERE a.cell = (SELECT cell FROM assigned WHERE vec_id = 0)
+              AND a.vec_id <> 0
+            ORDER BY sim DESC, a.vec_id LIMIT 10
+        )
+        UNION ALL
+        SELECT qid, vec_id, sim FROM (
+            SELECT CAST(1 AS BIGINT) AS qid, a.vec_id,
+                   list_dot_product(e.v, q.v)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS sim
+            FROM assigned a
+            JOIN vecs e USING (vec_id)
+            CROSS JOIN (SELECT v FROM vecs WHERE vec_id = 1) q
+            WHERE a.cell = (SELECT cell FROM assigned WHERE vec_id = 1)
+              AND a.vec_id <> 1
+            ORDER BY sim DESC, a.vec_id LIMIT 10
+        )
+    )
+    SELECT qid AS query_id, vec_id, ROUND(sim, 6) AS cos_sim FROM answer
+    """,
+    doc="IVF serving path (the 100 TB anti-pattern fix): the coarse "
+    "assignment is MATERIALIZED once — parquet partitioned by cell — "
+    "and two different query vectors (vec_id 0 and 1) are answered "
+    "from that one index build. Each query's `cell IN (...)` filter "
+    "lands on the partition column, so the scan prunes to the probed "
+    "cell's directory (PartitionFilters pinned by "
+    "tests/test_scale_ops.py) instead of re-scoring the corpus per "
+    "query as ivf_topk's inline path does.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = tempfile.mkdtemp(prefix="bosql_ivf_") + "/assignment"
+    S.materialize_ivf_assignment(emb, cents, path)
+    assigned = spark.read.parquet(path)
+    parts = []
+    for qid in (0, 1):
+        qrow = assigned.filter(F.col("vec_id") == qid).first()
+        qvec = [float(x) for x in qrow["embedding"]]
+        parts.append(
+            S.ivf_topk_served(
+                spark,
+                path,
+                qvec,
+                query_cells=[qrow["cell"]],
+                k=10,
+                exclude_id=qid,
+            ).select(F.lit(qid).cast("long").alias("query_id"), "vec_id", "cos_sim")
+        )
+    return parts[0].unionAll(parts[1])
+
+
+@register(
     "similarity_bucket_histogram",
     oracle=None,  # same hyperplane-literal reason as above
     doc="LSH bucket occupancy histogram — the data-engineer's skew check "

@@ -59,6 +59,40 @@ def test_salted_agg_equals_plain_agg(spark, skewed):
         assert abs(salted[k][0] - s) < 1e-6
 
 
+def test_ivf_served_prunes_partitions(spark, tmp_path):
+    """The materialized IVF index must serve probes via partition
+    pruning: the probe-cell filter appears as PartitionFilters on the
+    scan (only the probed cells' directories are read), never as a
+    post-scan row filter over the whole index."""
+    import numpy as np
+
+    from bo_sql_spark.operators.similarity import (
+        ivf_topk_served,
+        materialize_ivf_assignment,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = str(tmp_path / "assignment")
+    materialize_ivf_assignment(emb, cents, path)
+
+    served = ivf_topk_served(spark, path, vecs[0][1], query_cells=[1, 2], k=5)
+    text = explain_str(served, "formatted")
+    assert "PartitionFilters" in text, text
+    # the cell predicate must be IN the partition filters, not data filters
+    pf = [ln for ln in text.splitlines() if "PartitionFilters" in ln][0]
+    assert "cell" in pf, text
+    assert served.count() <= 5
+
+    # two queries, one index build: both served from the same path
+    other = ivf_topk_served(spark, path, vecs[1][1], query_cells=[0], k=5)
+    assert other.count() <= 5
+
+
 def test_bucketed_join_has_no_exchange(spark):
     # saveAsTable writes into the session warehouse dir (static conf);
     # drop tables AND any stale directories from interrupted runs first
