@@ -161,6 +161,30 @@ def main(argv: list[str] | None = None) -> int:
         engine.load_table(name, path)
     if args.csv:
         engine.load_table("table", args.csv)
+    elif (
+        args.sql is not None
+        and not args.load
+        and not args.data_dir
+        and not sys.stdin.isatty()
+    ):
+        # Reference one-shot behavior (main.cpp:115-127): with --sql and
+        # no CSV argument, stdin IS the CSV, registered as 'table'
+        # (`cat f.csv | bo-sql --sql ...`). Spark reads files, not
+        # pipes, so spool stdin to a temp file first.
+        import tempfile
+
+        text = sys.stdin.read()
+        if text.strip():
+            tmp = tempfile.NamedTemporaryFile(
+                mode="w", suffix=".csv", prefix="bosql_stdin_", delete=False
+            )
+            tmp.write(text)
+            tmp.close()
+            try:
+                engine.load_table("table", tmp.name)
+            except Exception as exc:
+                print(f"error loading CSV from stdin: {exc}", file=sys.stderr)
+                return 1
 
     if args.sql is not None:
         try:

@@ -47,6 +47,14 @@ run_test "DESCRIBE" \
 # 7: invalid argument error
 run_test "Invalid argument" "$ENGINE --invalid 2>&1" "error"
 
+# 8: stdin CSV pipe registers implicit 'table' (reference main.cpp:115-127)
+run_test "stdin CSV pipe" \
+  "cat $TEST_CSV | $ENGINE --sql 'SELECT id, name FROM table ORDER BY id LIMIT 1' 2>/dev/null" "| 1  | alpha |"
+
+# 9: stdin CSV pipe with aggregate
+run_test "stdin CSV aggregate" \
+  "cat $TEST_CSV | $ENGINE --sql 'SELECT COUNT(*) AS n FROM table' --output-format csv 2>/dev/null" "^3$"
+
 rm -f "$TEST_CSV"
 echo "smoke: $pass passed, $fail failed"
 [ "$fail" -eq 0 ]

@@ -99,3 +99,40 @@ def test_cache_table_passthrough(engine):
 def test_exit_raises_eof(engine):
     with pytest.raises(EOFError):
         engine.execute("EXIT")
+
+
+def test_stdin_csv_registers_implicit_table(spark, monkeypatch, capsys):
+    """`cat f.csv | bo-sql --sql ...` registers stdin as 'table'
+    (reference main.cpp:115-127). Driven through main() with a fake
+    non-tty stdin; the live session is reused via getOrCreate."""
+    import io
+
+    from bo_sql_spark.engine import main
+
+    class FakeStdin(io.StringIO):
+        def isatty(self) -> bool:
+            return False
+
+    monkeypatch.setattr(
+        "sys.stdin", FakeStdin("id,name,value\n1,alpha,1.5\n2,beta,2.5\n")
+    )
+    rc = main(["--sql", "SELECT COUNT(*) AS n FROM table", "--output-format", "csv"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.splitlines()[-2:] == ["n", "2"]
+
+
+def test_stdin_empty_does_not_register(spark, monkeypatch, capsys):
+    import io
+
+    from bo_sql_spark.engine import main
+
+    class FakeStdin(io.StringIO):
+        def isatty(self) -> bool:
+            return False
+
+    spark.catalog.dropTempView("table")
+    monkeypatch.setattr("sys.stdin", FakeStdin(""))
+    rc = main(["--sql", "SHOW TABLES"])
+    assert rc == 0
+    assert "table" not in capsys.readouterr().out.splitlines()
