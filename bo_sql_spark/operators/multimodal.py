@@ -222,6 +222,114 @@ def sample_frames(
     return media_df.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+POINTER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("uri", StringType()),
+        StructField("byte_offset", LongType()),
+        StructField("byte_length", LongType()),
+    ]
+)
+
+
+def write_media_store(
+    media_df: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Pack blobs into large per-partition shard files; emit pointers.
+
+    The 100 TB layout: media never lives inline in the table — it lives
+    in big append-only shard files (here local `file://`, in production
+    an object store), and the TABLE carries (uri, byte_offset,
+    byte_length) pointers. Each input partition streams its blobs into
+    one shard file, so shard count == partition count (large sequential
+    writes, no small-object storm) and packing is embarrassingly
+    parallel.
+
+    Returns the pointer DataFrame. LAZY: the caller must materialize it
+    (e.g. write to parquet) before fetching, so shards are flushed and
+    closed before any reader opens them — the registered query does
+    exactly that.
+    """
+    import os
+    import uuid
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handle = None
+        uri = ""
+        offset = 0
+        try:
+            for pdf in batches:
+                if handle is None and len(pdf):
+                    path = os.path.join(
+                        store_dir, f"shard-{uuid.uuid4().hex}.bin"
+                    )
+                    handle = open(path, "wb")
+                    uri = "file://" + path
+                out = {"doc_id": [], "uri": [], "byte_offset": [], "byte_length": []}
+                for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                    b = bytes(blob)
+                    handle.write(b)
+                    out["doc_id"].append(doc_id)
+                    out["uri"].append(uri)
+                    out["byte_offset"].append(offset)
+                    out["byte_length"].append(len(b))
+                    offset += len(b)
+                yield pd.DataFrame(out)
+        finally:
+            if handle is not None:
+                handle.close()
+
+    return media_df.mapInPandas(pack, schema=POINTER_SCHEMA)
+
+
+FETCHED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media", BinaryType()),
+    ]
+)
+
+
+def fetch_media(
+    pointers: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch byte-range fetch: pointer rows -> (doc_id, media) blobs.
+
+    Rows are sorted by (uri, byte_offset) inside each Arrow batch so a
+    shard is read with one open + monotonically increasing seeks
+    (sequential I/O); file handles are pooled per partition. Swapping
+    the `file://` open for an object-store ranged GET is the only
+    production change — the partitioning, batching, and schema contract
+    stay identical.
+    """
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                pdf = pdf.sort_values(["uri", "byte_offset"])
+                blobs = []
+                for uri, off, ln in zip(
+                    pdf["uri"], pdf["byte_offset"], pdf["byte_length"]
+                ):
+                    path = uri.removeprefix("file://")
+                    fh = handles.get(path)
+                    if fh is None:
+                        fh = handles[path] = open(path, "rb")
+                    fh.seek(int(off))
+                    blobs.append(fh.read(int(ln)))
+                yield pd.DataFrame({"doc_id": list(pdf[id_col]), "media": blobs})
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return pointers.mapInPandas(fetch, schema=FETCHED_SCHEMA)
+
+
 def media_stats(media_df: DataFrame, media_col: str = "media") -> DataFrame:
     """Metadata-only stats — no decode, pure JVM expressions: the common
     'filter before you decode' step of a media pipeline."""

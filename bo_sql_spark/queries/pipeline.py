@@ -881,6 +881,50 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_pointers",
+    oracle="""
+    SELECT doc_id,
+           'image/fake'                            AS media_type,
+           CAST(n_chars % 64 + 1 AS BIGINT)        AS width,
+           CAST(doc_id % 48 + 1 AS BIGINT)         AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(hex(encode(text)), 1, 16)        AS head_hex
+    FROM documents
+    """,
+    doc="URI+byte-range media source: blobs are packed into shard files "
+    "(write_media_store), the table keeps only (uri, offset, length) "
+    "pointers, and decode runs on blobs re-fetched by ranged reads "
+    "(fetch_media) — the object-store layout at 100 TB. Oracle-checked "
+    "twin of multimodal_decode: identical decoded output proves the "
+    "pack -> pointer -> ranged-fetch -> decode round trip is lossless.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_decode_pointers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    blobs = M.make_fake_blob_df(t["documents"])
+    base = tempfile.mkdtemp(prefix="bosql_media_")
+    store = os.path.join(base, "store")
+    os.makedirs(store, exist_ok=True)
+    ptr_path = os.path.join(base, "pointers")
+    # Materialize pointers first: shards must be flushed and closed
+    # before any ranged read opens them.
+    M.write_media_store(blobs, store).write.mode("overwrite").parquet(ptr_path)
+    pointers = spark.read.parquet(ptr_path)
+    decoded = M.decode_image(M.fetch_media(pointers), codec="fake")
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_bytes",
+        F.hex("payload_head").alias("head_hex"),
+    )
+
+
+@register(
     "multimodal_stats",
     oracle="""
     SELECT doc_id,

@@ -244,6 +244,40 @@ def test_multimodal_real_codec_is_explicit_stub(docs):
         M.decode_image(blobs, codec="jpeg").collect()
 
 
+def test_media_store_pointer_roundtrip(docs, tmp_path):
+    """Pack -> pointer table -> ranged fetch must be byte-lossless, with
+    contiguous non-overlapping ranges per shard."""
+    blobs = M.make_fake_blob_df(
+        docs.withColumn("n_chars", F.length("text").cast("long")).withColumn(
+            "source", F.lit("unit")
+        )
+    ).repartition(3)  # multiple shards
+    store = tmp_path / "store"
+    store.mkdir()
+    ptr_path = str(tmp_path / "pointers")
+    M.write_media_store(blobs, str(store)).write.parquet(ptr_path)
+    spark = blobs.sparkSession
+    pointers = spark.read.parquet(ptr_path)
+
+    ptr_rows = pointers.collect()
+    assert len(ptr_rows) == blobs.count()
+    shards = {r["uri"] for r in ptr_rows}
+    assert 1 <= len(shards) <= 3
+    # ranges within a shard tile it exactly: sorted offsets are contiguous
+    for uri in shards:
+        rows = sorted(
+            (r for r in ptr_rows if r["uri"] == uri), key=lambda r: r["byte_offset"]
+        )
+        pos = 0
+        for r in rows:
+            assert r["byte_offset"] == pos
+            pos += r["byte_length"]
+
+    fetched = {r["doc_id"]: r["media"] for r in M.fetch_media(pointers).collect()}
+    original = {r["doc_id"]: r["media"] for r in blobs.collect()}
+    assert fetched == {k: bytes(v) for k, v in original.items()}
+
+
 def test_asof_join_backward_semantics(spark):
     left = spark.createDataFrame(
         [(1, 10), (1, 20), (1, 5), (2, 10)], "k long, tsn long"
