@@ -101,3 +101,77 @@ def funnel_conversions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_conversions_tws(
+    stream: DataFrame, window_us: int = ATTRIBUTION_WINDOW_US
+) -> DataFrame:
+    """`transformWithStateInPandas` port of ``funnel_conversions``.
+
+    Same semantics and state shape (one int64 last-click per user) on
+    the current arbitrary-state API: a StatefulProcessor with a named
+    ValueState replaces the positional GroupState tuple. The newer API
+    buys composable typed state (value/list/map), timers, and TTL —
+    none needed here, but production stateful operators should start
+    from this surface; applyInPandasWithState is the compatibility
+    path. Requires the RocksDB state store provider (set by the caller;
+    see stream_funnel_conversions_tws).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    events = stream.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("tsn"),
+    )
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last_click = handle.getValueState("last_click", STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values: Any
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            last_click = (
+                self._last_click.get()[0] if self._last_click.exists() else None
+            )
+            out_users, out_clicks, out_purchases = [], [], []
+            for pdf in rows:
+                pdf = pdf.sort_values(["tsn", "event_id"], kind="mergesort")
+                for etype, tsn in zip(pdf["event_type"], pdf["tsn"]):
+                    tsn = int(tsn)
+                    if etype == "click":
+                        last_click = tsn
+                    elif (
+                        etype == "purchase"
+                        and last_click is not None
+                        and tsn - last_click <= window_us
+                    ):
+                        out_users.append(user_id)
+                        out_clicks.append(last_click)
+                        out_purchases.append(tsn)
+            if last_click is not None:
+                self._last_click.update((last_click,))
+            if out_users:
+                yield pd.DataFrame(
+                    {
+                        "user_id": out_users,
+                        "click_tsn": out_clicks,
+                        "purchase_tsn": out_purchases,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        FunnelProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -58,6 +58,41 @@ def test_funnel_semantics(spark, event_file):
     }
 
 
+def test_funnel_tws_semantics(spark, event_file):
+    """transformWithStateInPandas port must match the classic funnel.
+    Skips where pyspark's TWS python runner can't start (it needs
+    protobuf, absent in this container)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState runner needs protobuf"
+    )
+    from bo_sql_spark.streaming.events import run_to_memory
+    from bo_sql_spark.streaming.stateful import funnel_conversions_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = funnel_conversions_tws(_stream_fixture(spark, event_file))
+        spark.sql("DROP TABLE IF EXISTS mem_funnel_tws_unit")
+        run_to_memory(out, "mem_funnel_tws_unit", output_mode="append")
+        got = {
+            (r["user_id"], r["click_tsn"], r["purchase_tsn"])
+            for r in spark.table("mem_funnel_tws_unit").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    assert got == {
+        (1, 0, 600 * 1_000_000),
+        (2, 300 * 1_000_000, 400 * 1_000_000),
+    }
+
+
 def test_session_window_merges_by_gap(spark, event_file):
     from bo_sql_spark.streaming.events import run_to_memory, sessionize
 
