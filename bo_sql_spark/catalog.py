@@ -38,10 +38,23 @@ TABLES = (
 # queried repeatedly (the common case for the REPL, bench, and the driver).
 # Keyed by a WEAK reference to the session: id() reuse after a stopped
 # session is garbage-collected could otherwise hand a new session cached
-# DataFrames bound to the dead one. Cache granularity is the directory —
-# rewriting files under an already-registered sf_dir requires a new
-# SparkSession (or a different path) to re-register.
+# DataFrames bound to the dead one. The weak key alone cannot evict (the
+# cached DataFrames strongly reference their session, pinning the key),
+# so stopped sessions are purged explicitly on each load. Cache
+# granularity is the directory — rewriting files under an
+# already-registered sf_dir requires a new SparkSession (or a different
+# path) to re-register.
 _registered: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _purge_stopped_sessions() -> None:
+    for s in list(_registered.keys()):
+        try:
+            stopped = s.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            del _registered[s]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -53,6 +66,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Memoized per (session, dir): temp views are session-global state, so
     only re-registration on a *different* directory is needed.
     """
+    _purge_stopped_sessions()
     cached = _registered.get(spark)
     if cached is not None and cached[0] == sf_dir:
         return cached[1]

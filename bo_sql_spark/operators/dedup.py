@@ -341,18 +341,19 @@ def embedding_near_dup_pairs(
     first (see operators.similarity.hyperplane_bucket /
     approx_similarity_join) and compares within buckets.
 
-    Guard: unless ``allow_quadratic=True``, the input is counted and a
-    ValueError raised above ``QUADRATIC_ROW_CAP`` rows — pointing this
-    at a real corpus would otherwise launch an n^2 cross join. The
-    count costs one cheap job (id column only), which is the point of a
-    guard on a deliberately-dangerous ground-truth operator.
+    Guard: unless ``allow_quadratic=True``, a bounded probe (LIMIT
+    cap+1 on the id column, never a full count) checks the input and a
+    ValueError is raised above ``QUADRATIC_ROW_CAP`` rows — pointing
+    this at a real corpus would otherwise launch an n^2 cross join.
+    The probe stops scanning after cap+1 rows, so the guard's cost is
+    O(cap) regardless of corpus size.
     """
     if not allow_quadratic:
-        n = emb.select(id_col).count()
-        if n > QUADRATIC_ROW_CAP:
+        over = emb.select(id_col).limit(QUADRATIC_ROW_CAP + 1).count()
+        if over > QUADRATIC_ROW_CAP:
             raise ValueError(
-                f"embedding_near_dup_pairs is O(n^2) and input has {n} rows "
-                f"(cap {QUADRATIC_ROW_CAP}); use similarity."
+                f"embedding_near_dup_pairs is O(n^2) and input exceeds "
+                f"{QUADRATIC_ROW_CAP} rows; use similarity."
                 "approx_similarity_join for the bucketed scale path, or pass "
                 "allow_quadratic=True if you really mean it"
             )

@@ -18,6 +18,19 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _hashable(dtype: DataType) -> bool:
+    """xxhash64 rejects MapType (unordered => no stable hash), at any
+    nesting depth; everything else hashes."""
+    if isinstance(dtype, MapType):
+        return False
+    if isinstance(dtype, StructType):
+        return all(_hashable(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, ArrayType):
+        return _hashable(dtype.elementType)
+    return True
 
 
 def with_salt(
@@ -25,22 +38,42 @@ def with_salt(
     salt_buckets: int,
     col_name: str = "_salt",
     salt_cols: list[str] | None = None,
+    position_salt: bool = False,
 ) -> DataFrame:
     """Deterministic salt in [0, salt_buckets): xxhash64 over the row's
-    own columns (all of them by default, or ``salt_cols``).
+    own columns (all hashable ones by default, or ``salt_cols``).
 
     Derived from DATA, not from position: monotonically_increasing_id /
     rand() are nondeterministic under task retries, and Spark's
     nondeterministic-expression + stage-retry interaction can duplicate
     or drop rows on recompute. A content hash gives every retry the
-    same salt. Rows that are full duplicates share a salt — spread is
-    by distinct row content, which is what real fact tables have; pass
+    same salt. MapType columns are excluded from the default set
+    (xxhash64 rejects them — no stable hash for unordered maps); pass
     ``salt_cols`` naming a high-cardinality id column when you know one.
+
+    Rows that are FULL duplicates share a content salt, so a hot key
+    made of identical rows stays un-spread. For that shape, set
+    ``position_salt=True``: the salt hashes monotonically_increasing_id
+    (partition id + within-partition row index). Positional salts are
+    retry-stable ONLY directly above a deterministic file scan (stable
+    partition layout and row order); do NOT use above a shuffle, where
+    reducer input order may differ between task attempts.
     """
-    cols = salt_cols if salt_cols is not None else list(df.columns)
+    if position_salt:
+        src: list[Column] = [F.monotonically_increasing_id()]
+    else:
+        if salt_cols is not None:
+            cols = salt_cols
+        else:
+            cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+            if not cols:
+                raise ValueError(
+                    "no hashable columns to salt on; pass salt_cols or "
+                    "position_salt=True"
+                )
+        src = [F.col(c) for c in cols]
     return df.withColumn(
-        col_name,
-        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets)),
+        col_name, F.pmod(F.xxhash64(*src), F.lit(salt_buckets))
     )
 
 

@@ -42,6 +42,29 @@ def test_salt_is_deterministic_and_spreads_hot_key(spark, skewed):
     assert len(hot_salts) == 8
 
 
+def test_salt_default_excludes_map_columns(spark):
+    # xxhash64 rejects MapType; the all-columns default must skip it
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})], "k long, m map<string,int>"
+    )
+    out = with_salt(df, 4)  # would raise inside xxhash64 if m were hashed
+    assert out.select("_salt").distinct().count() >= 1
+    # a map-only schema has nothing to hash -> explicit error
+    only_map = df.select("m")
+    with pytest.raises(ValueError, match="no hashable columns"):
+        with_salt(only_map, 4)
+
+
+def test_position_salt_spreads_identical_rows(spark):
+    # 400 FULL duplicates: content salt puts them in one bucket by
+    # definition; position salt must spread them
+    dup = spark.createDataFrame([(1, "same")] * 400, "k long, v string").repartition(8)
+    content = {r["_salt"] for r in with_salt(dup, 8).collect()}
+    assert len(content) == 1
+    positional = {r["_salt"] for r in with_salt(dup, 8, position_salt=True).collect()}
+    assert len(positional) == 8
+
+
 def test_salted_agg_equals_plain_agg(spark, skewed):
     plain = {
         (r["k"]): (r["s"], r["n"])
