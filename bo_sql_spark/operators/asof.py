@@ -4,20 +4,34 @@ Semantics: for each left row, attach the single most recent right row
 with right.ts <= left.ts within the same key (DuckDB's ASOF JOIN, pandas
 merge_asof, kdb aj).
 
-Implementation: ``applyInPandas`` cogroup over the key — both sides
-shuffle ONCE on the key, then each group is merged with the
-O(n log n) sorted two-pointer (pandas merge_asof). This is pattern (b)
-from the build brief: composition can't express "latest per left row"
-without an O(n*m) range join + argmax re-aggregation, so the Pandas
-path is the right scale trade-off. Skewed keys: a hot key's group must
-fit in one task — salt by coarse time bucket if a single key exceeds
-memory (bucket boundaries then need a one-bucket lookback pass).
+Two strategies, one interface:
+
+- ``window`` (default): the union trick, pure DataFrame ops. Tag both
+  sides, union on (key, ts), then ``last(<right struct>, ignorenulls)``
+  over (PARTITION BY key ORDER BY ts, side ROWS UNBOUNDED PRECEDING)
+  fills every left row with the latest preceding right row; filter back
+  to left rows. ONE shuffle, JVM window exec, zero Python — at 100 TB
+  this is strictly better than any Python path, and it's immune to the
+  many-small-groups overhead that makes cogrouped Pandas slow (each
+  group pays ~ms of pandas setup; a billion keys = hours of overhead).
+- ``cogroup``: cogrouped ``applyInPandas`` + ``pd.merge_asof`` per key
+  (kept for parity/verification and for semantics the window rewrite
+  doesn't cover, e.g. ``direction='nearest'``).
+
+Right-row payloads ride in ONE struct so ``last(..., ignorenulls)``
+can't mix columns from different right rows when a payload field is
+legitimately NULL.
+
+Skewed keys: either strategy puts one key in one task — salt by coarse
+time bucket if a single key exceeds memory (bucket boundaries then need
+a one-bucket lookback pass).
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
 
 
 def asof_join(
@@ -28,22 +42,110 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: int | None = None,
     direction: str = "backward",
+    strategy: str = "window",
 ) -> DataFrame:
     """As-of join: left rows + most recent right row per key.
 
     ``on`` must be an orderable numeric column present in both sides
     (use int64 epoch nanos for timestamps — exact, no unit drift);
     ``by`` is the equality key. Right columns are suffixed ``_right``
-    if they collide.
+    if they collide. ``direction`` is 'backward' (right.on <= left.on)
+    or 'forward' (right.on >= left.on); ``tolerance`` bounds
+    |left.on - right.on|.
     """
+    if strategy == "window" and direction in ("backward", "forward"):
+        return _asof_window(left, right, on, by, right_cols, tolerance, direction)
+    return _asof_cogroup(left, right, on, by, right_cols, tolerance, direction)
+
+
+def _out_names(
+    left: DataFrame, right: DataFrame, on: str, by: str, right_cols: list[str] | None
+) -> list[tuple[str, str]]:
+    """[(right col, output name)] with _right suffix on collisions."""
     rcols = right_cols or [c for c in right.columns if c not in (on, by)]
+    return [(c, c if c not in left.columns else f"{c}_right") for c in rcols]
+
+
+def _asof_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None,
+    tolerance: int | None,
+    direction: str,
+) -> DataFrame:
+    pairs = _out_names(left, right, on, by, right_cols)
+    lcols = left.columns
+
+    # 'forward' is 'backward' on the negated axis.
+    sort_on = F.col("_on") if direction == "backward" else -F.col("_on")
+
+    passthrough = [c for c in lcols if c not in (by, on)]
+    # keep _r_on in the ORIGINAL dtype: int64 epoch nanos exceed 2^53,
+    # a double would silently lose the low bits
+    rstruct = F.struct(
+        F.col(on).alias("_r_on"),
+        *[F.col(c).alias(name) for c, name in pairs],
+    )
+    rhs = right.select(
+        F.col(by),
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_is_left"),
+        rstruct.alias("_r"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in passthrough
+        ],
+    )
+    null_struct = F.lit(None).cast(rhs.schema["_r"].dataType.simpleString())
+    lhs = left.select(
+        F.col(by),
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_is_left"),
+        null_struct.alias("_r"),
+        *[F.col(c) for c in passthrough],
+    )
+    unioned = rhs.unionByName(lhs)
+
+    # Right rows sort BEFORE left rows at equal ts (inclusive match).
+    w = (
+        Window.partitionBy(by)
+        .orderBy(sort_on, "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("_rf", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_is_left") == 1
+    )
+    if tolerance is not None:
+        within = F.abs(F.col("_on") - F.col("_rf._r_on")) <= F.lit(tolerance)
+        filled = filled.withColumn(
+            "_rf", F.when(within, F.col("_rf")).otherwise(null_struct)
+        )
+    out = [
+        F.col("_on").alias(on) if c == on else F.col(c)
+        for c in lcols
+    ]
+    return filled.select(
+        *out, *[F.col(f"_rf.{name}").alias(name) for _, name in pairs]
+    )
+
+
+def _asof_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None,
+    tolerance: int | None,
+    direction: str,
+) -> DataFrame:
+    pairs = _out_names(left, right, on, by, right_cols)
     lcols = left.columns
     out_fields = [left.schema[c] for c in lcols]
-    right_out = []
-    for c in rcols:
-        name = c if c not in lcols else f"{c}_right"
-        fld = right.schema[c]
-        right_out.append((c, name, fld.dataType.simpleString()))
+    right_out = [
+        (c, name, right.schema[c].dataType.simpleString()) for c, name in pairs
+    ]
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
         + [f"`{name}` {dt}" for _, name, dt in right_out]

@@ -35,4 +35,9 @@ def test_bench_emits_single_json_line():
         "agg_pricing_summary",
         "composite_top_regions",
     }
-    assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01
+    # value is the CORE tier total (comparable across rounds); pipeline
+    # and streaming tiers are separate keys
+    assert set(payload["tiers"]) == {"core", "pipeline", "streaming"}
+    assert abs(payload["tiers"]["core"] - payload["value"]) < 0.01
+    assert payload["tiers"]["pipeline"] > 0
+    assert abs(sum(payload["queries"].values()) - sum(payload["tiers"].values())) < 0.05

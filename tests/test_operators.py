@@ -278,19 +278,70 @@ def test_media_store_pointer_roundtrip(docs, tmp_path):
     assert fetched == {k: bytes(v) for k, v in original.items()}
 
 
-def test_asof_join_backward_semantics(spark):
+@pytest.mark.parametrize("strategy", ["window", "cogroup"])
+def test_asof_join_backward_semantics(spark, strategy):
     left = spark.createDataFrame(
         [(1, 10), (1, 20), (1, 5), (2, 10)], "k long, tsn long"
     )
     right = spark.createDataFrame(
         [(1, 8, "a"), (1, 15, "b"), (3, 1, "z")], "k long, tsn long, tag string"
     )
-    out = asof_join(left, right, on="tsn", by="k", right_cols=["tag"])
+    out = asof_join(left, right, on="tsn", by="k", right_cols=["tag"], strategy=strategy)
     got = {(r["k"], r["tsn"]): r["tag"] for r in out.collect()}
     assert got[(1, 10)] == "a"  # most recent at-or-before 10
     assert got[(1, 20)] == "b"
     assert got[(1, 5)] is None  # nothing before 5
     assert got[(2, 10)] is None  # key with no right rows
+
+
+def test_asof_window_strategy_matches_cogroup(spark):
+    """The JVM window rewrite must agree with merge_asof on a random
+    fixture, including NULL payload fields (the struct packing exists
+    so last(ignorenulls) can't stitch together different right rows),
+    inclusive same-ts matches, tolerance, and forward direction."""
+    import random
+
+    rnd = random.Random(11)
+    left = spark.createDataFrame(
+        [(k, rnd.randrange(0, 100)) for k in range(6) for _ in range(30)],
+        "k long, tsn long",
+    )
+    right = spark.createDataFrame(
+        [
+            (
+                k,
+                rnd.randrange(0, 100),
+                rnd.randrange(1000) if rnd.random() > 0.3 else None,
+                f"t{rnd.randrange(10)}",
+            )
+            for k in range(5)
+            for _ in range(20)
+        ],
+        "k long, tsn long, payload long, tag string",
+    ).dropDuplicates(["k", "tsn"])  # unique right ts per key => unique match
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 7):
+            a = asof_join(
+                left, right, on="tsn", by="k", tolerance=tol,
+                direction=direction, strategy="window",
+            )
+            b = asof_join(
+                left, right, on="tsn", by="k", tolerance=tol,
+                direction=direction, strategy="cogroup",
+            )
+            ka = sorted(map(tuple, a.collect()))
+            kb = sorted(map(tuple, b.collect()))
+            assert ka == kb, f"{direction} tol={tol}: {ka[:3]} vs {kb[:3]}"
+
+
+def test_asof_window_strategy_has_no_python_stage(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, tsn long")
+    right = spark.createDataFrame([(1, 8, "a")], "k long, tsn long, tag string")
+    out = asof_join(left, right, on="tsn", by="k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "Python" not in plan
 
 
 def test_ann_lsh_multiseed_dominates_single(spark, sf_dir):
