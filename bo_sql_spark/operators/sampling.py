@@ -1,0 +1,161 @@
+"""Deterministic sampling, splitting, and shuffling for training data.
+
+The pipeline ops every LLM data run needs and `df.sample()` can't give
+you: sample/split decisions here are PURE FUNCTIONS of the row id, so
+
+- re-running the pipeline (or a failed stage) yields byte-identical
+  membership — no rand()/task-retry interaction;
+- train/val/test assignment is stable as the corpus grows (a doc's
+  split never changes when other docs are added);
+- any engine can reproduce the decision (the mix is plain BIGINT
+  arithmetic — the DuckDB oracles run the same formula, unlike
+  xxhash64, which only Spark has).
+
+The mix is a multiplicative LCG step mod a prime:
+    h(id, salt) = ((id mod P) * 1000003 + 12345 + salt * 2654435761) mod P
+P = 1e9+7. Not cryptographic — don't use where adversarial ids matter;
+for split/sample decisions on non-adversarial ids the avalanche is
+sufficient (salt shifts the whole assignment, giving independent
+resamples). All operands stay < 2^63 for ids up to ~9e18/1e6, so the
+arithmetic never overflows ANSI BIGINT at any realistic corpus size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+PORTABLE_PRIME = 1_000_000_007
+_MULT = 1_000_003
+_ADD = 12_345
+_SALT_MIX = 2_654_435_761
+
+
+def portable_hash(col: Column | str, salt: int = 0) -> Column:
+    """Engine-portable deterministic mix of an integer id column into
+    [0, PORTABLE_PRIME). Same formula is embedded in the SQL oracles."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    return F.pmod(
+        F.pmod(c, F.lit(PORTABLE_PRIME)) * _MULT
+        + F.lit(_ADD + (salt * _SALT_MIX) % PORTABLE_PRIME),
+        F.lit(PORTABLE_PRIME),
+    )
+
+
+def portable_hash_sql(expr: str, salt: int = 0) -> str:
+    """The identical mix as DuckDB/ANSI SQL text (for oracles)."""
+    add = _ADD + (salt * _SALT_MIX) % PORTABLE_PRIME
+    p = PORTABLE_PRIME
+    return f"(((({expr}) % {p}) * {_MULT} + {add}) % {p} + {p}) % {p}"
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose hash falls
+    below fraction * P. Membership is a pure function of (id, salt); a
+    different salt gives an independent resample. Pushed to the scan as
+    an ordinary filter predicate — no Sample node, no RNG state."""
+    threshold = int(fraction * PORTABLE_PRIME)
+    return df.filter(portable_hash(id_col, salt) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a named split ('train'/'val'/'test'...) by hash
+    range. Weights must sum to ~1. Leakage-safe grouping: pass the
+    GROUP id (e.g. a cluster or url-domain id) as ``id_col`` and every
+    member of the group lands in the same split — the standard guard
+    against near-duplicate train/test leakage."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = portable_hash(id_col, salt)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = h < int(acc * PORTABLE_PRIME)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    sources, keep all books). One scan, one CASE over the stratum
+    column — no per-stratum jobs, unlike sampleBy at scale."""
+    h = portable_hash(id_col, salt)
+    thr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        t = F.lit(int(frac * PORTABLE_PRIME))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        F.lit(int(default_fraction * PORTABLE_PRIME))
+        if thr is None
+        else thr.otherwise(F.lit(int(default_fraction * PORTABLE_PRIME)))
+    )
+    return df.filter(h < thr)
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, salt: int = 0) -> DataFrame:
+    """Global pseudorandom order as a SORT by hash (ties by id): the
+    reproducible 'shuffle the corpus before packing' step. At scale
+    this is a range-partitioned sort — Spark samples range bounds, so
+    output files get near-equal sizes; re-running with the same salt
+    reproduces the exact order."""
+    return df.orderBy(portable_hash(id_col, salt), F.col(id_col))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: shuffle docs deterministically,
+    lay their tokens end-to-end, cut every ``budget`` tokens.
+
+    Emits (id, n_tokens, seq_id, seq_offset): doc's tokens start at
+    ``seq_offset`` inside sequence ``seq_id`` (docs crossing a boundary
+    continue into the next sequence — exactly what concat-then-chunk
+    LLM pretraining pipelines do, no padding waste).
+
+    The token start offset is an UNBOUNDED PRECEDING running sum over
+    the shuffled order: one global sort + one window pass. At 100 TB
+    run it per deterministic shard (add a shard column to the window
+    partition) so no single partition holds the corpus.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash(id_col, salt).alias("_h")
+    w = (
+        Window.orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)).alias("_start")
+    out = docs.select(F.col(id_col), F.col(n_tokens_col), h).select(
+        id_col, n_tokens_col, start
+    )
+    return out.select(
+        id_col,
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        (F.col("_start") / budget).cast("long").alias("seq_id"),
+        F.pmod(F.col("_start"), F.lit(budget)).cast("long").alias("seq_offset"),
+    )

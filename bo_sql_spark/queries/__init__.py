@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline,
         streaming_queries,
         tpch_more,
+        training,
     )
 
     return REGISTRY

@@ -1,0 +1,195 @@
+"""Training-data pipeline queries: deterministic sampling, splits,
+shuffling, and sequence packing over the documents corpus.
+
+Every membership/order decision is the engine-portable integer mix from
+operators.sampling (plain BIGINT arithmetic) so the DuckDB oracles run
+the LITERAL same formula — the correctness gate covers the decision
+itself, not just the plumbing. See operators/sampling.py for why
+determinism (not rand()) is the only defensible sampling contract for
+a reproducible training run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bo_sql_spark.catalog import load_tables
+from bo_sql_spark.operators import sampling as SA
+from bo_sql_spark.operators.sampling import PORTABLE_PRIME, portable_hash_sql
+from bo_sql_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return load_tables(spark, sf_dir)
+
+
+_SAMPLE_FRAC = 0.25
+_SAMPLE_SALT = 1
+_SAMPLE_THR = int(_SAMPLE_FRAC * PORTABLE_PRIME)
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {portable_hash_sql('doc_id', _SAMPLE_SALT)} < {_SAMPLE_THR}
+    """,
+    doc="Deterministic Bernoulli sample (25%, salt 1): membership is a "
+    "pure function of doc_id, so retries/re-runs/other engines "
+    "reproduce the exact subset. The hash predicate is an ordinary "
+    "filter — pushed into the scan, no Sample operator, no RNG state. "
+    "The oracle runs the literal same integer mix.",
+    tags=("pipeline", "training", "sampling"),
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return SA.hash_sample(
+        t["documents"], "doc_id", _SAMPLE_FRAC, salt=_SAMPLE_SALT
+    ).select("doc_id", "source")
+
+
+_SPLIT_SALT = 7
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_THR_TRAIN = int(0.8 * PORTABLE_PRIME)
+_THR_VAL = int(0.9 * PORTABLE_PRIME)
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {portable_hash_sql('doc_id', _SPLIT_SALT)} < {_THR_TRAIN} THEN 'train'
+                WHEN {portable_hash_sql('doc_id', _SPLIT_SALT)} < {_THR_VAL}   THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="80/10/10 train/val/test assignment by hash range: stable as "
+    "the corpus grows (a doc's split never flips when other docs are "
+    "added), reproducible across engines and runs. For leakage-safe "
+    "splitting, hash the duplicate-cluster id instead of doc_id "
+    "(hash_split docstring).",
+    tags=("pipeline", "training", "sampling"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return SA.hash_split(
+        t["documents"], "doc_id", _SPLIT_W, salt=_SPLIT_SALT
+    ).select("doc_id", "split")
+
+
+_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+_STRATA_SALT = 3
+_STRATA_DEFAULT = 0.05
+
+
+def _strata_case() -> str:
+    arms = "\n".join(
+        f"WHEN '{s}' THEN {int(f * PORTABLE_PRIME)}" for s, f in sorted(_STRATA.items())
+    )
+    return f"CASE source {arms} ELSE {int(_STRATA_DEFAULT * PORTABLE_PRIME)} END"
+
+
+@register(
+    "sample_stratified_by_source",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {portable_hash_sql('doc_id', _STRATA_SALT)} < {_strata_case()}
+    """,
+    doc="Stratified downsampling by source (keep all src0, half of "
+    "src1, 10% of src2, 5% of the tail): ONE scan with a CASE "
+    "threshold — no per-stratum jobs, unlike sampleBy which builds a "
+    "plan per stratum. The mix and thresholds are shared with the "
+    "oracle verbatim.",
+    tags=("pipeline", "training", "sampling"),
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return SA.stratified_hash_sample(
+        t["documents"],
+        "source",
+        "doc_id",
+        _STRATA,
+        default_fraction=_STRATA_DEFAULT,
+        salt=_STRATA_SALT,
+    ).select("doc_id", "source")
+
+
+_SHUF_SALT = 5
+
+
+@register(
+    "shuffle_deterministic_order",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY {portable_hash_sql('doc_id', _SHUF_SALT)}, doc_id
+           ) AS BIGINT) AS pos,
+           doc_id
+    FROM documents
+    """,
+    doc="Reproducible global shuffle: ORDER BY hash(id) — Spark "
+    "executes it as a range-partitioned sort (sampled bounds => "
+    "near-equal output files), and the same salt reproduces the exact "
+    "permutation anywhere. Emitted as (pos, doc_id) so the oracle "
+    "checks the PERMUTATION itself, not just the membership.",
+    tags=("pipeline", "training", "sampling"),
+)
+def shuffle_deterministic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    w = Window.orderBy(SA.portable_hash("doc_id", _SHUF_SALT), F.col("doc_id"))
+    return t["documents"].select(
+        F.row_number().over(w).cast("long").alias("pos"), "doc_id"
+    )
+
+
+_PACK_BUDGET = 2048
+_PACK_SALT = 9
+
+
+@register(
+    "pack_sequences_2048",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+               {portable_hash_sql('doc_id', _PACK_SALT)} AS h
+        FROM documents
+    ), laid AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS start
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(start // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM laid
+    """,
+    doc="Concat-and-chunk sequence packing at a 2048-token budget: "
+    "shuffle docs deterministically, lay tokens end-to-end, cut every "
+    "2048 — the zero-padding packing LLM pretraining uses (docs "
+    "straddle boundaries by design). One sort + one running-sum "
+    "window; at 100 TB partition the window by a deterministic shard "
+    "of the hash so no task holds the corpus.",
+    tags=("pipeline", "training"),
+)
+def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import tokens
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return SA.pack_sequences(
+        docs, "doc_id", "n_toks", budget=_PACK_BUDGET, salt=_PACK_SALT
+    ).select(
+        "doc_id",
+        F.col("n_tokens"),
+        "seq_id",
+        "seq_offset",
+    )
