@@ -365,3 +365,37 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop train docs sharing any k-word
+    shingle with the eval set.
+
+    Returns (survivors, contaminated_ids). The eval side is a
+    benchmark — thousands of docs, not billions — so its DISTINCT
+    shingle set broadcasts: the train corpus is scanned once, its
+    exploded shingles hash-probe the broadcast set, and doc_ids with a
+    hit are removed by LEFT ANTI join. No shuffle ever carries the
+    corpus text; the only wide row is (doc_id, shingle), and at 100 TB
+    the shingle explode stays inside one codegen stage above the scan.
+    """
+    tr_sh = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    ev_sh = (
+        evalset.select(F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .select(id_col)
+        .distinct()
+    )
+    survivors = train.join(contaminated, id_col, "left_anti")
+    return survivors, contaminated

@@ -291,3 +291,44 @@ def ann_topk_lsh(
         .limit(k)
         .select(id_col, F.round("_cos", 6).alias("cos_sim"))
     )
+
+
+def ivf_train_step(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """One Lloyd (k-means) iteration: assign every vector to its nearest
+    centroid, emit each cell's new centroid (elementwise mean) + size.
+
+    This is the trainer behind the IVF index ("centroids trained
+    offline"): loop this step, then materialize_ivf_assignment with the
+    converged centroids. Distributed shape: the assign pass is the
+    broadcast argmin of ivf_assign (no vector shuffle); the mean is
+    posexplode -> partial-aggregated avg per (cell, dim) — shuffle rows
+    are (cell, dim, sum, count) partials, never vectors — then one tiny
+    groupBy(cell) reassembles the array (sorted by dim, so collect_list
+    order can't leak in). Means are rounded to ``round_dp`` so float
+    summation order can't flake a comparison.
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, cent_id, cent_vec)
+    by_dim = (
+        assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("cell", "pos")
+        .agg(F.avg("col").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        by_dim.groupBy("cell")
+        .agg(
+            F.first("n").alias("n_members"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: F.round(x["m"], round_dp),
+            ).alias("centroid"),
+        )
+        .select("cell", F.col("n_members").cast("long"), "centroid")
+    )

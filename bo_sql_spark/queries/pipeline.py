@@ -442,6 +442,51 @@ def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_train_step",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), by_dim AS (
+        SELECT a.cell,
+               generate_subscripts(e.v, 1) AS pos,
+               unnest(e.v) AS x
+        FROM assigned a JOIN vecs e USING (vec_id)
+    ), dim_means AS (
+        SELECT cell, pos, AVG(x) AS m, CAST(COUNT(*) AS BIGINT) AS n
+        FROM by_dim GROUP BY cell, pos
+    )
+    SELECT cell,
+           CAST(MIN(n) AS BIGINT) AS n_members,
+           array_agg(ROUND(m, 6) ORDER BY pos) AS centroid
+    FROM dim_means
+    GROUP BY cell
+    """,
+    doc="One Lloyd (k-means) iteration — the trainer behind the IVF "
+    "index: broadcast-argmin assignment (ivf_assign, no vector "
+    "shuffle), then per-(cell, dim) partial-aggregated means — shuffle "
+    "carries (cell, dim, partial) rows, never vectors — reassembled "
+    "sorted by dim so collect_list order can't leak. Loop to "
+    "convergence offline, then materialize_ivf_assignment serves "
+    "queries from the result (similarity_ivf_served).",
+    tags=("pipeline", "similarity", "training"),
+)
+def similarity_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return S.ivf_train_step(emb, cents)
+
+
+@register(
     "similarity_ivf_served",
     oracle="""
     WITH cents AS (
@@ -848,6 +893,51 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------------- multimodal
+@register(
+    "decontaminate_survivors",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tok) - 5 + 2, 2)),
+                       i -> array_to_string(tok[i:i+4], ' ')))) AS shingle
+            FROM toks
+        )
+        WHERE shingle IS NOT NULL AND shingle <> ''
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s
+        JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0) e
+          USING (shingle)
+        WHERE s.doc_id % 25 <> 0
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id % 25 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    doc="Benchmark decontamination: docs with doc_id % 25 = 0 act as "
+    "the eval set; any train doc sharing a 5-word shingle with it is "
+    "dropped. The eval shingle set is DISTINCT + broadcast (benchmarks "
+    "are small), so the corpus scans once and never shuffles its text "
+    "— the LEFT ANTI join removes hits by doc_id. Catches the "
+    "train-on-test leakage exact dedup can't (partial overlap).",
+    tags=("pipeline", "dedup", "training"),
+)
+def decontaminate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    evalset = docs.filter(F.col("doc_id") % 25 == 0)
+    survivors, _ = D.decontaminate(train, evalset, k=5)
+    return survivors.select("doc_id", "source")
+
+
 @register(
     "multimodal_decode",
     oracle="""

@@ -363,6 +363,55 @@ def test_ann_lsh_multiseed_dominates_single(spark, sf_dir):
         assert m >= s
 
 
+def test_ivf_train_step_monotone_objective(spark):
+    """Lloyd's algorithm never increases the within-cluster SSE; two
+    training steps on a synthetic mixture must not regress it."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[5.0, 0.0], [-5.0, 0.0], [0.0, 5.0]])
+    pts = np.vstack([c + rng.standard_normal((40, 2)) for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def sse(cent_df):
+        assigned = S.ivf_assign(emb, cent_df)
+        joined = assigned.join(
+            cent_df.withColumnRenamed("c_id", "cell"), "cell"
+        )
+        d = F.aggregate(
+            F.zip_with("embedding", "c_vec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return joined.agg(F.sum(d)).first()[0]
+
+    # one seed per true cluster (0, 40, 80 are the blocks' first points)
+    cents0 = emb.filter(F.col("vec_id").isin([0, 40, 80])).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    sse0 = sse(cents0)
+    step1 = S.ivf_train_step(emb, cents0, round_dp=9)
+    cents1 = step1.select(
+        F.col("cell").alias("c_id"), F.col("centroid").alias("c_vec")
+    )
+    sse1 = sse(cents1)
+    step2 = S.ivf_train_step(emb, cents1, round_dp=9)
+    cents2 = step2.select(
+        F.col("cell").alias("c_id"), F.col("centroid").alias("c_vec")
+    )
+    sse2 = sse(cents2)
+    assert sse1 <= sse0 + 1e-6
+    assert sse2 <= sse1 + 1e-6
+    # well-separated mixture: 2 steps must land near the true centers
+    got = sorted(
+        tuple(round(x) for x in r["c_vec"]) for r in cents2.collect()
+    )
+    assert got == [(-5, 0), (0, 5), (5, 0)]
+
+
 def test_ivf_multiprobe_superset_of_single(spark, sf_dir):
     """Probing more cells scans a superset -> kth score can only improve."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
