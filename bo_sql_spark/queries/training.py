@@ -146,6 +146,93 @@ def shuffle_deterministic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E2E_SALT = 13
+_E2E_THR = int(0.8 * PORTABLE_PRIME)
+_E2E_MIN_TOKENS = 10
+_E2E_BUDGET = 1024
+
+
+@register(
+    "training_pipeline_e2e",
+    oracle=f"""
+    WITH train AS (
+        SELECT * FROM documents WHERE doc_id % 25 <> 0
+    ), deduped AS (
+        SELECT MIN(doc_id) AS doc_id FROM train GROUP BY text
+    ), toks AS (
+        SELECT t.doc_id,
+               string_split(trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM train t JOIN deduped d USING (doc_id)
+    ), sh AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tok) - 5 + 2, 2)),
+                       i -> array_to_string(tok[i:i+4], ' ')))) AS shingle
+            FROM toks
+        ) WHERE shingle IS NOT NULL AND shingle <> ''
+    ), eval_sh AS (
+        SELECT DISTINCT shingle FROM (
+            SELECT unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tok) - 5 + 2, 2)),
+                       i -> array_to_string(tok[i:i+4], ' ')))) AS shingle
+            FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+                  FROM documents WHERE doc_id % 25 = 0)
+        ) WHERE shingle IS NOT NULL AND shingle <> ''
+    ), clean AS (
+        SELECT t.doc_id, CAST(len(t.tok) AS BIGINT) AS n_tokens
+        FROM toks t
+        WHERE t.doc_id NOT IN (
+            SELECT DISTINCT s.doc_id FROM sh s JOIN eval_sh e USING (shingle))
+          AND len(t.tok) >= {_E2E_MIN_TOKENS}
+          AND {portable_hash_sql('t.doc_id', _E2E_SALT)} < {_E2E_THR}
+    ), laid AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                    ORDER BY {portable_hash_sql('doc_id', _E2E_SALT)}, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS start
+        FROM clean
+    )
+    SELECT doc_id, n_tokens,
+           CAST(start // {_E2E_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start % {_E2E_BUDGET} AS BIGINT) AS seq_offset
+    FROM laid
+    """,
+    doc="The whole training-data prep as ONE lazy plan: exact dedup "
+    "(min-id per distinct text) -> benchmark decontamination (5-word "
+    "shingles vs the doc_id%25 eval set, broadcast anti join) -> "
+    "quality floor (>= 10 tokens) -> deterministic 80% train split -> "
+    "concat-and-chunk packing at a 1024-token budget. Every stage is "
+    "the registered operator; Catalyst fuses the filters and the "
+    "corpus text is scanned once and never shuffled — the only wide "
+    "rows are (doc_id, shingle) probes against the broadcast eval "
+    "set. The DuckDB oracle replays all five stages end-to-end.",
+    tags=("pipeline", "training", "dedup", "composite"),
+)
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import tokens
+    from bo_sql_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    evalset = docs.filter(F.col("doc_id") % 25 == 0)
+
+    kept_ids = D.exact_dedup(train, ["text"], "doc_id").select("doc_id")
+    deduped = train.join(kept_ids, "doc_id", "left_semi")
+    survivors, _ = D.decontaminate(deduped, evalset, k=5)
+    clean = (
+        survivors.select(
+            "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+        )
+        .filter(F.col("n_toks") >= _E2E_MIN_TOKENS)
+    )
+    sampled = SA.hash_sample(clean, "doc_id", 0.8, salt=_E2E_SALT)
+    return SA.pack_sequences(
+        sampled, "doc_id", "n_toks", budget=_E2E_BUDGET, salt=_E2E_SALT
+    )
+
+
 _PACK_BUDGET = 2048
 _PACK_SALT = 9
 
