@@ -277,6 +277,10 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Convergence probe: labels only ever DECREASE, so any change
+    # strictly lowers sum(label) — one cheap aggregate per round
+    # instead of an old-vs-new join.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -309,16 +313,11 @@ def connected_components(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            labels.alias("old")
-            .join(new_labels.alias("new"), "node")
-            .filter(F.col("old.label") != F.col("new.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     connected_components.last_rounds = rounds  # instrumentation for scale tests
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
