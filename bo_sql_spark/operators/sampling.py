@@ -122,6 +122,43 @@ def deterministic_shuffle(df: DataFrame, id_col: str, salt: int = 0) -> DataFram
     return df.orderBy(portable_hash(id_col, salt), F.col(id_col))
 
 
+def pack_sequences_sharded(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    n_shards: int,
+    salt: int = 0,
+) -> DataFrame:
+    """The 100 TB form of ``pack_sequences``: documents are first
+    routed to ``n_shards`` deterministic shards (hash of id), and the
+    concat-and-chunk layout runs INSIDE each shard — the window
+    partitions by shard, so no task ever holds more than ~corpus/
+    n_shards and shards lay out in parallel. Sequence ids are
+    namespaced per shard (shard, seq_id). Output adds the ``shard``
+    column; everything else matches pack_sequences.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash(id_col, salt)
+    shard = F.pmod(h, F.lit(n_shards)).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(F.col(id_col), F.col(n_tokens_col), h.alias("_h"), shard)
+    start = (F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)).alias("_start")
+    out = staged.select("shard", id_col, n_tokens_col, start)
+    return out.select(
+        F.col("shard").cast("long"),
+        id_col,
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        (F.col("_start") / budget).cast("long").alias("seq_id"),
+        F.pmod(F.col("_start"), F.lit(budget)).cast("long").alias("seq_offset"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str,

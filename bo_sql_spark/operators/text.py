@@ -136,3 +136,53 @@ def fingerprint(
     return hashed.groupBy(id_col).agg(
         F.min("h").alias("fp_min"), F.max("h").alias("fp_max")
     )
+
+
+# Fixed literal weights for the quality classifier stub: a real run
+# would learn these (fastText / logreg on labeled docs) and paste the
+# trained coefficients here — the serving plan is identical either way.
+QUALITY_LOGIT = {
+    "bias": -1.2,
+    "w_tok": 2.0,     # capped token-count signal
+    "w_stop": 3.0,    # stopword ratio (English-ness)
+    "w_punct": -4.0,  # punctuation density (boilerplate/code smell)
+    "w_mwl": 0.15,    # mean word length
+}
+
+
+def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-backed quality filtering, served as pure expressions.
+
+    A deterministic logistic model over the quality_score signals:
+    score = sigmoid(b + w.x). This is the serving shape for ANY linear
+    classifier over engineered features — swap the literal weights for
+    trained coefficients and nothing else changes; the whole scorer
+    stays inside whole-stage codegen (no UDF, no model server in the
+    scan path). The keep/drop label cuts on the ROUNDED score so two
+    engines computing exp() a ULP apart can never disagree on
+    membership.
+    """
+    w = QUALITY_LOGIT
+    norm = normalize_text(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(norm)
+    stop_arr = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(norm, r"[^a-z0-9 ]", ""))
+    mean_word_len = F.length(F.regexp_replace(norm, " ", "")).cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["w_tok"]) * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(w["w_stop"]) * stop_ratio
+        + F.lit(w["w_punct"]) * punct_ratio
+        + F.lit(w["w_mwl"]) * mean_word_len
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "*",
+        score.alias("q_score"),
+        F.when(score >= 0.5, "keep").otherwise("drop").alias("q_label"),
+    )

@@ -640,6 +640,50 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_classifier",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS mwl,
+               CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks) AS stop_ratio,
+               CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / greatest(length(norm), 1) AS punct_ratio
+        FROM n
+    ), scored AS (
+        SELECT doc_id, source,
+               ROUND(1.0 / (1.0 + exp(-(-1.2
+                   + 2.0 * least(n_tokens / 100.0, 1.0)
+                   + 3.0 * stop_ratio
+                   - 4.0 * punct_ratio
+                   + 0.15 * mwl))), 6) AS q_score
+        FROM m
+    )
+    SELECT doc_id, source, q_score,
+           CASE WHEN q_score >= 0.5 THEN 'keep' ELSE 'drop' END AS q_label
+    FROM scored
+    """,
+    doc="Model-backed quality filtering served as pure expressions: a "
+    "deterministic logistic model (fixed literal weights standing in "
+    "for trained coefficients) over the quality signals — "
+    "sigmoid(b + w.x) entirely inside whole-stage codegen, no UDF or "
+    "model server in the scan path. keep/drop cuts on the ROUNDED "
+    "score so a ULP of exp() divergence can't flip membership.",
+    tags=("pipeline", "text", "training"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return T.quality_classifier(t["documents"]).select(
+        "doc_id", "source", "q_score", "q_label"
+    )
+
+
+@register(
     "text_lang_id",
     oracle="""
     WITH toks AS (

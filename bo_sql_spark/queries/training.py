@@ -146,6 +146,53 @@ def shuffle_deterministic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_BUDGET = 1024
+_SHARD_SALT = 4
+_SHARDS = 8
+
+
+@register(
+    "pack_sequences_sharded",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+               {portable_hash_sql('doc_id', _SHARD_SALT)} AS h,
+               CAST({portable_hash_sql('doc_id', _SHARD_SALT)} % {_SHARDS} AS BIGINT) AS shard
+        FROM documents
+    ), laid AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS start
+        FROM toks
+    )
+    SELECT shard, doc_id, n_tokens,
+           CAST(start // {_SHARD_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start % {_SHARD_BUDGET} AS BIGINT) AS seq_offset
+    FROM laid
+    """,
+    doc="The 100 TB form of sequence packing: docs route to 8 "
+    "deterministic hash shards and the concat-and-chunk layout runs "
+    "per shard — the window partitions by shard so no task holds more "
+    "than corpus/n_shards and shards pack in parallel; sequence ids "
+    "are namespaced (shard, seq_id). The global-window variant "
+    "(pack_sequences_2048) is the single-shard special case.",
+    tags=("pipeline", "training"),
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import tokens
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return SA.pack_sequences_sharded(
+        docs, "doc_id", "n_toks",
+        budget=_SHARD_BUDGET, n_shards=_SHARDS, salt=_SHARD_SALT,
+    )
+
+
 _E2E_SALT = 13
 _E2E_THR = int(0.8 * PORTABLE_PRIME)
 _E2E_MIN_TOKENS = 10
