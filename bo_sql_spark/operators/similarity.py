@@ -332,3 +332,34 @@ def ivf_train_step(
         )
         .select("cell", F.col("n_members").cast("long"), "centroid")
     )
+
+
+def ivf_train(
+    emb: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lloyd iterations chained lazily: seed centroids -> iters x
+    (assign + means). Returns the final step's (cell, n_members,
+    centroid). Centroids are rounded to ``round_dp`` BETWEEN steps, so
+    every engine running the same recipe sees bit-identical inputs at
+    each assignment — the property that makes multi-step training
+    oracle-checkable, and in production a cheap guarantee that retrains
+    are reproducible. The whole loop is one lazy plan; nothing executes
+    until the result is consumed (persist intermediate centroids when
+    iters is large to cut plan depth)."""
+    cents = centroids
+    step = None
+    for _ in range(iters):
+        step = ivf_train_step(
+            emb, cents, id_col, vec_col, cent_id, cent_vec, round_dp
+        )
+        cents = step.select(
+            F.col("cell").alias(cent_id), F.col("centroid").alias(cent_vec)
+        )
+    return step

@@ -487,6 +487,58 @@ def similarity_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_train2",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents0 AS (
+        SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id < 16
+    ), a1 AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents0 GROUP BY vec_id
+    ), bd1 AS (
+        SELECT a1.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+        FROM a1 JOIN vecs e USING (vec_id)
+    ), dm1 AS (
+        SELECT cell, pos, AVG(x) AS m FROM bd1 GROUP BY cell, pos
+    ), cents1 AS (
+        SELECT cell AS c_id, array_agg(ROUND(m, 6) ORDER BY pos) AS cv
+        FROM dm1 GROUP BY cell
+    ), a2 AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents1 GROUP BY vec_id
+    ), bd2 AS (
+        SELECT a2.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+        FROM a2 JOIN vecs e USING (vec_id)
+    ), dm2 AS (
+        SELECT cell, pos, AVG(x) AS m, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bd2 GROUP BY cell, pos
+    )
+    SELECT cell,
+           CAST(MIN(n) AS BIGINT) AS n_members,
+           array_agg(ROUND(m, 6) ORDER BY pos) AS centroid
+    FROM dm2
+    GROUP BY cell
+    """,
+    doc="TWO chained Lloyd iterations (train-to-convergence shape): "
+    "centroids round to 6dp BETWEEN steps so both engines feed each "
+    "assignment bit-identical inputs — multi-step training stays "
+    "oracle-checkable, and production retrains stay reproducible. "
+    "Feed the result to materialize_ivf_assignment and the index the "
+    "engine serves (similarity_ivf_served) is trained entirely "
+    "in-engine.",
+    tags=("pipeline", "similarity", "training"),
+)
+def similarity_ivf_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return S.ivf_train(emb, cents, iters=2)
+
+
+@register(
     "similarity_ivf_served",
     oracle="""
     WITH cents AS (
