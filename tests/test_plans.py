@@ -90,6 +90,34 @@ def test_similarity_topk_no_sort_shuffle(spark, sf_dir):
     assert has_operator(df, "TakeOrderedAndProject")
 
 
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The corpus must probe a BROADCAST eval-shingle set (never
+    shuffle its own text) and remove hits via LEFT ANTI."""
+    text = explain_str(_df(spark, sf_dir, "decontaminate_survivors"), "simple")
+    assert "BroadcastHashJoin" in text, text
+    assert "LeftAnti" in text, text
+    assert "CartesianProduct" not in text
+
+
+def test_hash_sample_is_scan_stage_filter(spark, sf_dir):
+    """Deterministic sampling must stay a filter in the scan stage: no
+    Exchange, no Sample operator, no RNG expression."""
+    text = explain_str(_df(spark, sf_dir, "sample_hash_bernoulli"), "simple")
+    assert "Exchange" not in text, text
+    assert "Sample" not in text, text
+    assert "rand" not in text.lower(), text
+
+
+def test_asof_default_is_single_shuffle_window(spark, sf_dir):
+    """The as-of default strategy: one Exchange feeding a Window, and
+    no Python stage anywhere."""
+    df = _df(spark, sf_dir, "asof_join_purchases")
+    text = explain_str(df, "simple")
+    assert "Window" in text, text
+    assert "FlatMapCoGroupsInPandas" not in text, text
+    assert "Python" not in text, text
+
+
 @pytest.mark.parametrize(
     "name",
     ["agg_pricing_summary", "filter_predicate", "global_agg"],
