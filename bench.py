@@ -110,6 +110,24 @@ def main() -> None:
         "streaming": round(sum(times[n] for n in streaming), 4),
     }
 
+    # Streaming wall time is dominated by fixed microbatch startup, so
+    # also report replay throughput (rows/s over the events table) —
+    # regressions in the operator itself show through this number even
+    # when startup noise hides them in the wall time.
+    streaming_rows_per_sec = None
+    if streaming and tiers["streaming"] > 0:
+        try:
+            import pyarrow.parquet as pq
+
+            n_rows = pq.read_metadata(
+                os.path.join(SF_DIR, "events.parquet")
+            ).num_rows
+            streaming_rows_per_sec = round(
+                n_rows * len(streaming) / tiers["streaming"], 1
+            )
+        except Exception:
+            pass
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -125,6 +143,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "tiers": tiers,
+                "streaming_rows_per_sec": streaming_rows_per_sec,
                 "sf": sf_val,
             }
         )
