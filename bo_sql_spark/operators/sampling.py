@@ -43,10 +43,17 @@ def portable_hash(col: Column | str, salt: int = 0) -> Column:
 
 
 def portable_hash_sql(expr: str, salt: int = 0) -> str:
-    """The identical mix as DuckDB/ANSI SQL text (for oracles)."""
+    """The identical mix as DuckDB/ANSI SQL text (for oracles).
+
+    The input is CAST to BIGINT first: DuckDB types small values (and
+    prepared-statement lists) INT32, and the mix's intermediate
+    products overflow 32 bits — caught by the cross-engine property
+    test in tests/test_differential_fuzz.py."""
     add = _ADD + (salt * _SALT_MIX) % PORTABLE_PRIME
     p = PORTABLE_PRIME
-    return f"(((({expr}) % {p}) * {_MULT} + {add}) % {p} + {p}) % {p}"
+    return (
+        f"(((CAST({expr} AS BIGINT) % {p}) * {_MULT} + {add}) % {p} + {p}) % {p}"
+    )
 
 
 def hash_sample(

@@ -149,3 +149,41 @@ def test_random_grouped_agg_agrees(ctx, key, measure, pred):
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want, f"{sql}: {got[:3]} vs {want[:3]}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=30
+    ),
+    salt=st.integers(min_value=0, max_value=10_000),
+)
+def test_portable_hash_agrees_across_engines(ctx, ids, salt):
+    """Every sampling/split/shuffle decision rides on portable_hash;
+    Spark's column expression and the SQL text the oracles embed must
+    agree for ANY id, including negatives (engine % semantics differ:
+    DuckDB % is sign-of-dividend, Spark pmod is non-negative — the SQL
+    normalization must cancel that)."""
+    import duckdb
+
+    from bo_sql_spark.operators.sampling import portable_hash, portable_hash_sql
+
+    spark, _ = ctx
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", portable_hash("id", salt).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    expr = portable_hash_sql("id", salt)
+    want = dict(
+        con.execute(
+            f"SELECT id, {expr} AS h FROM (SELECT unnest(?) AS id)", [ids]
+        ).fetchall()
+    )
+    assert got == want
