@@ -43,6 +43,7 @@ PIPELINE = [
     "dedup_survivors",
     "similarity_ivf_multiprobe",
     "asof_join_purchases",
+    "training_pipeline_e2e",
 ]
 
 # Streaming tier: one bounded replay through the microbatch engine.
@@ -60,6 +61,7 @@ LARGE_OUTPUT = {
     "join_orders_customer",
     "dedup_survivors",
     "asof_join_purchases",
+    "training_pipeline_e2e",
 }
 
 

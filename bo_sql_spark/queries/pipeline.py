@@ -422,6 +422,10 @@ def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     qcol = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
     cv = F.col("c_vec").cast("array<double>")
+    # Driver-side collect is SAFE here and only here: the collected set
+    # is |centroids| = 16 rows (probe selection over the tiny centroid
+    # table, never the corpus). Do NOT copy this pattern for large
+    # centroid sets — push the probe list down as a join instead.
     probe_rows = (
         cents.select(
             "c_id",
