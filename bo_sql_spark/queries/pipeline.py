@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bo_sql_spark.catalog import load_tables
 from bo_sql_spark.functions import cosine_similarity
+from bo_sql_spark.operators import corpus_filters as CF
 from bo_sql_spark.operators import dedup as D
 from bo_sql_spark.operators import multimodal as M
 from bo_sql_spark.operators import similarity as S
@@ -1321,3 +1322,148 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "tsn", "p_event_id", F.round("p_value", 2).alias("p_value")
     )
+
+
+# ----------------------------------------------- corpus quality filters
+# Gopher/C4-family rules (operators/corpus_filters.py). No reference
+# counterpart — beyond-reference training-data surface (SURVEY.md §2.3).
+
+_TOKS_SQL = "string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')"
+_NORM_SQL = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, norm, toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE []::VARCHAR[] END AS bg,
+               length(replace(norm, ' ', '')) AS chars
+        FROM n
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) > 0
+                    THEN ROUND(chars::DOUBLE / len(toks), 6) ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(toks) > 0
+                    THEN ROUND((length(norm) - length(regexp_replace(norm, '[#…]', '', 'g')))::DOUBLE
+                               / len(toks), 6) ELSE 0.0 END AS symbol_word_ratio,
+               CAST(len(list_filter(list_distinct(toks),
+                    x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+                    AS stopword_hits,
+               CASE WHEN len(bg) > 0
+                    THEN ROUND(1 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
+                    ELSE 0.0 END AS dup_bigram_frac
+        FROM g
+    ), r AS (
+        SELECT *,
+               array_to_string(list_filter([
+                   CASE WHEN NOT (n_words >= 50 AND n_words <= 100000) THEN 'word_count' END,
+                   CASE WHEN NOT (mean_word_len >= 3.0 AND mean_word_len <= 10.0) THEN 'mean_word_len' END,
+                   CASE WHEN NOT (symbol_word_ratio <= 0.1) THEN 'symbol_ratio' END,
+                   CASE WHEN NOT (stopword_hits >= 2) THEN 'stopwords' END,
+                   CASE WHEN NOT (dup_bigram_frac <= 0.5) THEN 'repetition' END
+               ], x -> x IS NOT NULL), ',') AS drop_reasons
+        FROM s
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, stopword_hits,
+           dup_bigram_frac, drop_reasons = '' AS keep, drop_reasons
+    FROM r
+    """,
+    doc="Gopher-style rule filter (word count, mean word length, "
+    "symbol ratio, stopword presence, duplicate-bigram repetition) "
+    "with per-doc keep/drop + reasons. Pure narrow map — zero shuffle, "
+    "zero Python: the whole rule set runs inside codegen during the "
+    "scan, pruning the corpus before anything downstream shuffles.",
+    tags=("pipeline", "text", "filter"),
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return CF.gopher_keep(t["documents"]).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "stopword_hits", "dup_bigram_frac", "keep", "drop_reasons",
+    )
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) >= 2 THEN
+                   ROUND(1 - len(list_distinct(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])))::DOUBLE
+                         / (len(toks) - 1), 6)
+                   ELSE 0.0 END AS dup_bigram_frac,
+               CASE WHEN len(toks) >= 3 THEN
+                   ROUND(1 - len(list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))::DOUBLE
+                         / (len(toks) - 2), 6)
+                   ELSE 0.0 END AS dup_trigram_frac,
+               length(replace(norm, ' ', '')) AS chars
+        FROM n
+    ), t AS (
+        SELECT doc_id, unnest(toks) AS tok FROM n
+    ), c AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok
+    ), top AS (
+        SELECT doc_id, tok AS top_word, cnt AS top_word_count
+        FROM (SELECT doc_id, tok, cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, tok DESC) AS rn
+              FROM c)
+        WHERE rn = 1
+    )
+    SELECT s.doc_id, s.n_words, s.dup_bigram_frac, s.dup_trigram_frac,
+           top.top_word,
+           CAST(top.top_word_count AS BIGINT) AS top_word_count,
+           CASE WHEN s.chars > 0
+                THEN ROUND((top.top_word_count * length(top.top_word))::DOUBLE
+                           / s.chars, 6)
+                ELSE NULL END AS top_word_char_frac
+    FROM sig s JOIN top ON s.doc_id = top.doc_id
+    """,
+    doc="Per-document repetition profile: duplicate bigram/trigram "
+    "occurrence fractions (array expressions, no shuffle) + top-word "
+    "dominance (explode -> map-side-combined (doc, token) counts -> "
+    "per-doc max-struct; shuffle volume is distinct (doc, token) "
+    "pairs, not tokens). Tie-break: max count, then max token.",
+    tags=("pipeline", "text"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return CF.repetition_signals(t["documents"]).select(
+        "doc_id", "n_words", "dup_bigram_frac", "dup_trigram_frac",
+        "top_word", "top_word_count", "top_word_char_frac",
+    )
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST((u.pos - 1) // 120 AS BIGINT)               AS chunk_idx,
+           CAST(u.pos AS BIGINT)                            AS chunk_start,
+           substr(text, u.pos, 160)                         AS chunk_text,
+           CAST(length(substr(text, u.pos, 160)) AS BIGINT) AS chunk_len
+    FROM documents, UNNEST(range(1, length(text) + 1, 120)) AS u(pos)
+    """,
+    doc="Overlapping fixed-size character chunks (size 160, stride "
+    "120): the RAG / context-window packing primitive. sequence + "
+    "posexplode + substring, all codegen; fan-out ~len/stride rows "
+    "per doc is inherent to chunking. NULL/empty docs yield no chunks.",
+    tags=("pipeline", "text", "chunk"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return CF.chunk_documents(t["documents"], size=160, stride=120)
