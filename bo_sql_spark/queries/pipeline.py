@@ -621,6 +621,110 @@ def similarity_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_train_serve",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents0 AS (
+        SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id < 16
+    ), a1 AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents0 GROUP BY vec_id
+    ), bd1 AS (
+        SELECT a1.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+        FROM a1 JOIN vecs e USING (vec_id)
+    ), dm1 AS (
+        SELECT cell, pos, AVG(x) AS m FROM bd1 GROUP BY cell, pos
+    ), cents1 AS (
+        SELECT cell AS c_id, array_agg(ROUND(m, 6) ORDER BY pos) AS cv
+        FROM dm1 GROUP BY cell
+    ), a2 AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents1 GROUP BY vec_id
+    ), bd2 AS (
+        SELECT a2.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+        FROM a2 JOIN vecs e USING (vec_id)
+    ), dm2 AS (
+        SELECT cell, pos, AVG(x) AS m FROM bd2 GROUP BY cell, pos
+    ), cents2 AS (
+        SELECT cell AS c_id, array_agg(ROUND(m, 6) ORDER BY pos) AS cv
+        FROM dm2 GROUP BY cell
+    ), a3 AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents2 GROUP BY vec_id
+    ), q AS (
+        SELECT v AS qv FROM vecs WHERE vec_id = 0
+    ), probes AS (
+        SELECT c_id
+        FROM cents2 CROSS JOIN q
+        ORDER BY list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv) + list_dot_product(cv, cv), c_id
+        LIMIT 2
+    )
+    SELECT vec_id, ROUND(sim, 6) AS cos_sim
+    FROM (
+        SELECT a.vec_id,
+               list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM a3 a
+        JOIN vecs e USING (vec_id)
+        CROSS JOIN q
+        WHERE a.cell IN (SELECT c_id FROM probes) AND a.vec_id <> 0
+    )
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="IVF end-to-end, train THEN serve in one lazy plan: two Lloyd "
+    "iterations from the 16 seed vectors (centroids rounded to 6dp "
+    "between and after steps — bit-identical inputs in both engines), "
+    "then the query is answered FROM THE TRAINED centroids: assignment "
+    "by broadcast argmin, the 2 probe cells nearest the query selected "
+    "lazily and pushed down as a BROADCAST SEMI-JOIN on cell (no "
+    "driver-side probe collect — the form that still works when the "
+    "centroid table itself is too big to collect), exact cosine "
+    "top-10 inside the probed cells.",
+    tags=("pipeline", "similarity", "training", "approx"),
+)
+def similarity_ivf_train_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import dot
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents0 = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    trained = S.ivf_train(emb, cents0, iters=2)
+    cents2 = trained.select(
+        F.col("cell").alias("c_id"), F.col("centroid").alias("c_vec")
+    )
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qcol = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
+    cv = F.col("c_vec")
+    probes = (
+        cents2.select(
+            "c_id",
+            (dot(qcol, qcol) - 2 * dot(qcol, cv) + dot(cv, cv)).alias("_d2"),
+        )
+        .orderBy("_d2", "c_id")
+        .limit(2)
+        .select("c_id")
+    )
+    assigned = S.ivf_assign(emb, cents2)
+    return (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), assigned["cell"] == probes["c_id"], "left_semi")
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), qcol).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+@register(
     "similarity_bucket_histogram",
     oracle=None,  # same hyperplane-literal reason as above
     doc="LSH bucket occupancy histogram — the data-engineer's skew check "

@@ -118,6 +118,17 @@ def test_asof_default_is_single_shuffle_window(spark, sf_dir):
     assert "Python" not in text, text
 
 
+def test_ivf_train_serve_pushes_probes_as_semi_join(spark, sf_dir):
+    """The trained-serve path must push probe-cell selection down as a
+    broadcast SEMI join (never a driver collect + isin literal) and
+    keep the final top-k fused."""
+    df = _df(spark, sf_dir, "similarity_ivf_train_serve")
+    text = explain_str(df, "simple")
+    assert "LeftSemi" in text, text
+    assert "CartesianProduct" not in text, text
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
 @pytest.mark.parametrize(
     "name",
     ["agg_pricing_summary", "filter_predicate", "global_agg"],
