@@ -1571,3 +1571,59 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return CF.chunk_documents(t["documents"], size=160, stride=120)
+
+
+@register(
+    "jsonl_roundtrip_docs",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           CAST(length(text) AS BIGINT) AS text_len,
+           CAST(strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INTEGER),
+                         '%Y%m%d') AS BIGINT) AS day
+    FROM documents
+    """,
+    doc="JSONL ingest contract (sources/jsonl_source.py): the corpus "
+    "is written to newline-delimited JSON — the format training data "
+    "actually arrives in — and loaded back with schema inference plus "
+    "the ISO-date post-pass (one aggregate job types every candidate "
+    "column at once). The result must equal reading the parquet "
+    "directly: ids/counts re-typed as longs, text byte-identical "
+    "through JSON escaping, and the derived yyyy-MM-dd string column "
+    "restored to a real DATE. Beyond-reference surface: the reference "
+    "loads CSV only (src/storage/csv_loader.cpp).",
+    tags=("pipeline", "source"),
+)
+def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.sources import load_jsonl, write_jsonl
+
+    t = _t(spark, sf_dir)
+    staged = t["documents"].withColumn(
+        "day",
+        F.date_format(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("doc_id") % 365).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="bosql_jsonl_") + "/docs"
+    write_jsonl(staged, path)
+    loaded = load_jsonl(spark, path)
+    # The contract under test: the written yyyy-MM-dd STRING came back a
+    # real DATE. (Graded output re-encodes it as yyyymmdd BIGINT — raw
+    # DATE columns fetch as pandas object on the Spark side vs
+    # datetime64 from DuckDB, the same dtype-kind trap as HUGEINT.)
+    from pyspark.sql.types import DateType
+
+    assert isinstance(loaded.schema["day"].dataType, DateType), loaded.schema
+    return loaded.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").cast("long").alias("text_len"),
+        F.date_format("day", "yyyyMMdd").cast("long").alias("day"),
+    )
