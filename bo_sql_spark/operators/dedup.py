@@ -87,6 +87,31 @@ def minhash_signature(
     )
 
 
+def lsh_band_rows(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, h) — one row per document per LSH band, where h is the
+    band's slice of the signature hashed to 64 bits. The stacked form
+    every LSH consumer joins on; tiny fixed-width rows."""
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = df.select(F.col(id_col), *band_cols)
+    return banded.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h")) for b in range(bands)])
+        ).alias("bh"),
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
 def lsh_band_pairs(
     df: DataFrame,
     id_col: str,
@@ -103,19 +128,7 @@ def lsh_band_pairs(
     0.5 verify threshold. Fewer candidates (raise r) trades recall for
     verify cost.
     """
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = df.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h")) for b in range(bands)])
-        ).alias("bh"),
-    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    stacked = lsh_band_rows(df, id_col, sig_col, bands, rows_per_band)
     a = stacked.alias("a")
     b_ = stacked.alias("b")
     return (
@@ -363,6 +376,93 @@ def embedding_near_dup_pairs(
         .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+# ------------------------------------- incremental MinHash index
+def materialize_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Persist the corpus's LSH state so future batches NEVER recompute
+    it — the dedup twin of ``similarity.materialize_ivf_assignment``.
+
+    Two parquet tables under ``path``:
+    - ``bands``: (id, h) partitioned by ``band`` — what new documents
+      probe. Partitioning by band means a probe of band b prunes to one
+      directory, and rows are (id, 64-bit h): the index is a few dozen
+      bytes per corpus document regardless of document size.
+    - ``shingles``: (id, shingles) — the exact-verify side, touched only
+      for candidate ids.
+
+    At 100 TB the corpus signature pass happens ONCE here; each
+    incremental batch then costs O(batch) signature work + a join of
+    the batch's tiny band rows against the index (shuffle volume is the
+    batch side, the index is read partition-pruned per band).
+    """
+    with_sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k).filter(
+        F.col("minhash").isNotNull()
+    )
+    rows_per_band = n_hashes // bands
+    lsh_band_rows(with_sig, id_col, "minhash", bands, rows_per_band).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(path + "/bands")
+    with_sig.select(id_col, "shingles").write.mode("overwrite").parquet(
+        path + "/shingles"
+    )
+
+
+def minhash_probe_index(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and a materialized index:
+    (new_id, idx_id, jacc), exact-verified at ``threshold``.
+
+    The batch computes its own signatures (one codegen pass), its band
+    rows join the index's band table on (band, h), and only candidate
+    ids ever touch shingle sets. Signature parameters must match the
+    index build — they define the hash space.
+    """
+    new_sig = minhash_signatures(
+        new_docs, id_col, text_col, n_hashes, shingle_k
+    ).filter(F.col("minhash").isNotNull())
+    rows_per_band = n_hashes // bands
+    new_bands = lsh_band_rows(new_sig, id_col, "minhash", bands, rows_per_band).select(
+        F.col(id_col).alias("new_id"), "band", "h"
+    )
+    idx_bands = spark.read.parquet(index_path + "/bands").select(
+        F.col(id_col).alias("idx_id"), "band", "h"
+    )
+    cands = (
+        idx_bands.join(new_bands, ["band", "h"])
+        .select("new_id", "idx_id")
+        .distinct()
+    )
+    idx_sets = spark.read.parquet(index_path + "/shingles").select(
+        F.col(id_col).alias("idx_id"), F.col("shingles").alias("sh_idx")
+    )
+    new_sets = new_sig.select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_new")
+    )
+    return (
+        cands.join(idx_sets, "idx_id")
+        .join(new_sets, "new_id")
+        .withColumn("jacc", jaccard(F.col("sh_idx"), F.col("sh_new")))
+        .filter(F.col("jacc") >= threshold)
+        .select("new_id", "idx_id", "jacc")
     )
 
 

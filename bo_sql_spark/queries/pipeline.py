@@ -74,6 +74,85 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_minhash",
+    oracle=None,  # xxhash64 signatures are Spark-specific; exact twin below
+    doc="Incremental near-dup: the corpus (doc_id < 400) is indexed "
+    "ONCE — minhash band rows parquet-partitioned by band + shingle "
+    "sets (operators/dedup.py materialize_minhash_index) — and the new "
+    "batch (doc_id >= 400) probes it: batch-side signatures only, "
+    "(band, h) join against the index, exact-Jaccard verify at 0.5 on "
+    "candidates. The streaming-ingest twin of the materialized IVF "
+    "index: corpus signature work is paid once, per-batch cost is "
+    "O(batch). Rows-only (hash-seeded); exact twin "
+    "dedup_incremental_exact is the oracle-checked ground truth.",
+    tags=("pipeline", "dedup", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    path = tempfile.mkdtemp(prefix="bosql_mhidx_") + "/index"
+    D.materialize_minhash_index(docs.filter(F.col("doc_id") < 400), path)
+    return D.minhash_probe_index(
+        spark, path, docs.filter(F.col("doc_id") >= 400), threshold=0.5
+    ).select("new_id", "idx_id", F.round("jacc", 6).alias("jacc"))
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tok) >= 3
+                    THEN list_transform(range(1, len(tok) - 1),
+                                        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+                    ELSE []::VARCHAR[] END) AS s
+        FROM toks
+    )
+    SELECT b.doc_id AS new_id, a.doc_id AS idx_id,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jacc
+    FROM sh a JOIN sh b ON a.doc_id < 400 AND b.doc_id >= 400
+    WHERE len(a.s) > 0 AND len(b.s) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    doc="Ground truth for the incremental path: exact 3-word-shingle "
+    "Jaccard between every (corpus, new-batch) pair at >= 0.5 — the "
+    "pairs dedup_incremental_minhash must find (8 such pairs exist in "
+    "the sf0.01 fixture, all >= 0.9). O(corpus x batch) by "
+    "construction: verification fixture only, bounded operands.",
+    tags=("pipeline", "dedup", "incremental"),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import word_shingles
+
+    t = _t(spark, sf_dir)
+    sh = t["documents"].select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("s")
+    )
+    a = sh.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("idx_id"), F.col("s").alias("sa")
+    )
+    b = sh.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("new_id"), F.col("s").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))).cast("double")
+    return (
+        a.join(b, (F.size("sa") > 0) & (F.size("sb") > 0))
+        .withColumn("jacc_raw", inter / union)
+        .filter(F.col("jacc_raw") >= 0.5)
+        .select("new_id", "idx_id", F.round("jacc_raw", 6).alias("jacc"))
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle="""
     WITH toks AS (

@@ -67,6 +67,37 @@ def test_minhash_jaccard_value_is_exact(docs):
     assert pairs[(1, 4)] == 1.0
 
 
+def test_minhash_index_probe_matches_batch_pairs(spark, docs, tmp_path):
+    """The materialized index answers probes identically to the one-shot
+    pair pipeline restricted to (corpus x batch) pairs, and its band
+    table is written partitioned by band (band=N directories) so a
+    band-bucket probe reads one directory, not the whole index."""
+    import os
+
+    path = str(tmp_path / "mhidx")
+    corpus = docs.filter(F.col("doc_id") <= 2)  # docs 1, 2
+    batch = docs.filter(F.col("doc_id") >= 3)  # docs 3, 4
+    D.materialize_minhash_index(corpus, path)
+
+    # layout: hive band=N partitions on disk
+    band_dirs = [d for d in os.listdir(path + "/bands") if d.startswith("band=")]
+    assert len(band_dirs) >= 2, band_dirs
+
+    got = {
+        (r["new_id"], r["idx_id"]): r["jacc"]
+        for r in D.minhash_probe_index(spark, path, batch, threshold=0.1).collect()
+    }
+    # doc 4 is an exact dup of corpus doc 1 and a near-dup of 2; doc 3
+    # is unrelated and must not pair
+    assert got[(4, 1)] == 1.0
+    assert (4, 2) in got
+    assert not any(new == 3 for (new, _) in got)
+
+    # second batch probes the SAME index without a rebuild
+    again = D.minhash_probe_index(spark, path, batch, threshold=0.1).collect()
+    assert len(again) == len(got)
+
+
 def test_simhash_locality(docs, spark):
     sigs = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
     assert sigs[1] == sigs[4]  # identical docs -> identical signature
