@@ -1706,3 +1706,101 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("text_len"),
         F.date_format("day", "yyyyMMdd").cast("long").alias("day"),
     )
+
+
+# ------------------------------------------- mergeable quantile sketch
+@register(
+    "quantile_sketch_monthly",
+    # The oracle replicates the ALGORITHM, not just the answer: every
+    # step (ntile build, integer-midpoint re-bucket merge, interpolated
+    # evaluation) is deterministic integer/exact-double arithmetic over
+    # a total order, so two engines produce bit-identical centroids and
+    # estimates — a sketch you can hash-compare, unlike
+    # percentile_approx (rows-only by necessity).
+    oracle="""
+    WITH base AS (
+        SELECT CAST(strftime(l_shipdate, '%Y%m') AS BIGINT)  AS month,
+               CAST(strftime(l_shipdate, '%Y%m%d') AS BIGINT) AS ship_day,
+               l_orderkey % 4                                 AS shard,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), tiled AS (
+        SELECT month, ship_day, shard, cents,
+               ntile(32) OVER (PARTITION BY month, ship_day, shard
+                               ORDER BY cents, l_orderkey, l_linenumber) AS b
+        FROM base
+    ), daily AS (
+        SELECT month, ship_day, shard, b,
+               SUM(cents) AS s, COUNT(*) AS w
+        FROM tiled GROUP BY 1, 2, 3, 4
+    ), ordered AS (
+        SELECT month, s, w,
+               SUM(w) OVER (PARTITION BY month
+                            ORDER BY CAST(s AS DOUBLE)/w, ship_day, shard, b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+               SUM(w) OVER (PARTITION BY month) AS tw
+        FROM daily
+    ), merged AS (
+        SELECT month, ((2*cumw - w) * 32) // (2*tw) AS b,
+               SUM(s) AS s, SUM(w) AS w
+        FROM ordered GROUP BY 1, 2
+    ), m2 AS (
+        SELECT month, b, s, w,
+               SUM(w) OVER (PARTITION BY month ORDER BY CAST(s AS DOUBLE)/w, b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+               SUM(w) OVER (PARTITION BY month) AS tw,
+               ROW_NUMBER() OVER (PARTITION BY month ORDER BY CAST(s AS DOUBLE)/w, b) AS rn
+        FROM merged
+    ), c AS (
+        SELECT month, CAST(s AS DOUBLE)/w AS mean, 2*cumw - w AS mid2, tw, rn,
+               LEAD(CAST(s AS DOUBLE)/w) OVER (PARTITION BY month ORDER BY CAST(s AS DOUBLE)/w, b) AS next_mean,
+               LEAD(2*cumw - w)          OVER (PARTITION BY month ORDER BY CAST(s AS DOUBLE)/w, b) AS next_mid2
+        FROM m2
+    )
+    SELECT month, q,
+           ROUND(CASE
+             WHEN (rn = 1 AND q * 2 * tw < mid2) OR next_mid2 IS NULL THEN mean
+             ELSE mean + (q * 2 * tw - mid2) / (next_mid2 - mid2) * (next_mean - mean)
+           END / 100, 4) AS est_price
+    FROM c CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) AS qv(q)
+    WHERE (rn = 1 AND q * 2 * tw < mid2)
+       OR (mid2 <= q * 2 * tw AND (next_mid2 IS NULL OR q * 2 * tw < next_mid2))
+    """,
+    doc="Mergeable quantile sketch end-to-end: per-(day, shard) "
+    "equi-depth sketches (32 centroids) over lineitem price cents, "
+    "merged per month with integer midpoint-rank arithmetic, then "
+    "p50/p95 by t-digest-style interpolation. The 100 TB percentile "
+    "path: one partitioned sort builds the sketches, every later step "
+    "runs on O(days x shards x 32) tiny rows — months, quarters, years "
+    "roll up by re-merging centroids, never rescanning. Fully "
+    "deterministic (integral sums, total-order ntile), so this is an "
+    "oracle-HASHED approximate sketch; accuracy vs exact percentiles "
+    "is asserted in tests/test_operators.py.",
+    tags=("pipeline", "sketch", "aggregate"),
+)
+def quantile_sketch_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import quantile_sketch as Q
+
+    t = _t(spark, sf_dir)
+    base = t["lineitem"].select(
+        F.date_format("l_shipdate", "yyyyMM").cast("long").alias("month"),
+        F.date_format("l_shipdate", "yyyyMMdd").cast("long").alias("ship_day"),
+        (F.col("l_orderkey") % 4).alias("shard"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    daily = Q.build_sketch(
+        base,
+        "cents",
+        tie_cols=["l_orderkey", "l_linenumber"],
+        group_cols=["month", "ship_day", "shard"],
+        buckets=32,
+    )
+    monthly = Q.merge_sketches(
+        daily, ["month"], tie_cols=["ship_day", "shard", "_b"], buckets=32
+    )
+    return Q.sketch_quantiles(monthly, ["month"], [0.5, 0.95]).select(
+        "month", "q", F.round(F.col("est") / 100, 4).alias("est_price")
+    )

