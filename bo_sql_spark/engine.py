@@ -7,10 +7,12 @@ Reference surface parity (reference src/cli/main.cpp):
   SHOW TABLES                -> catalog listing        (main.cpp:173-187)
   DESCRIBE t                 -> schema + rows + per-column min/max/NDV
                                 (main.cpp:188-208)
-  EXPLAIN <sql>              -> the optimized/physical plan
+  EXPLAIN [MODE] <sql>       -> the optimized/physical plan
                                 (main.cpp:209-228 — reference prints its
                                 logical tree; we print Catalyst's plan,
-                                which is the honest equivalent)
+                                which is the honest equivalent). MODE is
+                                COST (statistics-annotated) | EXTENDED |
+                                CODEGEN | SIMPLE | FORMATTED (default)
   SET FORMAT markdown|csv    -> output format          (main.cpp:245-264)
   EXIT / QUIT                -> leave REPL
 
@@ -38,7 +40,10 @@ _DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _SET_FORMAT_RE = re.compile(
     r"^\s*SET\s+FORMAT\s+(markdown|csv)\s*;?\s*$", re.IGNORECASE
 )
-_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(.*)$", re.IGNORECASE | re.DOTALL)
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN(?:\s+(COST|EXTENDED|CODEGEN|FORMATTED|SIMPLE))?\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class Engine:
@@ -70,10 +75,16 @@ class Engine:
             )
         return "\n".join(lines)
 
-    def explain(self, query: str) -> str:
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """Catalyst plan text. ``mode`` maps to Spark's ExplainMode:
+        ``formatted`` (default), ``simple``, ``extended``, ``codegen``,
+        and ``cost`` — the cost mode annotates every optimized-plan node
+        with Catalyst's statistics (sizeInBytes, rowCount when ANALYZE
+        or AQE has them), so plan-size regressions are visible from the
+        same REPL verb reference users know (main.cpp:209-228)."""
         return self.sql(query)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
+                mode
             )
         )
 
@@ -101,7 +112,7 @@ class Engine:
         if m := _DESCRIBE_RE.match(text):
             return self.describe(m.group(1))
         if m := _EXPLAIN_RE.match(text):
-            return self.explain(m.group(1))
+            return self.explain(m.group(2), (m.group(1) or "formatted").lower())
         return self.format_result(self.sql(text))
 
 

@@ -73,6 +73,22 @@ def test_explain_shows_pushdown(engine):
     assert "PushedFilters" in out
 
 
+def test_explain_cost_annotates_statistics(engine):
+    out = engine.execute(
+        "EXPLAIN COST SELECT l_orderkey FROM lineitem WHERE l_quantity > 30"
+    )
+    assert "Statistics" in out and "sizeInBytes" in out
+
+
+def test_explain_mode_keyword_not_eaten(engine):
+    # a query whose first token merely STARTS with a mode word must not
+    # be parsed as a mode
+    out = engine.execute("EXPLAIN SELECT 1 AS extended_col")
+    assert "error" not in out.lower()
+    for mode in ("SIMPLE", "EXTENDED", "FORMATTED"):
+        assert "Project" in engine.execute(f"EXPLAIN {mode} SELECT 1 AS x")
+
+
 def test_load_table_roundtrip(engine, tmp_path):
     p = tmp_path / "t.csv"
     p.write_text("id,val,when\n1,2.5,20240101\n2,3.5,20240202\n")
