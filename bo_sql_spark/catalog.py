@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 # The driver-provided synthetic tables (TESTDATA.md).
 TABLES = (
@@ -85,25 +85,41 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             continue
         df = spark.read.parquet(path)
         if name == "events":
-            df = _fix_nanos_ts(df)
+            df = normalize_events(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     _registered[spark] = (sf_dir, out)
     return out
 
 
-def _fix_nanos_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent
-    (micros max). With spark.sql.legacy.parquet.nanosAsLong it arrives as
-    int64 nanos; keep the lossless ``ts_ns`` and derive a micros ``ts``.
-    Oracle-checked queries over events compare at >= second granularity
-    (epoch seconds / window starts) so the ns tail never enters a hash.
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize events to the two-column timestamp contract downstream
+    code relies on: ``ts`` timestamp (micros) + ``ts_ns`` int64 nanos.
+
+    The generator has shipped events.ts two ways across rounds:
+    - parquet TIMESTAMP(NANOS): unrepresentable in Spark (micros max);
+      with spark.sql.legacy.parquet.nanosAsLong it arrives as int64
+      nanos — keep it as ``ts_ns`` and derive a micros ``ts``.
+    - parquet timestamp[us] with isAdjustedToUTC=false: arrives as
+      TIMESTAMP_NTZ — cast to TIMESTAMP (wall-clock-preserving under
+      the pinned-UTC session, and required by streaming watermarks,
+      which reject NTZ event time), then derive ``ts_ns`` losslessly
+      as unix_micros * 1000.
+    Either way ``ts_ns DIV 1000`` is exact micros, matching the
+    oracle's ``epoch_us(ts)`` on its naive-TIMESTAMP read.
     """
-    if not isinstance(df.schema["ts"].dataType, LongType):
-        return df
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        if isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.withColumn(
+            "ts_ns", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
+        )
+    return df
 
 
 @dataclass

@@ -1759,10 +1759,14 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m2
     )
     SELECT month, q,
-           ROUND(CASE
+           -- floor(x*1e4+0.5)/1e4, NOT ROUND: engines disagree on
+           -- ROUND(double) at the half boundary (decimal-expansion
+           -- HALF_UP vs float rounding); floor is exact on the
+           -- bit-identical doubles both sides compute.
+           floor(CASE
              WHEN (rn = 1 AND q * 2 * tw < mid2) OR next_mid2 IS NULL THEN mean
              ELSE mean + (q * 2 * tw - mid2) / (next_mid2 - mid2) * (next_mean - mean)
-           END / 100, 4) AS est_price
+           END / 100 * 10000 + 0.5) / 10000 AS est_price
     FROM c CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) AS qv(q)
     WHERE (rn = 1 AND q * 2 * tw < mid2)
        OR (mid2 <= q * 2 * tw AND (next_mid2 IS NULL OR q * 2 * tw < next_mid2))
@@ -1802,5 +1806,10 @@ def quantile_sketch_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, ["month"], tie_cols=["ship_day", "shard", "_b"], buckets=32
     )
     return Q.sketch_quantiles(monthly, ["month"], [0.5, 0.95]).select(
-        "month", "q", F.round(F.col("est") / 100, 4).alias("est_price")
+        "month",
+        "q",
+        # floor-based round: mirrors the oracle bit-for-bit (see oracle
+        # comment) — F.round would HALF_UP the decimal expansion and
+        # can flip the 4th decimal vs DuckDB on half-boundary doubles.
+        (F.floor(F.col("est") / 100 * 10000 + 0.5) / 10000).alias("est_price"),
     )

@@ -11,9 +11,11 @@ batch SQL over the identical rows. In production the same pipeline
 points at Kafka/files and simply never terminates — the plan is
 unchanged, which is the point of Structured Streaming.
 
-Timestamps: events.ts is parquet TIMESTAMP(NANOS); the stream reads it
-as int64 nanos (nanosAsLong) and derives a micros ``ts``, exactly like
-the batch catalog path.
+Timestamps: events.ts has shipped as both parquet TIMESTAMP(NANOS)
+(read as int64 nanos via nanosAsLong) and timestamp[us]; the stream
+peeks the file's batch schema and normalizes to the same ``ts``
+(micros timestamp) + ``ts_ns`` (int64 nanos) contract as the batch
+catalog path (catalog.normalize_events).
 """
 
 from __future__ import annotations
@@ -27,6 +29,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from bo_sql_spark.catalog import normalize_events
 
 EVENTS_RAW_SCHEMA = StructType(
     [
@@ -43,6 +47,9 @@ EVENTS_RAW_SCHEMA = StructType(
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table (bounded file stream)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->TIMESTAMP cast in normalize_events is wall-clock-preserving
+    # only under UTC; pin it even for caller-provided sessions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Streaming disables AQE, so every stateful shuffle materializes
     # spark.sql.shuffle.partitions state stores PER MICROBATCH. Under a
     # caller-provided plain session that's the 200 default — ~200 tiny
@@ -52,16 +59,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", "16")
     # file-stream sources need a DIRECTORY; select the one table file
     # via glob filter (in production this is the landing directory that
-    # new files keep arriving into)
+    # new files keep arriving into). File streams require an explicit
+    # schema; peek the batch footer so we track whichever ts encoding
+    # (int64 nanos vs timestamp[us]) this copy of the data uses.
+    file_schema = (
+        spark.read.format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(file_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    return normalize_events(raw)
 
 
 def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:
