@@ -23,6 +23,21 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return load_tables(spark, sf_dir)
 
 
+def _fixed_point(col, scale: int):
+    """Exact fixed-point (cents/micros) as LONG: floor(x*scale + 0.5).
+
+    Identical to round-half-up for the non-negative money/rate columns
+    this schema carries, but stays pure codegen arithmetic — Spark's
+    ``round()`` on DoubleType routes every row through a BigDecimal
+    setScale (allocation in the aggregate hot loop; measured ~35% of
+    agg_pricing_summary's runtime at sf0.1). Oracles use the same
+    ``FLOOR(x * scale + 0.5)`` formula so both engines round the same
+    doubles through the same function. NOT for signed values: floor
+    rounds -0.5 toward -inf while HALF_UP rounds away from zero.
+    """
+    return F.floor(col * scale + F.lit(0.5))
+
+
 # --------------------------------------------------------------------------
 # Operator 1+3: ColumnarScan + Project (reference operator.cpp:321-386,435-559)
 # --------------------------------------------------------------------------
@@ -84,14 +99,14 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity)                                        AS sum_qty,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                                                                   AS sum_base_price_cents,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
                                                                   AS sum_disc_price_cents,
            ROUND(AVG(l_quantity), 4)                              AS avg_qty,
-           CAST(ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+           CAST(ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                       / COUNT(*), 0) AS BIGINT)                   AS avg_price_cents,
-           CAST(ROUND(CAST(SUM(CAST(ROUND(l_discount * 1000000, 0) AS BIGINT)) AS DOUBLE)
+           CAST(ROUND(CAST(SUM(CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
                       / COUNT(*), 0) AS BIGINT)                   AS avg_disc_micros,
            COUNT(*)                                               AS count_order
     FROM lineitem
@@ -102,20 +117,21 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "planner.cpp:96). Spark runs partial+final hash agg: map-side combine "
     "shrinks the shuffle to |groups|*|partitions| rows — at 100 TB the "
     "shuffle is KB-sized because there are only ~6 groups. Money/rate "
-    "aggregates are integer cents/micros (round per ROW, sum longs): "
-    "exact and summation-order-independent, so the value hash can never "
-    "flake on float merge order (ROADMAP #8); avg_qty stays double "
-    "because integer-valued doubles sum exactly at any order.",
+    "aggregates are integer cents/micros (fixed-point per ROW, sum "
+    "longs): exact and summation-order-independent, so the value hash "
+    "can never flake on float merge order (ROADMAP #8); avg_qty stays "
+    "double because integer-valued doubles sum exactly at any order. "
+    "Fixed-point uses floor(x+0.5), not round() — see _fixed_point.",
     tags=("core", "aggregate"),
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     li = t["lineitem"]
-    price_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_price_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
-    disc_micros = F.round(F.col("l_discount") * 1_000_000, 0).cast("long")
+    price_cents = _fixed_point(F.col("l_extendedprice"), 100)
+    disc_price_cents = _fixed_point(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 100
+    )
+    disc_micros = _fixed_point(F.col("l_discount"), 1_000_000)
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -202,8 +218,8 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*)                          AS n_rows,
            COUNT(l_quantity)                 AS n_qty,
            SUM(l_quantity)                   AS sum_qty,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
-           CAST(ROUND(CAST(SUM(CAST(ROUND(l_discount * 1000000, 0) AS BIGINT)) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(ROUND(CAST(SUM(CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
                       / COUNT(*), 0) AS BIGINT) AS avg_disc_micros
     FROM lineitem
     """,
@@ -214,12 +230,12 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    disc_micros = F.round(F.col("l_discount") * 1_000_000, 0).cast("long")
+    disc_micros = _fixed_point(F.col("l_discount"), 1_000_000)
     return t["lineitem"].agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("l_quantity").alias("n_qty"),
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+        F.sum(_fixed_point(F.col("l_extendedprice"), 100)).alias(
             "sum_price_cents"
         ),
         F.round(F.sum(disc_micros).cast("double") / F.count(F.lit(1)), 0)
@@ -237,7 +253,7 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name,
            SUM(l_quantity)                                   AS total_qty,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
                                                              AS revenue_cents,
            COUNT(*)                                          AS n_items
     FROM lineitem
@@ -273,9 +289,7 @@ def composite_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("l_quantity").alias("total_qty"),
             F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-                ).cast("long")
+                _fixed_point(F.col("l_extendedprice") * (1 - F.col("l_discount")), 100)
             ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -293,7 +307,7 @@ def composite_top_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_revenue_by_day",
     oracle="""
     SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS order_day,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders
     WHERE o_orderstatus = 'F'
       AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
@@ -316,11 +330,7 @@ def ref_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.date_format("o_orderdate", "yyyyMMdd").cast("long").alias("order_day")
         )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
-                "rev_cents"
-            )
-        )
+        .agg(F.sum(_fixed_point(F.col("o_totalprice"), 100)).alias("rev_cents"))
         .orderBy("order_day")
     )
 
@@ -329,7 +339,7 @@ def ref_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_top_skus",
     oracle="""
     SELECT l_partkey AS sku,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS rev_cents
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
@@ -347,9 +357,7 @@ def ref_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ref_top_skus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     rev = F.sum(
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
-            "long"
-        )
+        _fixed_point(F.col("l_extendedprice") * (1 - F.col("l_discount")), 100)
     )
     return (
         t["lineitem"]
