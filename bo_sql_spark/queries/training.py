@@ -197,6 +197,7 @@ _E2E_SALT = 13
 _E2E_THR = int(0.8 * PORTABLE_PRIME)
 _E2E_MIN_TOKENS = 10
 _E2E_BUDGET = 1024
+_E2E_SHARDS = 8
 
 
 @register(
@@ -234,14 +235,16 @@ _E2E_BUDGET = 1024
           AND len(t.tok) >= {_E2E_MIN_TOKENS}
           AND {portable_hash_sql('t.doc_id', _E2E_SALT)} < {_E2E_THR}
     ), laid AS (
-        SELECT doc_id, n_tokens,
+        SELECT CAST({portable_hash_sql('doc_id', _E2E_SALT)} % {_E2E_SHARDS} AS BIGINT) AS shard,
+               doc_id, n_tokens,
                CAST(SUM(n_tokens) OVER (
+                    PARTITION BY {portable_hash_sql('doc_id', _E2E_SALT)} % {_E2E_SHARDS}
                     ORDER BY {portable_hash_sql('doc_id', _E2E_SALT)}, doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                - n_tokens AS start
         FROM clean
     )
-    SELECT doc_id, n_tokens,
+    SELECT shard, doc_id, n_tokens,
            CAST(start // {_E2E_BUDGET} AS BIGINT) AS seq_id,
            CAST(start % {_E2E_BUDGET} AS BIGINT) AS seq_offset
     FROM laid
@@ -250,11 +253,14 @@ _E2E_BUDGET = 1024
     "(min-id per distinct text) -> benchmark decontamination (5-word "
     "shingles vs the doc_id%25 eval set, broadcast anti join) -> "
     "quality floor (>= 10 tokens) -> deterministic 80% train split -> "
-    "concat-and-chunk packing at a 1024-token budget. Every stage is "
-    "the registered operator; Catalyst fuses the filters and the "
-    "corpus text is scanned once and never shuffled — the only wide "
-    "rows are (doc_id, shingle) probes against the broadcast eval "
-    "set. The DuckDB oracle replays all five stages end-to-end.",
+    "SHARDED concat-and-chunk packing at a 1024-token budget across 8 "
+    "hash shards (the packing window partitions by shard, so no task "
+    "ever holds more than corpus/8 — the single-task global window "
+    "would be the pipeline's one scale-killer). Every stage is the "
+    "registered operator; Catalyst fuses the filters and the corpus "
+    "text is scanned once and never shuffled — the only wide rows are "
+    "(doc_id, shingle) probes against the broadcast eval set. The "
+    "DuckDB oracle replays all five stages end-to-end.",
     tags=("pipeline", "training", "dedup", "composite"),
 )
 def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,8 +281,9 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_toks") >= _E2E_MIN_TOKENS)
     )
     sampled = SA.hash_sample(clean, "doc_id", 0.8, salt=_E2E_SALT)
-    return SA.pack_sequences(
-        sampled, "doc_id", "n_toks", budget=_E2E_BUDGET, salt=_E2E_SALT
+    return SA.pack_sequences_sharded(
+        sampled, "doc_id", "n_toks",
+        budget=_E2E_BUDGET, n_shards=_E2E_SHARDS, salt=_E2E_SALT,
     )
 
 

@@ -141,3 +141,12 @@ def test_whole_stage_codegen_covers_hot_path(spark, sf_dir, name):
     text = explain_str(df, "simple")
     # '*(n)' prefixes mark WholeStageCodegen stages in simple mode
     assert "*(" in text, text
+
+
+@pytest.mark.parametrize("name", ["training_pipeline_e2e", "pack_sequences_sharded"])
+def test_packing_window_is_partitioned(spark, sf_dir, name):
+    """Sequence packing must never run a GLOBAL running-sum window (a
+    single task holding the corpus at 100 TB): the window's partition
+    spec must include the shard column."""
+    text = explain_str(_df(spark, sf_dir, name), "extended")
+    assert "windowspecdefinition(shard" in text, text
