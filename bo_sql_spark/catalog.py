@@ -119,7 +119,13 @@ def normalize_events(df: DataFrame) -> DataFrame:
         return df.withColumn(
             "ts_ns", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
         )
-    return df
+    # A third encoding must fail HERE, at load time, not later as a
+    # confusing unresolved-ts_ns error deep inside a query plan.
+    raise TypeError(
+        f"events.ts has unsupported type {ts_type.simpleString()}; expected "
+        "int64 nanos (via spark.sql.legacy.parquet.nanosAsLong), timestamp, "
+        "or timestamp_ntz"
+    )
 
 
 @dataclass

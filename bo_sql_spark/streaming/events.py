@@ -61,13 +61,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # via glob filter (in production this is the landing directory that
     # new files keep arriving into). File streams require an explicit
     # schema; peek the batch footer so we track whichever ts encoding
-    # (int64 nanos vs timestamp[us]) this copy of the data uses.
-    file_schema = (
-        spark.read.format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .schema
-    )
+    # (int64 nanos vs timestamp[us]) this copy of the data uses. When
+    # no events file exists yet (an empty landing directory is a normal
+    # streaming cold start), fall back to the int64-nanos raw schema
+    # instead of failing — the pre-peek behavior.
+    try:
+        file_schema = (
+            spark.read.format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .schema
+        )
+    except Exception:
+        file_schema = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(file_schema)
         .format("parquet")

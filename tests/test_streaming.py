@@ -110,3 +110,46 @@ def test_session_window_merges_by_gap(spark, event_file):
     assert (1, 3000, 1) in got
     # user 2: 100s/200s/300s/400s all within 10min gaps -> one session
     assert (2, 100, 4) in got
+
+
+def test_normalize_events_timestamp_and_ntz(spark, tmp_path):
+    """normalize_events must honor the two-column contract (ts timestamp
+    + ts_ns int64 nanos) for TIMESTAMP and TIMESTAMP_NTZ source columns,
+    not just the int64-nanos fixture used elsewhere in this file."""
+    import datetime
+
+    from pyspark.sql.types import TimestampType
+    from bo_sql_spark.catalog import normalize_events
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    for src_type in ("timestamp", "timestamp_ntz"):
+        df = spark.createDataFrame(
+            [(1, t0)], f"event_id long, ts {src_type}"
+        )
+        out = normalize_events(df)
+        assert isinstance(out.schema["ts"].dataType, TimestampType)
+        row = out.select(
+            "ts_ns", (F.unix_micros("ts") * F.lit(1000)).alias("expect")
+        ).first()
+        assert row["ts_ns"] == row["expect"], (src_type, row)
+
+
+def test_normalize_events_rejects_unknown_ts_type(spark):
+    from bo_sql_spark.catalog import normalize_events
+
+    df = spark.createDataFrame([(1, "2024-03-01")], "event_id long, ts string")
+    with pytest.raises(TypeError, match="events.ts"):
+        normalize_events(df)
+
+
+def test_events_stream_empty_dir_falls_back_to_raw_schema(spark, tmp_path):
+    """A landing directory with no events.parquet yet is a normal
+    streaming cold start: events_stream must construct an (empty)
+    stream on the raw int64-nanos schema instead of raising."""
+    from bo_sql_spark.streaming.events import events_stream
+
+    empty = tmp_path / "landing"
+    empty.mkdir()
+    stream = events_stream(spark, str(empty))
+    assert stream.isStreaming
+    assert "ts_ns" in stream.columns
