@@ -87,6 +87,230 @@ def _byte(c):
     return F.unhex(F.lpad(F.hex(c.cast("int")), 2, "0"))
 
 
+# ---------------------------------------------------------------- PNG codec
+# A real image codec with zero dependencies: 8-bit grayscale PNG
+# (signature + IHDR/IDAT/IEND chunks, zlib DEFLATE, all five scanline
+# filters), stdlib zlib/struct only. This replaces the
+# NotImplementedError plug point for actual PNG payloads — the `fake`
+# codec stays for header-only plumbing tests.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_encode_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode 8-bit grayscale pixels (row-major, len == width*height) as
+    a valid PNG. Each scanline uses filter type ``row % 5`` so every
+    PNG filter (None/Sub/Up/Average/Paeth) appears in any image >= 5
+    rows tall — the decoder can't pass the round trip by skipping
+    unfiltering."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = pixels[r * width : (r + 1) * width]
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(width)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(width)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 1] if i else 0, prev[i], prev[i - 1] if i else 0
+                    )
+                )
+                & 0xFF
+                for i in range(width)
+            )
+        prev = row
+    ihdr = struct.pack(">2I5B", width, height, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(blob: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit grayscale PNG -> (width, height, pixel bytes).
+
+    Full parse: signature, chunk walk with CRC verification, IDAT
+    reassembly across chunks, zlib inflate, and per-scanline
+    unfiltering of all five PNG filter types."""
+    import struct
+    import zlib
+
+    if bytes(blob[:8]) != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 12 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = bytes(blob[pos + 4 : pos + 8])
+        data = bytes(blob[pos + 8 : pos + 8 + length])
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">2I5B", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit grayscale, "
+                    f"got depth={depth} color={color})"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (width + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytes(width)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + width])
+        pos += width
+        if ft == 1:  # Sub
+            for i in range(1, width):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(width):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(width):
+                line[i] = (
+                    line[i] + (((line[i - 1] if i else 0) + prev[i]) >> 1)
+                ) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(width):
+                line[i] = (
+                    line[i]
+                    + _paeth(
+                        line[i - 1] if i else 0, prev[i], prev[i - 1] if i else 0
+                    )
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return width, height, bytes(out)
+
+
+def make_png_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (stdlib-encoded) grayscale PNG to each doc.
+
+    Deterministic content: width = n_chars%64+1, height = doc_id%48+1,
+    pixel[i] = (doc_id + i) % 256 — closed-form, so an oracle can
+    recompute every pixel statistic without any image library. Encoding
+    is an Arrow-batched mapInPandas (zlib is per-row Python work — the
+    codec leaf, same slot a Pillow encode would occupy)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id, n_chars in zip(pdf[id_col], pdf["n_chars"]):
+                w = int(n_chars) % 64 + 1
+                h = int(doc_id) % 48 + 1
+                px = bytes((int(doc_id) + i) % 256 for i in range(w * h))
+                blobs.append(png_encode_gray(w, h, px))
+            yield pd.DataFrame({"doc_id": list(pdf[id_col]), "media": blobs})
+
+    return docs.select(id_col, "n_chars").mapInPandas(
+        gen, schema="doc_id long, media binary"
+    )
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_min", LongType()),
+        StructField("pixel_max", LongType()),
+    ]
+)
+
+
+def decode_png_stats(
+    media_df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Distributed PNG decode -> per-image pixel statistics.
+
+    The real-codec counterpart of decode_image(codec='fake'): every
+    output value depends on the fully unfiltered pixel bytes, so a
+    decoder bug anywhere (chunk walk, inflate, any filter type) shows
+    up in the stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "pixel_sum", "pixel_min", "pixel_max",
+            )}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                w, h, px = png_decode_gray(bytes(blob))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(len(px))
+                out["pixel_sum"].append(sum(px))
+                out["pixel_min"].append(min(px))
+                out["pixel_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=PNG_STATS_SCHEMA)
+
+
 def decode_image(
     media_df: DataFrame,
     id_col: str = "doc_id",
@@ -119,13 +343,16 @@ def decode_image(
                     height = int.from_bytes(blob[8:12], "big")
                     payload = bytes(blob[12:])
                     media_type = "image/fake"
+                elif codec == "png":
+                    width, height, payload = png_decode_gray(bytes(blob))
+                    media_type = "image/png"
                 else:
-                    # Real codec plug point: PIL.Image.open(io.BytesIO(blob))
-                    # / torchaudio.load / av.open — not available in this
-                    # container by design.
+                    # Plug point for codecs needing external libraries
+                    # (JPEG via Pillow, audio via torchaudio, video via
+                    # av) — not available in this container by design.
                     raise NotImplementedError(
                         f"codec {codec!r} requires media libraries not present; "
-                        "use codec='fake' for plumbing tests"
+                        "use codec='png' (stdlib) or codec='fake'"
                     )
                 out["doc_id"].append(doc_id)
                 out["media_type"].append(media_type)

@@ -1813,3 +1813,39 @@ def quantile_sketch_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # can flip the 4th decimal vs DuckDB on half-boundary doubles.
         (F.floor(F.col("est") / 100 * 10000 + 0.5) / 10000).alias("est_price"),
     )
+
+
+@register(
+    "multimodal_decode_png",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 48 + 1 AS BIGINT)  AS height,
+           CAST((n_chars % 64 + 1) * (doc_id % 48 + 1) AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(
+                range(0, (n_chars % 64 + 1) * (doc_id % 48 + 1)),
+                i -> (doc_id + i) % 256)) AS BIGINT) AS pixel_sum,
+           CAST(list_min(list_transform(
+                range(0, (n_chars % 64 + 1) * (doc_id % 48 + 1)),
+                i -> (doc_id + i) % 256)) AS BIGINT) AS pixel_min,
+           CAST(list_max(list_transform(
+                range(0, (n_chars % 64 + 1) * (doc_id % 48 + 1)),
+                i -> (doc_id + i) % 256)) AS BIGINT) AS pixel_max
+    FROM documents
+    """,
+    doc="REAL image decode, no stub: each doc gets a stdlib-encoded "
+    "8-bit grayscale PNG (zlib DEFLATE, scanline filter type cycling "
+    "through all five PNG filters) with closed-form pixel content "
+    "pixel[i]=(doc_id+i)%256; decode_png_stats walks chunks, checks "
+    "CRCs, inflates, unfilters, and reports per-image pixel stats. "
+    "The oracle recomputes width/height/sum/min/max from the pixel "
+    "formula alone, so encoder and decoder must JOINTLY preserve "
+    "every pixel byte for the value hash to match. Both encode and "
+    "decode are Arrow-batched mapInPandas — the partition-parallel "
+    "codec-leaf slot a Pillow/ffmpeg codec drops into.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_png_blob_df(t["documents"])
+    return M.decode_png_stats(blobs)

@@ -514,3 +514,40 @@ def test_quantile_sketch_single_centroid_clamps(spark):
     sk = Q.build_sketch(df.withColumn("g", F.lit(1)), "v", ["id"], ["g"], 4)
     out = Q.sketch_quantiles(sk, ["g"], [0.0, 0.5, 1.0]).collect()
     assert len(out) == 3 and all(r["est"] == 42.0 for r in out)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-codec check, no Spark: >=5-row images exercise every PNG
+    scanline filter (encoder cycles row%5); decode must invert all of
+    them byte-exactly and validate signature + chunk CRCs."""
+    for w, h, seed in [(1, 1, 0), (3, 7, 5), (64, 48, 123), (17, 6, 250)]:
+        px = bytes((seed + i) % 256 for i in range(w * h))
+        blob = M.png_encode_gray(w, h, px)
+        assert blob[:8] == M.PNG_SIG
+        assert M.png_decode_gray(blob) == (w, h, px)
+    with pytest.raises(ValueError, match="signature"):
+        M.png_decode_gray(b"notapng" + bytes(24))
+    corrupted = bytearray(M.png_encode_gray(4, 4, bytes(range(16))))
+    corrupted[20] ^= 0xFF  # flip a byte inside IHDR -> CRC must fail
+    with pytest.raises(ValueError, match="CRC"):
+        M.png_decode_gray(bytes(corrupted))
+
+
+def test_png_decode_distributed(docs):
+    """decode_image(codec='png') and decode_png_stats over real PNGs
+    built by make_png_blob_df: dims and stats must match the
+    closed-form pixel definition pixel[i] = (doc_id + i) % 256."""
+    src = docs.withColumn("n_chars", F.length("text").cast("long"))
+    blobs = M.make_png_blob_df(src)
+    stats = {r["doc_id"]: r for r in M.decode_png_stats(blobs).collect()}
+    for doc_id, n_chars in src.select("doc_id", "n_chars").collect():
+        w, h = n_chars % 64 + 1, doc_id % 48 + 1
+        px = [(doc_id + i) % 256 for i in range(w * h)]
+        r = stats[doc_id]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert (r["pixel_sum"], r["pixel_min"], r["pixel_max"]) == (
+            sum(px), min(px), max(px),
+        )
+    decoded = M.decode_image(blobs, codec="png").collect()
+    assert all(r["media_type"] == "image/png" for r in decoded)
+    assert all(r["n_bytes"] == r["width"] * r["height"] for r in decoded)
