@@ -244,6 +244,123 @@ def png_decode_gray(blob: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+# ---------------------------------------------------------------- WAV codec
+# The audio sibling of the PNG codec: 16-bit mono PCM WAV, stdlib
+# struct only (RIFF container walk, fmt validation, data chunk).
+
+def wav_encode_pcm16(sample_rate: int, samples) -> bytes:
+    """Encode signed 16-bit mono PCM samples as a valid WAV file."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def wav_decode_pcm16(blob: bytes) -> tuple[int, list[int]]:
+    """Decode a 16-bit mono PCM WAV -> (sample_rate, samples).
+
+    Full RIFF chunk walk (tolerates extra chunks and pad bytes);
+    validates the fmt chunk is uncompressed 16-bit mono PCM."""
+    import struct
+
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos = 12
+    sample_rate = None
+    data = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt_code, channels, sample_rate, _rate, _align, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if (fmt_code, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    "unsupported WAV variant (need 16-bit mono PCM, got "
+                    f"fmt={fmt_code} channels={channels} bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = [s[0] for s in struct.iter_unpack("<h", data)]
+    return sample_rate, samples
+
+
+def make_wav_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (stdlib-encoded) PCM16 WAV to each doc.
+
+    Deterministic content: sample_rate = 8000 + (doc_id%4)*4000,
+    n_samples = n_chars%256 + 16, sample[i] = (doc_id*31 + i*17)%65536
+    - 32768 — closed-form, so an oracle recomputes every audio
+    statistic without any audio library."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id, n_chars in zip(pdf[id_col], pdf["n_chars"]):
+                d = int(doc_id)
+                rate = 8000 + (d % 4) * 4000
+                n = int(n_chars) % 256 + 16
+                samples = [(d * 31 + i * 17) % 65536 - 32768 for i in range(n)]
+                blobs.append(wav_encode_pcm16(rate, samples))
+            yield pd.DataFrame({"doc_id": list(pdf[id_col]), "media": blobs})
+
+    return docs.select(id_col, "n_chars").mapInPandas(
+        gen, schema="doc_id long, media binary"
+    )
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_us", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("amp_min", LongType()),
+        StructField("amp_max", LongType()),
+    ]
+)
+
+
+def decode_wav_stats(
+    media_df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Distributed WAV decode -> per-clip sample statistics (the audio
+    feature-extract leaf; every value depends on the decoded samples)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "duration_us",
+                "amp_sum", "amp_min", "amp_max",
+            )}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                rate, samples = wav_decode_pcm16(blob)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_us"].append(len(samples) * 1_000_000 // rate)
+                out["amp_sum"].append(sum(samples))
+                out["amp_min"].append(min(samples))
+                out["amp_max"].append(max(samples))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
 def make_png_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL (stdlib-encoded) grayscale PNG to each doc.
 

@@ -186,3 +186,34 @@ def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
         score.alias("q_score"),
         F.when(score >= 0.5, "keep").otherwise("drop").alias("q_label"),
     )
+
+
+# PII patterns kept to the Java-regex / RE2 COMMON SUBSET (character
+# classes, bounded quantifiers, \b word boundaries — no lookaround,
+# which RE2 lacks) so the Spark plan and a DuckDB oracle find
+# byte-identical spans.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,3}-\d{3}-\d{3}-\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+PII_ORDER = ("email", "phone", "ipv4")
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: count + redact emails, phone
+    numbers, and IPv4 addresses, entirely in JVM regex expressions (no
+    UDF — the scan-stage shape of a 100 TB corpus scrub). Emits
+    per-category counts and the redacted text; replacement runs in
+    PII_ORDER with distinct placeholder tokens."""
+    out = docs
+    red = F.col(text_col)
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            # idx=0 = the whole match (Spark defaults to capture group 1)
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn("redacted", red)

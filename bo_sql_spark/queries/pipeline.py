@@ -1849,3 +1849,109 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     blobs = M.make_png_blob_df(t["documents"])
     return M.decode_png_stats(blobs)
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+           CAST(n_chars % 256 + 16 AS BIGINT)         AS n_samples,
+           CAST((n_chars % 256 + 16) * 1000000 // (8000 + (doc_id % 4) * 4000) AS BIGINT)
+                                                      AS duration_us,
+           CAST(list_sum(list_transform(
+                range(0, n_chars % 256 + 16),
+                i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT) AS amp_sum,
+           CAST(list_min(list_transform(
+                range(0, n_chars % 256 + 16),
+                i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT) AS amp_min,
+           CAST(list_max(list_transform(
+                range(0, n_chars % 256 + 16),
+                i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT) AS amp_max
+    FROM documents
+    """,
+    doc="REAL audio decode, no stub: each doc gets a stdlib-encoded "
+    "16-bit mono PCM WAV (RIFF container, fmt validation, word-aligned "
+    "chunk walk) with closed-form samples sample[i]=(doc_id*31+i*17)"
+    "%65536-32768; decode_wav_stats parses the container and reports "
+    "rate/duration/amplitude stats. The oracle recomputes everything "
+    "from the sample formula alone, so encoder and decoder must "
+    "jointly preserve every 16-bit sample. Arrow-batched mapInPandas "
+    "on both sides — the slot a torchaudio/ffmpeg codec drops into.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_wav_blob_df(t["documents"])
+    return M.decode_wav_stats(blobs)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,3}-\d{3}-\d{3}-\d{4}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or +1-555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from ' || CAST(doc_id % 223 + 1 AS VARCHAR)
+                    || '.0.113.' || CAST(doc_id % 256 AS VARCHAR) AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text2, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text2, '{_PII_IPV4}')) AS BIGINT)  AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text2,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IPV4>', 'g'))                             AS redacted_md5,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text2,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IPV4>', 'g')) AS BIGINT)                  AS redacted_len
+    FROM aug
+    """,
+    doc="PII scrubbing (operators/text.py:redact_pii): count + redact "
+    "emails, phones, and IPv4s with pure JVM regex — the scan-stage "
+    "shape of a corpus scrub at 100 TB (no UDF, no shuffle). The "
+    "synthetic corpus contains no PII, so the query deterministically "
+    "injects one of each per doc first; the oracle replays the same "
+    "injection and the SAME regexes in DuckDB (RE2) and compares the "
+    "md5 of the redacted text — both engines must find byte-identical "
+    "spans. Patterns stay in the Java-regex/RE2 common subset.",
+    tags=("pipeline", "text"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir)["documents"]
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from "),
+            (F.col("doc_id") % 223 + 1).cast("string"),
+            F.lit(".0.113."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(aug).select(
+        "doc_id",
+        F.col("n_email").cast("long"),
+        F.col("n_phone").cast("long"),
+        F.col("n_ipv4").cast("long"),
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )

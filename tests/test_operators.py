@@ -551,3 +551,21 @@ def test_png_decode_distributed(docs):
     decoded = M.decode_image(blobs, codec="png").collect()
     assert all(r["media_type"] == "image/png" for r in decoded)
     assert all(r["n_bytes"] == r["width"] * r["height"] for r in decoded)
+
+
+def test_wav_codec_roundtrip():
+    """Pure-codec check: PCM16 round trip, extra-chunk tolerance
+    (word-aligned walk), and container validation."""
+    import struct
+
+    for rate, n, seed in [(8000, 16, 0), (16000, 271, 123), (20000, 100, 7)]:
+        samples = [(seed * 31 + i * 17) % 65536 - 32768 for i in range(n)]
+        blob = M.wav_encode_pcm16(rate, samples)
+        assert M.wav_decode_pcm16(blob) == (rate, samples)
+    blob = M.wav_encode_pcm16(8000, [1, -2, 3])
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len + pad
+    patched = blob[:12] + extra + blob[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert M.wav_decode_pcm16(patched) == (8000, [1, -2, 3])
+    with pytest.raises(ValueError, match="RIFF"):
+        M.wav_decode_pcm16(b"nota" + bytes(20))
