@@ -203,3 +203,43 @@ def pack_sequences(
         (F.col("_start") / budget).cast("long").alias("seq_id"),
         F.pmod(F.col("_start"), F.lit(budget)).cast("long").alias("seq_offset"),
     )
+
+
+def take_token_budget(
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Data-mixture sampling: per ``part_col`` group (e.g. source),
+    take documents in deterministic hash order until the group's token
+    budget is crossed — the 'N tokens of web, M tokens of code' mixing
+    step of a pretraining run.
+
+    A doc is kept iff the running total BEFORE it is under budget, so
+    every group takes the first doc that crosses the line and nothing
+    after (deterministic, gap-free). One window partitioned by group:
+    no global sort, no task holds more than one group's docs — at
+    100 TB partition counts follow the number of sources, and heavily
+    skewed sources shard the same way pack_sequences_sharded does.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash(id_col, salt)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tokens_col).over(w).alias("cum_tokens")
+    staged = df.select(part_col, id_col, F.col(n_tokens_col).cast("long"), cum)
+    return staged.filter(
+        (F.col("cum_tokens") - F.col(n_tokens_col)) < budget
+    ).select(
+        part_col,
+        id_col,
+        F.col(n_tokens_col).alias("n_tokens"),
+        F.col("cum_tokens").cast("long"),
+    )

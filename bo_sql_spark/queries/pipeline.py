@@ -1955,3 +1955,69 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("redacted")).alias("redacted_md5"),
         F.length("redacted").cast("long").alias("redacted_len"),
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE term <> '' GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * ((SELECT n_docs FROM n) * 1000000 // df.df) AS score
+        FROM tf JOIN df USING (term)
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Per-document salient terms: tf * linear-idf top-3. The idf "
+    "factor is the INTEGER (n_docs * 1e6) // df — monotone in 1/df "
+    "like ln(n/df) but exact BIGINT arithmetic, so ranking and hash "
+    "compare can never flake on libm ln() ULP differences between "
+    "engines. Plan shape at scale: explode -> two partial+final aggs "
+    "(term-grain df is vocabulary-sized, broadcast back), per-doc "
+    "window for top-3 (WindowGroupLimit trims below the shuffle).",
+    tags=("pipeline", "text"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tf") * ((F.col("n_docs") * 1_000_000) / F.col("df")).cast("long"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

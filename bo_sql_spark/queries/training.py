@@ -334,3 +334,45 @@ def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_id",
         "seq_offset",
     )
+
+
+_MIX_BUDGET = 500
+_MIX_SALT = 21
+
+
+@register(
+    "mixture_token_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), laid AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY {portable_hash_sql('doc_id', _MIX_SALT)}, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM toks
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM laid
+    WHERE cum_tokens - n_tokens < {_MIX_BUDGET}
+    """,
+    doc="Data-mixture sampling (operators/sampling.py:take_token_budget): "
+    "each source contributes documents in deterministic hash order "
+    "until its 500-token budget is crossed — the 'N tokens of web, M "
+    "tokens of code' mixing step of a pretraining run, reproducible "
+    "across engines and retries. One window partitioned by source "
+    "(no global sort); the oracle replays the identical running-sum "
+    "cut.",
+    tags=("pipeline", "training", "sampling"),
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import tokens
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return SA.take_token_budget(
+        docs, "source", "doc_id", "n_toks", budget=_MIX_BUDGET, salt=_MIX_SALT
+    )

@@ -150,3 +150,20 @@ def test_packing_window_is_partitioned(spark, sf_dir, name):
     spec must include the shard column."""
     text = explain_str(_df(spark, sf_dir, name), "extended")
     assert "windowspecdefinition(shard" in text, text
+
+
+def test_tfidf_topk_plan(spark, sf_dir):
+    """tf-idf: vocabulary-grain df must broadcast back onto tf (no
+    sort-merge join of two exploded sides) and the per-doc top-3 must
+    trim below the shuffle via WindowGroupLimit."""
+    df = _df(spark, sf_dir, "text_tfidf_topk")
+    text = explain_str(df, "simple")
+    assert "WindowGroupLimit" in text, text
+    assert "SortMergeJoin" not in text, text
+
+
+def test_mixture_budget_window_is_partitioned(spark, sf_dir):
+    """The token-budget cut must run per source (partitioned window),
+    never as a global single-task running sum."""
+    text = explain_str(_df(spark, sf_dir, "mixture_token_budget"), "extended")
+    assert "windowspecdefinition(source" in text, text
