@@ -363,3 +363,116 @@ def ivf_train(
             F.col("cell").alias(cent_id), F.col("centroid").alias(cent_vec)
         )
     return step
+
+
+# ------------------------------------------------- product quantization
+def pq_codebooks_from_seeds(
+    emb: DataFrame,
+    m: int,
+    dsub: int,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code, c_vec) PQ codebooks seeded from the first ``ks``
+    vectors' subspace slices (deterministic, oracle-replayable). A
+    production run refines each subspace's codebook with Lloyd steps —
+    exactly ``ivf_train`` applied per subspace; the encode/serve plans
+    below do not change."""
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
+    return (
+        emb.filter(F.col(id_col) < ks)
+        .select(F.col(id_col).alias("code"), F.col(vec_col).alias("v"))
+        .select("code", subs, "v")
+        .select(
+            "sub",
+            "code",
+            F.slice(F.col("v"), F.col("sub") * dsub + 1, F.lit(dsub)).alias("c_vec"),
+        )
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: each vector -> ``m`` one-byte-ish codes (its nearest
+    codeword per subspace). 64 floats become 8 small ints — the 16-32x
+    memory compression that lets an ANN index at 100 TB live in RAM.
+
+    Plan: explode each vector into m subspace slices (map-side),
+    broadcast the codebooks, argmin per (vec, sub) with the expanded
+    L2 form (sequential dots — the exact op order the DuckDB oracle
+    runs), then reassemble the code array sorted by subspace. Only
+    (id, sub, code) triples ever shuffle."""
+    from bo_sql_spark.functions import dot
+
+    parts = (
+        emb.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col(vec_col).alias("v"),
+        )
+        .select(
+            id_col,
+            "sub",
+            F.slice(F.col("v"), F.col("sub") * dsub + 1, F.lit(dsub)).alias("sv"),
+        )
+    )
+    sv, cv = F.col("sv"), F.col("c_vec")
+    d2 = dot(sv, sv) - 2 * dot(sv, cv) + dot(cv, cv)
+    best = (
+        parts.join(F.broadcast(codebooks), "sub")
+        .select(id_col, "sub", F.col("code"), d2.alias("_d2"))
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", "_d2").alias("code"))
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    m: int,
+    dsub: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    The query is NOT quantized: a (sub, code) -> partial-squared-
+    distance lookup table is computed against the full-precision query
+    slices and broadcast; each encoded vector's approximate distance is
+    the sum of its m table entries. Partials are fixed-point micros
+    (floor(pd*1e6+0.5), exact BIGINT sums — order-independent, same
+    doctrine as the money aggregates), so the ranking can never flake
+    on float merge order. Scan cost per query: |codes| * m integer
+    adds, never touching the original vectors."""
+    from bo_sql_spark.functions import dot
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qs = F.slice(q, F.col("sub") * dsub + 1, F.lit(dsub))
+    cv = F.col("c_vec")
+    pd = dot(qs, qs) - 2 * dot(qs, cv) + dot(cv, cv)
+    lut = codebooks.select(
+        "sub", "code", F.floor(pd * 1_000_000 + F.lit(0.5)).alias("pd_micro")
+    )
+    return (
+        codes.select(id_col, F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("pd_micro").alias("adc_d2_micro"))
+        .orderBy("adc_d2_micro", id_col)
+        .limit(k)
+        .select(id_col, F.col("adc_d2_micro").cast("long"))
+    )

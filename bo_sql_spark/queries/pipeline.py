@@ -2021,3 +2021,132 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+_SESS_GAP_US = 600 * 1_000_000  # 10 minutes
+
+
+@register(
+    "events_sessionize_batch",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN prev IS NULL OR tsu - prev > {_SESS_GAP_US} THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ), numbered AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT)  AS session_idx,
+           CAST(MIN(tsu) AS BIGINT)     AS session_start_us,
+           CAST(MAX(tsu) AS BIGINT)     AS session_end_us,
+           CAST(COUNT(*) AS BIGINT)     AS n_events,
+           ROUND(SUM(value), 2)         AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+    doc="Batch sessionization (the batch twin of stream_session_windows' "
+    "session_window): per user, a new session starts when the gap to "
+    "the previous event exceeds 10 minutes; session_idx is the per-user "
+    "running count of session starts. Gap math runs on exact integer "
+    "microseconds (ts_ns DIV 1000), so both engines cut sessions on "
+    "identical boundaries. Two per-user windows (lag + running sum) "
+    "then one groupBy — everything partitions by user_id, the natural "
+    "key at 100 TB; no global sort.",
+    tags=("pipeline", "events"),
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "value",
+        # integer DIV: ts_ns exceeds 2^53, float division is off-by-1us
+        F.expr("ts_ns DIV 1000").alias("tsu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("tsu").over(w).isNull()
+            | (F.col("tsu") - F.lag("tsu").over(w) > _SESS_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(
+            F.min("tsu").cast("long").alias("session_start_us"),
+            F.max("tsu").cast("long").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "similarity_pq_adc",
+    oracle="""
+    WITH seeds AS (
+        SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 16
+    ), subs AS (
+        SELECT unnest(range(0, 8)) AS sub
+    ), cb AS (
+        SELECT sub, code, list_slice(v, sub*8 + 1, sub*8 + 8) AS c_vec
+        FROM seeds CROSS JOIN subs
+    ), q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), lut AS (
+        SELECT sub, code,
+               CAST(FLOOR((list_dot_product(qs, qs) - 2*list_dot_product(qs, c_vec)
+                           + list_dot_product(c_vec, c_vec)) * 1000000 + 0.5) AS BIGINT) AS pd_micro
+        FROM (SELECT sub, code, c_vec, list_slice(qv, sub*8 + 1, sub*8 + 8) AS qs
+              FROM cb CROSS JOIN q)
+    ), parts AS (
+        SELECT e.vec_id, s.sub,
+               list_slice(CAST(e.embedding AS DOUBLE[]), s.sub*8 + 1, s.sub*8 + 8) AS sv
+        FROM embeddings e CROSS JOIN subs s
+    ), best AS (
+        SELECT p.vec_id, p.sub,
+               arg_min(c.code, list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.c_vec)
+                               + list_dot_product(c.c_vec, c.c_vec)) AS code
+        FROM parts p JOIN cb c USING (sub)
+        GROUP BY p.vec_id, p.sub
+    ), adc AS (
+        SELECT b.vec_id, CAST(SUM(l.pd_micro) AS BIGINT) AS adc_d2_micro
+        FROM best b JOIN lut l USING (sub, code)
+        GROUP BY b.vec_id
+    )
+    SELECT vec_id, adc_d2_micro FROM adc
+    ORDER BY adc_d2_micro, vec_id LIMIT 10
+    """,
+    doc="Product quantization end-to-end (operators/similarity.py:"
+    "pq_encode/pq_adc_topk): 64-d vectors compress to 8 subspace codes "
+    "(seeded codebooks; production refines them with ivf_train per "
+    "subspace), then a query is answered by ADC — a broadcast (sub, "
+    "code)->partial-distance LUT summed per encoded vector, never "
+    "touching the original vectors. The 16-32x index compression that "
+    "keeps a 100 TB ANN index resident. Partial distances are exact "
+    "fixed-point micros so the BIGINT sums are order-independent; the "
+    "oracle replays codebooks, encode argmin, LUT, and the ADC sum.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"]
+    m, dsub = 8, 8
+    cb = S.pq_codebooks_from_seeds(emb, m=m, dsub=dsub, ks=16)
+    codes = S.pq_encode(emb, cb, m=m, dsub=dsub)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return S.pq_adc_topk(codes, cb, qvec, m=m, dsub=dsub, k=10)

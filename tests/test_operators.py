@@ -569,3 +569,25 @@ def test_wav_codec_roundtrip():
     assert M.wav_decode_pcm16(patched) == (8000, [1, -2, 3])
     with pytest.raises(ValueError, match="RIFF"):
         M.wav_decode_pcm16(b"nota" + bytes(20))
+
+
+def test_pq_encode_and_adc(spark):
+    """PQ: codes are m small ints; ADC ranks the query vector's own
+    encoding at distance rank 1 (its per-subspace codes are exact
+    matches of the seeded codebook when the query is a seed vector)."""
+    from bo_sql_spark.operators import similarity as S
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) for j in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, dsub, ks = 4, 4, 8
+    cb = S.pq_codebooks_from_seeds(emb, m=m, dsub=dsub, ks=ks)
+    assert cb.count() == m * ks
+    codes = S.pq_encode(emb, cb, m=m, dsub=dsub)
+    out = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert len(out) == 40
+    assert all(len(c) == m and all(0 <= x < ks for x in c) for c in out.values())
+    # seed vectors encode to their own code in every subspace
+    assert out[3] == [3] * m
+    qvec = [float((3 * 7 + j * 3) % 13) for j in range(16)]
+    top = S.pq_adc_topk(codes, cb, qvec, m=m, dsub=dsub, k=5).collect()
+    assert top[0]["adc_d2_micro"] == 0  # exact codeword hit

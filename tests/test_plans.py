@@ -167,3 +167,13 @@ def test_mixture_budget_window_is_partitioned(spark, sf_dir):
     never as a global single-task running sum."""
     text = explain_str(_df(spark, sf_dir, "mixture_token_budget"), "extended")
     assert "windowspecdefinition(source" in text, text
+
+
+def test_pq_adc_plan(spark, sf_dir):
+    """PQ/ADC must broadcast the codebooks and the LUT (no cartesian,
+    no sort-merge join); only (id, sub, code) triples shuffle."""
+    df = _df(spark, sf_dir, "similarity_pq_adc")
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text, text
+    assert "SortMergeJoin" not in text, text
+    assert text.count("BroadcastHashJoin") >= 2, text
