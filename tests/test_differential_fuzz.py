@@ -187,3 +187,59 @@ def test_portable_hash_agrees_across_engines(ctx, ids, salt):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.sampled_from(list("ab c\t\n")), max_size=40
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=5),
+)
+def test_word_shingles_matches_python_reference(spark, texts, k):
+    """The zip_with-chain word_shingles must agree with a direct Python
+    reference (normalize -> split -> k-gram -> distinct, single partial
+    gram for short docs, [] for NULL/empty) on arbitrary whitespace-y
+    inputs — guards the chained-slice rewrite's edge cases."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.functions import word_shingles
+
+    def ref(text):
+        if text is None:
+            return []
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(toks) <= k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        seen, out = set(), []
+        for g in grams:
+            if g and g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", word_shingles(F.col("text"), k).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (t, k, got[i], ref(t))
