@@ -476,3 +476,137 @@ def pq_adc_topk(
         .limit(k)
         .select(id_col, F.col("adc_d2_micro").cast("long"))
     )
+
+
+def vec_sub(a: Column, b: Column) -> Column:
+    """Elementwise difference of two array columns."""
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    dsub: int,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-PQ index build: coarse cell + PQ codes of the RESIDUAL.
+
+    The production ANN layout (FAISS IVFPQ): each vector stores its
+    coarse cell id and m subspace codes of (v - centroid[cell]) —
+    residuals are small, so the same codebook budget quantizes them
+    much more accurately than raw vectors. Returns (encoded, codebooks)
+    where encoded = (id, cell, codes).
+
+    Distributed shape: one broadcast-centroid argmin (ivf_assign), one
+    broadcast join to subtract the centroid, then pq_encode on the
+    residual column — vectors shuffle once for the assignment groupBy,
+    codes/ids shuffle after; codebooks (m*ks rows) are data, not
+    driver state."""
+    from bo_sql_spark.functions import dot
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, cent_id, cent_vec)
+    cent = centroids.select(
+        F.col(cent_id).alias("cell"), F.col(cent_vec).alias("_cv")
+    )
+    resid = assigned.join(F.broadcast(cent), "cell").select(
+        id_col, "cell", vec_sub(F.col(vec_col), F.col("_cv")).alias("r")
+    )
+    codebooks = pq_codebooks_from_seeds(
+        resid, m=m, dsub=dsub, ks=ks, id_col=id_col, vec_col="r"
+    )
+    # pq_encode with the cell carried through both aggregations (cell
+    # is functionally dependent on id, so first() is exact) — avoids a
+    # corpus-wide rejoin of codes with the assignment.
+    parts = (
+        resid.select(
+            F.col(id_col),
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("r"),
+        )
+        .select(
+            id_col,
+            "cell",
+            "sub",
+            F.slice(F.col("r"), F.col("sub") * dsub + 1, F.lit(dsub)).alias("sv"),
+        )
+    )
+    sv, cw = F.col("sv"), F.col("c_vec")
+    d2 = dot(sv, sv) - 2 * dot(sv, cw) + dot(cw, cw)
+    best = (
+        parts.join(F.broadcast(codebooks), "sub")
+        .select(id_col, "cell", "sub", F.col("code"), d2.alias("_d2"))
+        .groupBy(id_col, "sub")
+        .agg(
+            F.min_by("code", "_d2").alias("code"),
+            F.first("cell").alias("cell"),
+        )
+    )
+    encoded = best.groupBy(id_col).agg(
+        F.first("cell").alias("cell"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes"),
+    )
+    return encoded, codebooks
+
+
+def ivfpq_adc_topk(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    m: int,
+    dsub: int,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF-PQ query: probe the n_probe nearest cells, ADC on residuals.
+
+    Probe selection is IN-ENGINE (top-n_probe centroids by L2 to the
+    query -> broadcast semi/inner joins), no driver collect. The LUT is
+    per (cell, sub, code): partial distance between the query's
+    PER-CELL residual slice (q - centroid[cell]) and each codeword —
+    n_probe * m * ks rows, broadcast. Partials are fixed-point micros
+    (exact BIGINT sums). Scan cost: |probed codes| * m integer adds."""
+    from bo_sql_spark.functions import dot
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cv = F.col(cent_vec)
+    d2 = dot(q, q) - 2 * dot(q, cv) + dot(cv, cv)
+    probed = (
+        centroids.select(F.col(cent_id).alias("cell"), cv.alias("_cv"), d2.alias("_d2"))
+        .orderBy("_d2", "cell")
+        .limit(n_probe)
+    )
+    # per-cell query residual, sliced per subspace, against every codeword
+    qr = vec_sub(q, F.col("_cv"))
+    qs = F.slice(qr, F.col("sub") * dsub + 1, F.lit(dsub))
+    cw = F.col("c_vec")
+    pd = dot(qs, qs) - 2 * dot(qs, cw) + dot(cw, cw)
+    lut = (
+        codebooks.crossJoin(F.broadcast(probed))
+        .select(
+            "cell", "sub", "code",
+            F.floor(pd * 1_000_000 + F.lit(0.5)).alias("pd_micro"),
+        )
+    )
+    return (
+        encoded.join(F.broadcast(probed.select("cell")), "cell")
+        .select(id_col, "cell", F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("pd_micro").alias("adc_d2_micro"))
+        .orderBy("adc_d2_micro", id_col)
+        .limit(k)
+        .select(id_col, F.col("adc_d2_micro").cast("long"))
+    )

@@ -591,3 +591,26 @@ def test_pq_encode_and_adc(spark):
     qvec = [float((3 * 7 + j * 3) % 13) for j in range(16)]
     top = S.pq_adc_topk(codes, cb, qvec, m=m, dsub=dsub, k=5).collect()
     assert top[0]["adc_d2_micro"] == 0  # exact codeword hit
+
+
+def test_ivfpq_encode_and_adc(spark):
+    """IVF-PQ: encoded rows carry (cell, m codes); a seed vector's
+    residual is the zero vector, so it PQ-encodes to its own codeword
+    everywhere and ADC ranks it at distance 0 when queried."""
+    from bo_sql_spark.operators import similarity as S
+    import pyspark.sql.functions as F
+
+    rows = [(i, [float((i * 5 + j * 2) % 11) for j in range(16)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    m, dsub = 4, 4
+    encoded, cb = S.ivfpq_encode(emb, cents, m=m, dsub=dsub, ks=8)
+    out = {r["vec_id"]: r for r in encoded.collect()}
+    assert len(out) == 30
+    assert all(len(r["codes"]) == m for r in out.values())
+    qvec = [float((2 * 5 + j * 2) % 11) for j in range(16)]  # = vector 2, a centroid
+    top = S.ivfpq_adc_topk(encoded, cb, cents, qvec, m=m, dsub=dsub, n_probe=2, k=5)
+    first = top.collect()[0]
+    assert first["vec_id"] == 2 and first["adc_d2_micro"] == 0

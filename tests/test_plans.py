@@ -177,3 +177,13 @@ def test_pq_adc_plan(spark, sf_dir):
     assert "CartesianProduct" not in text, text
     assert "SortMergeJoin" not in text, text
     assert text.count("BroadcastHashJoin") >= 2, text
+
+
+def test_ivfpq_adc_plan(spark, sf_dir):
+    """IVF-PQ must stay broadcast-only: no cartesian, no sort-merge
+    join (the encode carries the cell through its aggregations instead
+    of rejoining codes with the assignment corpus-wide)."""
+    df = _df(spark, sf_dir, "similarity_ivfpq_adc")
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text, text
+    assert "SortMergeJoin" not in text, text
