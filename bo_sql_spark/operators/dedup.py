@@ -498,3 +498,48 @@ def decontaminate(
     )
     survivors = train.join(contaminated, id_col, "left_anti")
     return survivors, contaminated
+
+
+def contamination_ratio(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-train-doc contamination RATIO: |shingles ∩ eval| / |shingles|.
+
+    The graded refinement of boolean ``decontaminate``: pipelines drop
+    at a threshold (e.g. > 0.1) instead of on any single hit, which
+    keeps docs that merely quote a benchmark line. Same scale shape —
+    eval's distinct shingles broadcast, the corpus scans once; the
+    per-doc totals and hit counts are one aggregation over the
+    exploded (id, shingle) stream (map-side combinable).
+    """
+    from bo_sql_spark.functions import word_shingles
+
+    tr_sh = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    ev_sh = (
+        evalset.select(F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            # integer per-mille: exact in both engines, no float ratio
+            F.floor(F.col("n_hits") * 1000 / F.col("n_shingles"))
+            .cast("long")
+            .alias("contamination_permille"),
+        )
+    )

@@ -2235,3 +2235,51 @@ def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_adc_topk(
         encoded, cb, cents, qvec, m=m, dsub=dsub, n_probe=2, k=10
     )
+
+
+@register(
+    "decontaminate_overlap_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       CASE WHEN len(tok) <= 5 THEN [1]
+                            ELSE range(1, len(tok) - 5 + 2) END,
+                       i -> array_to_string(tok[i:i+4], ' ')))) AS shingle
+            FROM toks
+        )
+        WHERE shingle IS NOT NULL AND shingle <> ''
+    ), ev AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0
+    ), scored AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM sh s LEFT JOIN ev e USING (shingle)
+        WHERE s.doc_id % 25 <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_hits,
+           CAST(FLOOR(n_hits * 1000 / n_shingles) AS BIGINT) AS contamination_permille
+    FROM scored
+    """,
+    doc="Contamination RATIO per train doc (operators/dedup.py:"
+    "contamination_ratio): |5-word shingles shared with the doc_id%25 "
+    "eval set| / |doc shingles|, as integer per-mille — the graded "
+    "refinement of boolean decontamination (pipelines drop at a "
+    "threshold instead of on any single hit). Same scale shape as "
+    "decontaminate: broadcast eval shingles, one corpus scan, map-side "
+    "combinable counts.",
+    tags=("pipeline", "dedup", "training"),
+)
+def decontaminate_overlap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    evalset = docs.filter(F.col("doc_id") % 25 == 0)
+    return D.contamination_ratio(train, evalset, k=5)
