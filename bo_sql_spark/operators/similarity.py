@@ -610,3 +610,27 @@ def ivfpq_adc_topk(
         .limit(k)
         .select(id_col, F.col("adc_d2_micro").cast("long"))
     )
+
+
+def append_ivf_assignment(
+    emb_batch: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new batch and
+    APPEND it to the materialized cell-partitioned store — no rebuild.
+
+    Coarse assignment is per-row independent, so base + appended
+    batches is byte-equivalent to re-indexing the full corpus (proven
+    in tests/test_scale_ops.py). At 100 TB this is the ingest path:
+    each arriving batch costs O(batch * centroids), the index store
+    only ever grows by new files inside existing cell directories, and
+    every serving query (``ivf_topk_served``) is unchanged. Pairs with
+    the MinHash incremental index (dedup.py:minhash_probe_index) as
+    the streaming-corpus story."""
+    assigned = ivf_assign(emb_batch, centroids, id_col, vec_col, cent_id, cent_vec)
+    assigned.write.mode("append").partitionBy("cell").parquet(path)

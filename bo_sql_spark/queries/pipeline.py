@@ -2283,3 +2283,60 @@ def decontaminate_overlap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 25 != 0)
     evalset = docs.filter(F.col("doc_id") % 25 == 0)
     return D.contamination_ratio(train, evalset, k=5)
+
+
+@register(
+    "similarity_ivf_incremental",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id,
+               list_dot_product(v, v) - 2*list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    )
+    SELECT a.vec_id, ROUND(
+               list_dot_product(e.v, q.v)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+    FROM assigned a
+    JOIN vecs e USING (vec_id)
+    CROSS JOIN (SELECT v FROM vecs WHERE vec_id = 0) q
+    WHERE a.cell = (SELECT cell FROM assigned WHERE vec_id = 0)
+      AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    doc="Incremental IVF index maintenance (operators/similarity.py:"
+    "append_ivf_assignment): the base corpus (vec_id >= 50) is indexed "
+    "and materialized once; the new batch (vec_id < 50) is assigned "
+    "alone and APPENDED into the cell-partitioned store — no rebuild, "
+    "no touch of existing files. The query then serves from the "
+    "combined store. Because coarse assignment is per-row independent, "
+    "the result must equal a full re-index — the oracle computes the "
+    "full-corpus assignment directly, so any divergence between "
+    "append-path and rebuild-path fails the hash.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    base = emb.filter(F.col("vec_id") >= 50)
+    batch = emb.filter(F.col("vec_id") < 50)
+    path = tempfile.mkdtemp(prefix="bosql_ivf_incr_") + "/assignment"
+    S.materialize_ivf_assignment(base, cents, path)
+    S.append_ivf_assignment(batch, cents, path)
+    assigned = spark.read.parquet(path)
+    qrow = assigned.filter(F.col("vec_id") == 0).first()
+    return S.ivf_topk_served(
+        spark, path,
+        [float(x) for x in qrow["embedding"]],
+        query_cells=[qrow["cell"]],
+        k=10,
+        exclude_id=0,
+    ).select("vec_id", "cos_sim")

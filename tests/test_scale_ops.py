@@ -151,3 +151,28 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_ivf_incremental_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Appending a batch's assignment to the materialized store must be
+    row-identical to re-indexing the full corpus (coarse assignment is
+    per-row independent) — the no-rebuild ingest invariant."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators import similarity as S
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    incr = str(tmp_path / "incr")
+    full = str(tmp_path / "full")
+    S.materialize_ivf_assignment(emb.filter(F.col("vec_id") >= 50), cents, incr)
+    S.append_ivf_assignment(emb.filter(F.col("vec_id") < 50), cents, incr)
+    S.materialize_ivf_assignment(emb, cents, full)
+
+    a = spark.read.parquet(incr).select("vec_id", "cell")
+    b = spark.read.parquet(full).select("vec_id", "cell")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
