@@ -373,16 +373,22 @@ def pq_codebooks_from_seeds(
     ks: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_from: int = 0,
 ) -> DataFrame:
-    """(sub, code, c_vec) PQ codebooks seeded from the first ``ks``
-    vectors' subspace slices (deterministic, oracle-replayable). A
-    production run refines each subspace's codebook with Lloyd steps —
-    exactly ``ivf_train`` applied per subspace; the encode/serve plans
-    below do not change."""
+    """(sub, code, c_vec) PQ codebooks seeded from ``ks`` vectors' (ids
+    ``seed_from..seed_from+ks``) subspace slices, codes renumbered from
+    0 (deterministic, oracle-replayable). A production run refines each
+    subspace's codebook with Lloyd steps — exactly ``ivf_train``
+    applied per subspace; the encode/serve plans below do not change.
+    ``seed_from`` matters when seeding from RESIDUALS: the residuals of
+    the coarse-centroid seed vectors themselves are zero vectors, so an
+    IVF-PQ codebook must be seeded past them (see ivfpq_encode)."""
     subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
     return (
-        emb.filter(F.col(id_col) < ks)
-        .select(F.col(id_col).alias("code"), F.col(vec_col).alias("v"))
+        emb.filter(
+            (F.col(id_col) >= seed_from) & (F.col(id_col) < seed_from + ks)
+        )
+        .select((F.col(id_col) - seed_from).alias("code"), F.col(vec_col).alias("v"))
         .select("code", subs, "v")
         .select(
             "sub",
@@ -516,8 +522,13 @@ def ivfpq_encode(
     resid = assigned.join(F.broadcast(cent), "cell").select(
         id_col, "cell", vec_sub(F.col(vec_col), F.col("_cv")).alias("r")
     )
+    # Seed the residual codebooks PAST the coarse-centroid seed ids:
+    # those vectors' residuals are exactly zero, so seeding from them
+    # yields a degenerate all-zero codebook (measured recall collapse,
+    # tools_ann_recall.py). Assumes centroid seeds occupy ids < ks.
     codebooks = pq_codebooks_from_seeds(
-        resid, m=m, dsub=dsub, ks=ks, id_col=id_col, vec_col="r"
+        resid, m=m, dsub=dsub, ks=ks, id_col=id_col, vec_col="r",
+        seed_from=ks,
     )
     # pq_encode with the cell carried through both aggregations (cell
     # is functionally dependent on id, so first() is exact) — avoids a

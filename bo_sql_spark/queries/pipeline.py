@@ -2173,8 +2173,10 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), subs AS (
         SELECT unnest(range(0, 8)) AS sub
     ), cb AS (
-        SELECT s.sub, r.vec_id AS code, list_slice(r.r, s.sub*8 + 1, s.sub*8 + 8) AS c_vec
-        FROM resid r CROSS JOIN subs s WHERE r.vec_id < 16
+        -- residual codebooks seed PAST the centroid ids (their own
+        -- residuals are zero vectors): ids 16..31, codes 0..15
+        SELECT s.sub, r.vec_id - 16 AS code, list_slice(r.r, s.sub*8 + 1, s.sub*8 + 8) AS c_vec
+        FROM resid r CROSS JOIN subs s WHERE r.vec_id >= 16 AND r.vec_id < 32
     ), best AS (
         SELECT p.vec_id, p.sub, arg_min(c.code,
                list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.c_vec)

@@ -594,9 +594,10 @@ def test_pq_encode_and_adc(spark):
 
 
 def test_ivfpq_encode_and_adc(spark):
-    """IVF-PQ: encoded rows carry (cell, m codes); a seed vector's
-    residual is the zero vector, so it PQ-encodes to its own codeword
-    everywhere and ADC ranks it at distance 0 when queried."""
+    """IVF-PQ: encoded rows carry (cell, m codes); residual codebooks
+    seed PAST the centroid ids (whose residuals are zero), so a
+    codebook-seed vector's residual IS a codeword — querying by that
+    vector must rank it first at ADC distance exactly 0."""
     from bo_sql_spark.operators import similarity as S
     import pyspark.sql.functions as F
 
@@ -605,12 +606,15 @@ def test_ivfpq_encode_and_adc(spark):
     cents = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    m, dsub = 4, 4
-    encoded, cb = S.ivfpq_encode(emb, cents, m=m, dsub=dsub, ks=8)
+    m, dsub, ks = 4, 4, 8
+    encoded, cb = S.ivfpq_encode(emb, cents, m=m, dsub=dsub, ks=ks)
     out = {r["vec_id"]: r for r in encoded.collect()}
     assert len(out) == 30
     assert all(len(r["codes"]) == m for r in out.values())
-    qvec = [float((2 * 5 + j * 2) % 11) for j in range(16)]  # = vector 2, a centroid
+    # no degenerate all-zero codebook: some codeword must be nonzero
+    assert any(any(x != 0.0 for x in r["c_vec"]) for r in cb.collect())
+    qid = 10  # residual-codebook seed range is ids 8..15
+    qvec = [float((qid * 5 + j * 2) % 11) for j in range(16)]
     top = S.ivfpq_adc_topk(encoded, cb, cents, qvec, m=m, dsub=dsub, n_probe=2, k=5)
     first = top.collect()[0]
-    assert first["vec_id"] == 2 and first["adc_d2_micro"] == 0
+    assert first["vec_id"] == qid and first["adc_d2_micro"] == 0
