@@ -2342,3 +2342,83 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         exclude_id=0,
     ).select("vec_id", "cos_sim")
+
+
+@register(
+    "similarity_ivf_stream_ingest",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id,
+               list_dot_product(v, v) - 2*list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    )
+    SELECT a.vec_id, ROUND(
+               list_dot_product(e.v, q.v)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+    FROM assigned a
+    JOIN vecs e USING (vec_id)
+    CROSS JOIN (SELECT v FROM vecs WHERE vec_id = 0) q
+    WHERE a.cell = (SELECT cell FROM assigned WHERE vec_id = 0)
+      AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    doc="STREAMING IVF ingest: embeddings arrive as a bounded file "
+    "stream and each microbatch's coarse assignment is APPENDED to the "
+    "cell-partitioned store via foreachBatch (availableNow drain; "
+    "maxFilesPerTrigger=1, so a multi-file landing directory ingests "
+    "one file per microbatch — the graded single-file fixture drains "
+    "in one batch, and the multi-batch path is unit-tested against a "
+    "full rebuild) — the arrival path of a live ANN index; serving "
+    "(ivf_topk_served) is unchanged. Because "
+    "assignment is per-row independent and append-only, the drained "
+    "store must equal a full re-index regardless of how rows were "
+    "batched — the oracle computes the full-corpus assignment "
+    "directly, so batching artifacts fail the hash.",
+    tags=("pipeline", "similarity", "streaming"),
+)
+def similarity_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb_batch = _t(spark, sf_dir)["embeddings"]
+    cents = emb_batch.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = tempfile.mkdtemp(prefix="bosql_ivf_stream_") + "/assignment"
+
+    stream = (
+        spark.readStream.schema(emb_batch.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        S.append_ivf_assignment(batch_df, cents, path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation",
+            os.path.join(os.path.dirname(path), "checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assigned = spark.read.parquet(path)
+    qrow = assigned.filter(F.col("vec_id") == 0).first()
+    return S.ivf_topk_served(
+        spark, path,
+        [float(x) for x in qrow["embedding"]],
+        query_cells=[qrow["cell"]],
+        k=10,
+        exclude_id=0,
+    ).select("vec_id", "cos_sim")

@@ -176,3 +176,50 @@ def test_ivf_incremental_append_equals_full_rebuild(spark, sf_dir, tmp_path):
     b = spark.read.parquet(full).select("vec_id", "cell")
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivf_stream_ingest_multibatch_equals_rebuild(spark, sf_dir, tmp_path):
+    """Streaming IVF ingest over a MULTI-file landing dir (one file per
+    microbatch via maxFilesPerTrigger=1) must produce a store identical
+    to a full batch re-index — batching cannot leak into the index."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators import similarity as S
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    landing = str(tmp_path / "landing")
+    # 4 files -> 4 microbatches
+    emb.repartition(4).write.parquet(landing)
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(landing)
+    )
+    n_batches = []
+
+    def ingest(batch_df, batch_id):
+        n_batches.append(batch_id)
+        S.append_ivf_assignment(batch_df, cents, store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(n_batches) >= 4, n_batches
+
+    full = str(tmp_path / "full")
+    S.materialize_ivf_assignment(emb, cents, full)
+    a = spark.read.parquet(store).select("vec_id", "cell")
+    b = spark.read.parquet(full).select("vec_id", "cell")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
