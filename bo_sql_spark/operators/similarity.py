@@ -645,3 +645,65 @@ def append_ivf_assignment(
     the streaming-corpus story."""
     assigned = ivf_assign(emb_batch, centroids, id_col, vec_col, cent_id, cent_vec)
     assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def pq_train_step(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration over ALL PQ subspaces in a single plan.
+
+    The per-subspace twin of ivf_train_step with (sub, code) keys:
+    slices assign to their nearest codeword (broadcast argmin), new
+    codewords are per-(sub, code, dim) means — shuffle rows are tiny
+    partials, never vectors — reassembled sorted by dim and rounded to
+    ``round_dp`` so float summation order can't flake a comparison
+    (SCALE.md measures what training buys: recall 0.14 -> 0.17 at
+    ks=16, and the ks axis dominates — 0.40 at trained ks=256).
+    Returns (sub, code, n_members, c_vec); codewords that attracted no
+    members drop out, same as empty IVF cells.
+    """
+    from bo_sql_spark.functions import dot
+
+    parts = (
+        emb.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col(vec_col).alias("v"),
+        )
+        .select(
+            id_col,
+            "sub",
+            F.slice(F.col("v").cast("array<double>"), F.col("sub") * dsub + 1,
+                    F.lit(dsub)).alias("sv"),
+        )
+    )
+    sv, cw = F.col("sv"), F.col("c_vec")
+    d2 = dot(sv, sv) - 2 * dot(sv, cw) + dot(cw, cw)
+    best = (
+        parts.join(F.broadcast(codebooks), "sub")
+        .select(id_col, "sub", F.col("code"), F.col("sv"), d2.alias("_d2"))
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", "_d2").alias("code"), F.first("sv").alias("sv"))
+    )
+    by_dim = (
+        best.select("sub", "code", F.posexplode("sv"))
+        .groupBy("sub", "code", "pos")
+        .agg(F.avg("col").alias("mu"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        by_dim.groupBy("sub", "code")
+        .agg(
+            F.first("n").alias("n_members"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda x: F.round(x["mu"], round_dp),
+            ).alias("c_vec"),
+        )
+        .select("sub", "code", F.col("n_members").cast("long"), "c_vec")
+    )

@@ -2422,3 +2422,78 @@ def similarity_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         exclude_id=0,
     ).select("vec_id", "cos_sim")
+
+
+@register(
+    "similarity_pq_trained",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), subs AS (
+        SELECT unnest(range(0, 8)) AS sub
+    ), dims AS (
+        SELECT unnest(range(1, 9)) AS pos
+    ), cb0 AS (
+        SELECT s.sub, ve.vec_id AS code, list_slice(ve.v, s.sub*8 + 1, s.sub*8 + 8) AS cw
+        FROM vecs ve CROSS JOIN subs s WHERE ve.vec_id < 16
+    ), parts AS (
+        SELECT ve.vec_id, s.sub, list_slice(ve.v, s.sub*8 + 1, s.sub*8 + 8) AS sv
+        FROM vecs ve CROSS JOIN subs s
+    ), a0 AS (
+        SELECT p.vec_id, p.sub, arg_min(c.code,
+               list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.cw)
+               + list_dot_product(c.cw, c.cw)) AS code
+        FROM parts p JOIN cb0 c USING (sub)
+        GROUP BY p.vec_id, p.sub
+    ), cb1 AS (
+        SELECT sub, code, array_agg(ROUND(mu, 6) ORDER BY pos) AS cw
+        FROM (
+            SELECT a.sub, a.code, d.pos, AVG(p.sv[d.pos]) AS mu
+            FROM a0 a
+            JOIN parts p ON a.vec_id = p.vec_id AND a.sub = p.sub
+            CROSS JOIN dims d
+            GROUP BY a.sub, a.code, d.pos
+        )
+        GROUP BY sub, code
+    ), enc AS (
+        SELECT p.vec_id, p.sub, arg_min(c.code,
+               list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.cw)
+               + list_dot_product(c.cw, c.cw)) AS code
+        FROM parts p JOIN cb1 c USING (sub)
+        GROUP BY p.vec_id, p.sub
+    ), q AS (
+        SELECT v AS qv FROM vecs WHERE vec_id = 0
+    ), lut AS (
+        SELECT c.sub, c.code,
+               CAST(FLOOR((list_dot_product(qs, qs) - 2*list_dot_product(qs, c.cw)
+                           + list_dot_product(c.cw, c.cw)) * 1000000 + 0.5) AS BIGINT) AS pd_micro
+        FROM (SELECT sub, code, cw, list_slice(qv, sub*8 + 1, sub*8 + 8) AS qs
+              FROM cb1 CROSS JOIN q) c
+    ), adc AS (
+        SELECT e.vec_id, CAST(SUM(l.pd_micro) AS BIGINT) AS adc_d2_micro
+        FROM enc e JOIN lut l USING (sub, code)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, adc_d2_micro FROM adc
+    ORDER BY adc_d2_micro, vec_id LIMIT 10
+    """,
+    doc="PQ with IN-ENGINE trained codebooks (operators/similarity.py:"
+    "pq_train_step): seed codebooks take one Lloyd step — slices "
+    "assign to nearest codewords (broadcast argmin), new codewords are "
+    "per-(sub, code, dim) means rounded to 6dp so both engines feed "
+    "the encode bit-identical books — then the corpus is encoded with "
+    "the trained books and a query answered by ADC. Closes the "
+    "training loop the seed-codebook queries leave open (SCALE.md "
+    "measures what it buys); all m subspaces train in ONE plan with "
+    "(sub, code) keys, shuffling only tiny per-dim partials.",
+    tags=("pipeline", "similarity", "training", "approx"),
+)
+def similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"]
+    m, dsub = 8, 8
+    cb0 = S.pq_codebooks_from_seeds(emb, m=m, dsub=dsub, ks=16)
+    cb1 = S.pq_train_step(emb, cb0, m=m, dsub=dsub).select("sub", "code", "c_vec")
+    codes = S.pq_encode(emb, cb1, m=m, dsub=dsub)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return S.pq_adc_topk(codes, cb1, qvec, m=m, dsub=dsub, k=10)
