@@ -2497,3 +2497,46 @@ def similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
     return S.pq_adc_topk(codes, cb1, qvec, m=m, dsub=dsub, k=10)
+
+
+@register(
+    "multimodal_resize_png",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+               CAST(doc_id % 48 + 1 AS BIGINT)  AS h
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, w, h,
+               greatest(1, (w * 16 + greatest(w, h) - 1) // greatest(w, h)) AS nw,
+               greatest(1, (h * 16 + greatest(w, h) - 1) // greatest(w, h)) AS nh
+        FROM dims
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(nw AS BIGINT) AS new_width, CAST(nh AS BIGINT) AS new_height,
+           CAST(list_sum(list_transform(range(0, nw * nh),
+                i -> (doc_id + ((i // nw) * h // nh) * w + ((i % nw) * w // nw)) % 256))
+                AS BIGINT) AS pixel_sum,
+           CAST(list_min(list_transform(range(0, nw * nh),
+                i -> (doc_id + ((i // nw) * h // nh) * w + ((i % nw) * w // nw)) % 256))
+                AS BIGINT) AS pixel_min,
+           CAST(list_max(list_transform(range(0, nw * nh),
+                i -> (doc_id + ((i // nw) * h // nh) * w + ((i % nw) * w // nw)) % 256))
+                AS BIGINT) AS pixel_max
+    FROM sized
+    """,
+    doc="REAL image resize (operators/multimodal.py:resize_png): decode "
+    "the actual PNG, nearest-neighbor resample the longest side to 16 "
+    "px (aspect-preserving integer-ceil dims), report stats of the "
+    "RESAMPLED pixels — src(r,c) = pixels[(r*h)//nh * w + (c*w)//nw]. "
+    "The oracle recomputes every resampled pixel from the closed-form "
+    "source formula, so decode + resample must both be byte-exact; "
+    "this upgrades multimodal_resize (dimension math only) to a full "
+    "pixel-path operation.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_png_blob_df(t["documents"])
+    return M.resize_png(blobs, max_side=16)
