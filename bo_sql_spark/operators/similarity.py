@@ -398,6 +398,17 @@ def pq_codebooks_from_seeds(
     )
 
 
+def _argmin_code() -> Column:
+    """Deterministic argmin over (_d2, code): lexicographic struct-min,
+    so an exact distance tie always resolves to the SMALLEST code in
+    both engines (oracle twin: ``(min({'d': d2, 'c': code})).c``).
+    Ties are real, not measure-zero — pq_codebooks_from_seeds can emit
+    duplicate codewords when two seed vectors share a subspace slice —
+    and plain min_by/arg_min resolve them by row-encounter order,
+    which is not stable across partitionings or engines."""
+    return F.min(F.struct(F.col("_d2").alias("d"), F.col("code").alias("c")))["c"]
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: DataFrame,
@@ -435,7 +446,7 @@ def pq_encode(
         parts.join(F.broadcast(codebooks), "sub")
         .select(id_col, "sub", F.col("code"), d2.alias("_d2"))
         .groupBy(id_col, "sub")
-        .agg(F.min_by("code", "_d2").alias("code"))
+        .agg(_argmin_code().alias("code"))
     )
     return best.groupBy(id_col).agg(
         F.transform(
@@ -554,7 +565,7 @@ def ivfpq_encode(
         .select(id_col, "cell", "sub", F.col("code"), d2.alias("_d2"))
         .groupBy(id_col, "sub")
         .agg(
-            F.min_by("code", "_d2").alias("code"),
+            _argmin_code().alias("code"),
             F.first("cell").alias("cell"),
         )
     )
@@ -661,8 +672,12 @@ def pq_train_step(
     The per-subspace twin of ivf_train_step with (sub, code) keys:
     slices assign to their nearest codeword (broadcast argmin), new
     codewords are per-(sub, code, dim) means — shuffle rows are tiny
-    partials, never vectors — reassembled sorted by dim and rounded to
-    ``round_dp`` so float summation order can't flake a comparison
+    partials, never vectors — reassembled sorted by dim. Means are
+    computed in FIXED POINT (sum of floor(x*1e6+0.5) micros as BIGINT,
+    then one double divide by count), so partial-aggregate merge order
+    can never flip a codeword by an ulp — both engines produce
+    bit-identical codebooks (``round_dp`` is retained for API compat
+    but superseded: micros fix the resolution at 6dp)
     (SCALE.md measures what training buys: recall 0.14 -> 0.17 at
     ks=16, and the ks axis dominates — 0.40 at trained ks=256).
     Returns (sub, code, n_members, c_vec); codewords that attracted no
@@ -689,20 +704,26 @@ def pq_train_step(
         parts.join(F.broadcast(codebooks), "sub")
         .select(id_col, "sub", F.col("code"), F.col("sv"), d2.alias("_d2"))
         .groupBy(id_col, "sub")
-        .agg(F.min_by("code", "_d2").alias("code"), F.first("sv").alias("sv"))
+        .agg(_argmin_code().alias("code"), F.first("sv").alias("sv"))
     )
     by_dim = (
         best.select("sub", "code", F.posexplode("sv"))
         .groupBy("sub", "code", "pos")
-        .agg(F.avg("col").alias("mu"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.floor(F.col("col") * 1_000_000 + F.lit(0.5)).cast("long")
+            ).alias("s_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     return (
         by_dim.groupBy("sub", "code")
         .agg(
             F.first("n").alias("n_members"),
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
-                lambda x: F.round(x["mu"], round_dp),
+                F.array_sort(F.collect_list(F.struct("pos", "s_micro", "n"))),
+                lambda x: F.floor(x["s_micro"] / x["n"] + F.lit(0.5))
+                / F.lit(1_000_000.0),
             ).alias("c_vec"),
         )
         .select("sub", "code", F.col("n_members").cast("long"), "c_vec")

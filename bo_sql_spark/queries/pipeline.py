@@ -2010,7 +2010,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id", "term", "tf", "df",
-            (F.col("tf") * ((F.col("n_docs") * 1_000_000) / F.col("df")).cast("long"))
+            (F.col("tf") * F.expr("(n_docs * 1000000L) DIV df"))
             .cast("long")
             .alias("score"),
         )
@@ -2119,8 +2119,8 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e CROSS JOIN subs s
     ), best AS (
         SELECT p.vec_id, p.sub,
-               arg_min(c.code, list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.c_vec)
-                               + list_dot_product(c.c_vec, c.c_vec)) AS code
+               (min({'d': list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.c_vec)
+                          + list_dot_product(c.c_vec, c.c_vec), 'c': c.code})).c AS code
         FROM parts p JOIN cb c USING (sub)
         GROUP BY p.vec_id, p.sub
     ), adc AS (
@@ -2178,9 +2178,9 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.sub, r.vec_id - 16 AS code, list_slice(r.r, s.sub*8 + 1, s.sub*8 + 8) AS c_vec
         FROM resid r CROSS JOIN subs s WHERE r.vec_id >= 16 AND r.vec_id < 32
     ), best AS (
-        SELECT p.vec_id, p.sub, arg_min(c.code,
+        SELECT p.vec_id, p.sub, (min({'d':
                list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.c_vec)
-               + list_dot_product(c.c_vec, c.c_vec)) AS code
+               + list_dot_product(c.c_vec, c.c_vec), 'c': c.code})).c AS code
         FROM (SELECT r.vec_id, s.sub, list_slice(r.r, s.sub*8 + 1, s.sub*8 + 8) AS sv
               FROM resid r CROSS JOIN subs s) p
         JOIN cb c USING (sub)
@@ -2440,15 +2440,19 @@ def similarity_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ve.vec_id, s.sub, list_slice(ve.v, s.sub*8 + 1, s.sub*8 + 8) AS sv
         FROM vecs ve CROSS JOIN subs s
     ), a0 AS (
-        SELECT p.vec_id, p.sub, arg_min(c.code,
+        SELECT p.vec_id, p.sub, (min({'d':
                list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.cw)
-               + list_dot_product(c.cw, c.cw)) AS code
+               + list_dot_product(c.cw, c.cw), 'c': c.code})).c AS code
         FROM parts p JOIN cb0 c USING (sub)
         GROUP BY p.vec_id, p.sub
     ), cb1 AS (
-        SELECT sub, code, array_agg(ROUND(mu, 6) ORDER BY pos) AS cw
+        SELECT sub, code,
+               array_agg(CAST(FLOOR(s_micro / n + 0.5) AS BIGINT) / 1000000.0
+                         ORDER BY pos) AS cw
         FROM (
-            SELECT a.sub, a.code, d.pos, AVG(p.sv[d.pos]) AS mu
+            SELECT a.sub, a.code, d.pos,
+                   SUM(CAST(FLOOR(p.sv[d.pos] * 1000000 + 0.5) AS BIGINT)) AS s_micro,
+                   COUNT(*) AS n
             FROM a0 a
             JOIN parts p ON a.vec_id = p.vec_id AND a.sub = p.sub
             CROSS JOIN dims d
@@ -2456,9 +2460,9 @@ def similarity_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY sub, code
     ), enc AS (
-        SELECT p.vec_id, p.sub, arg_min(c.code,
+        SELECT p.vec_id, p.sub, (min({'d':
                list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.cw)
-               + list_dot_product(c.cw, c.cw)) AS code
+               + list_dot_product(c.cw, c.cw), 'c': c.code})).c AS code
         FROM parts p JOIN cb1 c USING (sub)
         GROUP BY p.vec_id, p.sub
     ), q AS (

@@ -64,7 +64,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (int64 nanos vs timestamp[us]) this copy of the data uses. When
     # no events file exists yet (an empty landing directory is a normal
     # streaming cold start), fall back to the int64-nanos raw schema
-    # instead of failing — the pre-peek behavior.
+    # instead of failing — the pre-peek behavior. Only the two
+    # cold-start error classes fall back; a corrupt file or permission
+    # error must fail loudly at load time, not stream a wrong schema.
+    from pyspark.errors import AnalysisException
+
     try:
         file_schema = (
             spark.read.format("parquet")
@@ -72,7 +76,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(sf_dir)
             .schema
         )
-    except Exception:
+    except AnalysisException as exc:
+        cold_start = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+        err_class = getattr(exc, "getErrorClass", lambda: None)()
+        if err_class not in cold_start and not any(
+            c in str(exc) for c in cold_start
+        ):
+            raise
         file_schema = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(file_schema)
