@@ -89,6 +89,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     query_cells: list[int] | None = None,
+    probe_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat search: scan only the query's cell(s), exact cosine inside.
 
@@ -97,13 +98,29 @@ def ivf_topk(
     sf0.1 fixture, recall@10 goes 0.27 -> 0.55 from 1 to 4 probes of 16
     cells (SCALE.md "ANN recall, measured"). Centroids are caller-
     provided (trained offline at scale; fixed sample vectors in tests).
+
+    ``probe_cells`` is the fully in-engine alternative to
+    ``query_cells``: a one-column DataFrame of cell ids (e.g.
+    ``centroids.orderBy(d2, c_id).limit(p)``) consumed as a broadcast
+    LEFT SEMI join against the assignment — probe selection never
+    touches the driver, so the whole query is one lazy plan.
     """
-    cells = query_cells if query_cells is not None else [query_cell]
-    assert centroids is not None and cells[0] is not None
+    assert centroids is not None
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    if probe_cells is not None:
+        probe_col = probe_cells.columns[0]
+        filtered = assigned.join(
+            F.broadcast(probe_cells.select(F.col(probe_col).alias("cell"))),
+            "cell",
+            "left_semi",
+        )
+    else:
+        cells = query_cells if query_cells is not None else [query_cell]
+        assert cells[0] is not None
+        filtered = assigned.filter(F.col("cell").isin(cells))
     return (
-        assigned.filter(F.col("cell").isin(cells))
+        filtered
         .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("_cos"))
         .orderBy(F.col("_cos").desc(), F.col(id_col))
         .limit(k)

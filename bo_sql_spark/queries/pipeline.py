@@ -502,24 +502,23 @@ def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     qcol = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
     cv = F.col("c_vec").cast("array<double>")
-    # Driver-side collect is SAFE here and only here: the collected set
-    # is |centroids| = 16 rows (probe selection over the tiny centroid
-    # table, never the corpus). Do NOT copy this pattern for large
-    # centroid sets — push the probe list down as a join instead.
-    probe_rows = (
+    # Probe selection is IN-ENGINE: top-4 centroids by L2 feed a
+    # broadcast LEFT SEMI join inside ivf_topk — no driver collect, the
+    # whole query is one lazy plan (probe choice is deterministic
+    # either way: same expanded-L2 op order, ties to smallest c_id).
+    probes = (
         cents.select(
             "c_id",
             (dot(qcol, qcol) - 2 * dot(qcol, cv) + dot(cv, cv)).alias("_d2"),
         )
         .orderBy("_d2", "c_id")
         .limit(4)
-        .collect()
+        .select("c_id")
     )
-    probes = [r["c_id"] for r in probe_rows]
     return S.ivf_topk(
         emb.filter(F.col("vec_id") != 0),
         qvec,
-        query_cells=probes,
+        probe_cells=probes,
         k=10,
         centroids=cents,
     )

@@ -129,6 +129,22 @@ def test_ivf_train_serve_pushes_probes_as_semi_join(spark, sf_dir):
     assert has_operator(df, "TakeOrderedAndProject")
 
 
+def test_ivf_multiprobe_probe_selection_in_engine(spark, sf_dir):
+    """Multi-probe's probe selection is IN-ENGINE: top-4 centroids feed
+    a broadcast LEFT SEMI join — never a driver collect + isin literal.
+    The registered query source must contain no .collect()."""
+    import inspect
+
+    from bo_sql_spark.queries.pipeline import similarity_ivf_multiprobe
+
+    assert ".collect()" not in inspect.getsource(similarity_ivf_multiprobe)
+    df = _df(spark, sf_dir, "similarity_ivf_multiprobe")
+    text = explain_str(df, "simple")
+    assert "LeftSemi" in text, text
+    assert "CartesianProduct" not in text, text
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
 @pytest.mark.parametrize(
     "name",
     ["agg_pricing_summary", "filter_predicate", "global_agg"],
