@@ -2423,9 +2423,10 @@ def similarity_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cos_sim")
 
 
-@register(
-    "similarity_pq_trained",
-    oracle="""
+# One oracle body serves every trained-PQ codebook size: __KS__ is the
+# only axis (ks=16 keeps the historical CORRECTNESS key; ks=256 is the
+# standard 8-bit PQ the recall table grades).
+_PQ_TRAINED_ORACLE = """
     WITH vecs AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), subs AS (
@@ -2434,7 +2435,7 @@ def similarity_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(range(1, 9)) AS pos
     ), cb0 AS (
         SELECT s.sub, ve.vec_id AS code, list_slice(ve.v, s.sub*8 + 1, s.sub*8 + 8) AS cw
-        FROM vecs ve CROSS JOIN subs s WHERE ve.vec_id < 16
+        FROM vecs ve CROSS JOIN subs s WHERE ve.vec_id < __KS__
     ), parts AS (
         SELECT ve.vec_id, s.sub, list_slice(ve.v, s.sub*8 + 1, s.sub*8 + 8) AS sv
         FROM vecs ve CROSS JOIN subs s
@@ -2479,11 +2480,27 @@ def similarity_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, adc_d2_micro FROM adc
     ORDER BY adc_d2_micro, vec_id LIMIT 10
-    """,
+    """
+
+
+def _pq_trained(spark: SparkSession, sf_dir: str, ks: int) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"]
+    m, dsub = 8, 8
+    cb0 = S.pq_codebooks_from_seeds(emb, m=m, dsub=dsub, ks=ks)
+    cb1 = S.pq_train_step(emb, cb0, m=m, dsub=dsub).select("sub", "code", "c_vec")
+    codes = S.pq_encode(emb, cb1, m=m, dsub=dsub)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return S.pq_adc_topk(codes, cb1, qvec, m=m, dsub=dsub, k=10)
+
+
+@register(
+    "similarity_pq_trained",
+    oracle=_PQ_TRAINED_ORACLE.replace("__KS__", "16"),
     doc="PQ with IN-ENGINE trained codebooks (operators/similarity.py:"
     "pq_train_step): seed codebooks take one Lloyd step — slices "
     "assign to nearest codewords (broadcast argmin), new codewords are "
-    "per-(sub, code, dim) means rounded to 6dp so both engines feed "
+    "per-(sub, code, dim) fixed-point means so both engines feed "
     "the encode bit-identical books — then the corpus is encoded with "
     "the trained books and a query answered by ADC. Closes the "
     "training loop the seed-codebook queries leave open (SCALE.md "
@@ -2492,14 +2509,25 @@ def similarity_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "similarity", "training", "approx"),
 )
 def similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir)["embeddings"]
-    m, dsub = 8, 8
-    cb0 = S.pq_codebooks_from_seeds(emb, m=m, dsub=dsub, ks=16)
-    cb1 = S.pq_train_step(emb, cb0, m=m, dsub=dsub).select("sub", "code", "c_vec")
-    codes = S.pq_encode(emb, cb1, m=m, dsub=dsub)
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    qvec = [float(x) for x in qrow["embedding"]]
-    return S.pq_adc_topk(codes, cb1, qvec, m=m, dsub=dsub, k=10)
+    return _pq_trained(spark, sf_dir, ks=16)
+
+
+@register(
+    "similarity_pq_trained256",
+    oracle=_PQ_TRAINED_ORACLE.replace("__KS__", "256"),
+    doc="Standard 8-bit PQ: the same one-plan Lloyd train -> encode -> "
+    "ADC pipeline as similarity_pq_trained but at ks=256 codewords per "
+    "subspace — the config every production PQ index uses and the one "
+    "the recall table grades (recall@10 0.40 at ks=256 vs 0.14 at "
+    "ks=16 on the sf0.1 fixture, SCALE.md; floor asserted in "
+    "tests/test_scale_ops.py). Codebooks stay broadcast-sized (m * ks "
+    "= 2048 rows of 8 doubles); corpus-side cost is unchanged in shape "
+    "— the argmin fan-out is ks per (vec, sub), still map-side against "
+    "a broadcast table, so the plan scales exactly like ks=16.",
+    tags=("pipeline", "similarity", "training", "approx"),
+)
+def similarity_pq_trained256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_trained(spark, sf_dir, ks=256)
 
 
 @register(

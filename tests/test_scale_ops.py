@@ -223,3 +223,51 @@ def test_ivf_stream_ingest_multibatch_equals_rebuild(spark, sf_dir, tmp_path):
     b = spark.read.parquet(full).select("vec_id", "cell")
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pq_trained256_recall_floor(spark, sf_dir):
+    """Quality gate for the graded trained-PQ config: codes and
+    codebooks produced by the ENGINE (ks=256, one Lloyd step — exactly
+    what similarity_pq_trained256 runs) must hold recall@10 >= 0.35
+    against exact L2 on the fixture. Catches degenerate codebooks
+    (duplicate codewords, a broken train step) that still hash-match a
+    symbolic oracle but would serve garbage neighbors."""
+    import numpy as np
+
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators import similarity as S
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    m, dsub, ks, k = 8, 8, 256, 10
+    cb0 = S.pq_codebooks_from_seeds(emb, m=m, dsub=dsub, ks=ks)
+    cb1 = S.pq_train_step(emb, cb0, m=m, dsub=dsub).select("sub", "code", "c_vec")
+    codes_df = S.pq_encode(emb, cb1, m=m, dsub=dsub)
+
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
+    )
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    idx = {v: i for i, v in enumerate(ids)}
+    cb = np.zeros((m, ks, dsub))
+    present = np.zeros((m, ks), dtype=bool)
+    for r in cb1.collect():
+        cb[r["sub"], r["code"]] = r["c_vec"]
+        present[r["sub"], r["code"]] = True
+    codes = np.zeros((len(ids), m), dtype=np.int64)
+    for r in codes_df.collect():
+        codes[idx[r["vec_id"]]] = r["codes"]
+    assert present.any(1).all(), "a subspace lost every codeword"
+
+    recalls = []
+    for qi in range(25):
+        lut = np.stack(
+            [((cb[s] - V[qi, s * dsub:(s + 1) * dsub]) ** 2).sum(1) for s in range(m)]
+        )
+        adc = lut[np.arange(m)[None, :], codes].sum(1)
+        got = [i for i in np.argsort(adc, kind="stable") if i != qi][:k]
+        d2 = ((V - V[qi]) ** 2).sum(1)
+        want = set([i for i in np.argsort(d2, kind="stable") if i != qi][:k])
+        recalls.append(len(set(got) & want) / k)
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.35, f"recall@10 {mean_recall:.3f} below floor"
