@@ -651,6 +651,57 @@ def ivfpq_adc_topk(
     )
 
 
+def materialize_ivfpq_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    m: int,
+    dsub: int,
+    ks: int = 16,
+) -> None:
+    """Persist a full IVF-PQ index: residual PQ codes as parquet
+    PARTITIONED BY cell, codebooks beside them.
+
+    The IVF-PQ twin of ``materialize_ivf_assignment``: encoding costs a
+    full corpus scan + per-(vec, sub) argmin, so paying it inside every
+    query makes each query O(corpus). Materialized once, the 100 TB
+    corpus is encoded exactly once per (re)build; stored codes are m
+    bytes-ish per vector (32x+ compression), and the cell partitioning
+    turns every serve-time probe filter into partition pruning."""
+    encoded, cb = ivfpq_encode(emb, centroids, m=m, dsub=dsub, ks=ks)
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+    cb.write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def ivfpq_topk_served(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    m: int,
+    dsub: int,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Answer one ANN query from a materialized IVF-PQ index.
+
+    Probe selection stays IN-ENGINE (``ivfpq_adc_topk``'s top-n_probe
+    centroid join), and because the stored codes are partitioned by
+    cell, Spark turns the broadcast probe join into DYNAMIC PARTITION
+    PRUNING — the scan reads only the probed cells' directories
+    (``dynamicpruningexpression`` on PartitionFilters, pinned by
+    tests/test_scale_ops.py) with no driver collect anywhere. Serve
+    cost per query: |probed codes| * m integer adds over an already-
+    encoded store."""
+    codes = spark.read.parquet(path + "/codes")
+    codebooks = spark.read.parquet(path + "/codebooks")
+    return ivfpq_adc_topk(
+        codes, codebooks, centroids, query_vec,
+        m=m, dsub=dsub, n_probe=n_probe, k=k, id_col=id_col,
+    )
+
+
 def append_ivf_assignment(
     emb_batch: DataFrame,
     centroids: DataFrame,

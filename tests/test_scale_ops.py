@@ -271,3 +271,45 @@ def test_pq_trained256_recall_floor(spark, sf_dir):
         recalls.append(len(set(got) & want) / k)
     mean_recall = float(np.mean(recalls))
     assert mean_recall >= 0.35, f"recall@10 {mean_recall:.3f} below floor"
+
+
+def test_ivfpq_served_prunes_partitions(spark, tmp_path):
+    """The materialized IVF-PQ index must serve probes via DYNAMIC
+    partition pruning: probe selection is an in-engine top-n_probe
+    join (no driver collect), and because the code store is
+    partitioned by cell, that join shows up as a
+    dynamicpruningexpression on the scan's PartitionFilters — only the
+    probed cells' directories are read."""
+    import numpy as np
+
+    from bo_sql_spark.operators.similarity import (
+        ivfpq_topk_served,
+        materialize_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = str(tmp_path / "ivfpq")
+    materialize_ivfpq_index(emb, cents, path, m=4, dsub=2, ks=4)
+
+    served = ivfpq_topk_served(
+        spark, path, cents, vecs[0][1], m=4, dsub=2, n_probe=2, k=5
+    )
+    text = explain_str(served, "formatted")
+    assert "dynamicpruningexpression" in text, text
+    pf = [
+        ln for ln in text.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert pf, text
+    rows = served.collect()
+    assert 0 < len(rows) <= 5
+    # two queries, one index build: both served from the same path
+    other = ivfpq_topk_served(
+        spark, path, cents, vecs[1][1], m=4, dsub=2, n_probe=1, k=5
+    )
+    assert 0 < other.count() <= 5
