@@ -329,22 +329,31 @@ def ivf_train_step(
     posexplode -> partial-aggregated avg per (cell, dim) — shuffle rows
     are (cell, dim, sum, count) partials, never vectors — then one tiny
     groupBy(cell) reassembles the array (sorted by dim, so collect_list
-    order can't leak in). Means are rounded to ``round_dp`` so float
-    summation order can't flake a comparison.
+    order can't leak in). Means are computed in FIXED POINT at
+    10^-``round_dp`` resolution (sum of floor(x*scale+0.5) as BIGINT,
+    one double divide by count — same doctrine as pq_train_step), so
+    partial-aggregate merge order can never flip a centroid component
+    by an ulp; both engines produce bit-identical centroids.
     """
+    scale = float(10 ** round_dp)
     assigned = ivf_assign(emb, centroids, id_col, vec_col, cent_id, cent_vec)
     by_dim = (
         assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")))
         .groupBy("cell", "pos")
-        .agg(F.avg("col").alias("m"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.floor(F.col("col") * F.lit(scale) + F.lit(0.5)).cast("long")
+            ).alias("sm"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     return (
         by_dim.groupBy("cell")
         .agg(
             F.first("n").alias("n_members"),
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda x: F.round(x["m"], round_dp),
+                F.array_sort(F.collect_list(F.struct("pos", "sm", "n"))),
+                lambda x: F.floor(x["sm"] / x["n"] + F.lit(0.5)) / F.lit(scale),
             ).alias("centroid"),
         )
         .select("cell", F.col("n_members").cast("long"), "centroid")

@@ -542,12 +542,12 @@ def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(e.v) AS x
         FROM assigned a JOIN vecs e USING (vec_id)
     ), dim_means AS (
-        SELECT cell, pos, AVG(x) AS m, CAST(COUNT(*) AS BIGINT) AS n
+        SELECT cell, pos, SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS sm, CAST(COUNT(*) AS BIGINT) AS n
         FROM by_dim GROUP BY cell, pos
     )
     SELECT cell,
            CAST(MIN(n) AS BIGINT) AS n_members,
-           array_agg(ROUND(m, 6) ORDER BY pos) AS centroid
+           array_agg(CAST(FLOOR(sm / n + 0.5) AS BIGINT) / 1000000.0 ORDER BY pos) AS centroid
     FROM dim_means
     GROUP BY cell
     """,
@@ -583,9 +583,9 @@ def similarity_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a1.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
         FROM a1 JOIN vecs e USING (vec_id)
     ), dm1 AS (
-        SELECT cell, pos, AVG(x) AS m FROM bd1 GROUP BY cell, pos
+        SELECT cell, pos, SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS sm, COUNT(*) AS n FROM bd1 GROUP BY cell, pos
     ), cents1 AS (
-        SELECT cell AS c_id, array_agg(ROUND(m, 6) ORDER BY pos) AS cv
+        SELECT cell AS c_id, array_agg(CAST(FLOOR(sm / n + 0.5) AS BIGINT) / 1000000.0 ORDER BY pos) AS cv
         FROM dm1 GROUP BY cell
     ), a2 AS (
         SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
@@ -594,12 +594,12 @@ def similarity_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a2.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
         FROM a2 JOIN vecs e USING (vec_id)
     ), dm2 AS (
-        SELECT cell, pos, AVG(x) AS m, CAST(COUNT(*) AS BIGINT) AS n
+        SELECT cell, pos, SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS sm, CAST(COUNT(*) AS BIGINT) AS n
         FROM bd2 GROUP BY cell, pos
     )
     SELECT cell,
            CAST(MIN(n) AS BIGINT) AS n_members,
-           array_agg(ROUND(m, 6) ORDER BY pos) AS centroid
+           array_agg(CAST(FLOOR(sm / n + 0.5) AS BIGINT) / 1000000.0 ORDER BY pos) AS centroid
     FROM dm2
     GROUP BY cell
     """,
@@ -712,9 +712,9 @@ def similarity_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a1.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
         FROM a1 JOIN vecs e USING (vec_id)
     ), dm1 AS (
-        SELECT cell, pos, AVG(x) AS m FROM bd1 GROUP BY cell, pos
+        SELECT cell, pos, SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS sm, COUNT(*) AS n FROM bd1 GROUP BY cell, pos
     ), cents1 AS (
-        SELECT cell AS c_id, array_agg(ROUND(m, 6) ORDER BY pos) AS cv
+        SELECT cell AS c_id, array_agg(CAST(FLOOR(sm / n + 0.5) AS BIGINT) / 1000000.0 ORDER BY pos) AS cv
         FROM dm1 GROUP BY cell
     ), a2 AS (
         SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
@@ -723,9 +723,9 @@ def similarity_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a2.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
         FROM a2 JOIN vecs e USING (vec_id)
     ), dm2 AS (
-        SELECT cell, pos, AVG(x) AS m FROM bd2 GROUP BY cell, pos
+        SELECT cell, pos, SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS sm, COUNT(*) AS n FROM bd2 GROUP BY cell, pos
     ), cents2 AS (
-        SELECT cell AS c_id, array_agg(ROUND(m, 6) ORDER BY pos) AS cv
+        SELECT cell AS c_id, array_agg(CAST(FLOOR(sm / n + 0.5) AS BIGINT) / 1000000.0 ORDER BY pos) AS cv
         FROM dm2 GROUP BY cell
     ), a3 AS (
         SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
