@@ -660,6 +660,72 @@ def ivfpq_adc_topk(
     )
 
 
+def ivf_batch_topk_served(
+    spark,
+    assignment_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Answer a BATCH of ANN queries from a materialized IVF index in
+    ONE plan — the production serving shape (batch inference, offline
+    eval sweeps), replacing the per-query build-a-plan loop.
+
+    Probe selection is per-query and in-engine: queries cross-join the
+    broadcast centroid table, a per-qid window ranks cells by L2 and
+    keeps the ``n_probe`` nearest. The (qid, cell, qvec) probe rows —
+    |queries| * n_probe, broadcast-sized by construction — then join
+    the cell-partitioned store on the partition column, so the scan
+    prunes to the union of all probed cells; exact cosine + a per-qid
+    window top-k (WindowGroupLimit trims below the shuffle) finish the
+    job. Everything between the two tiny broadcasts partitions by qid
+    or cell — nothing is per-query serial, no driver collect."""
+    from pyspark.sql import Window
+
+    from bo_sql_spark.functions import cosine_similarity, dot
+
+    q = queries.select(
+        F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_qv")
+    )
+    cv = F.col(cent_vec)
+    d2 = dot(F.col("_qv"), F.col("_qv")) - 2 * dot(F.col("_qv"), cv) + dot(cv, cv)
+    w_probe = Window.partitionBy("_qid").orderBy("_d2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("_qid", "_qv", F.col(cent_id).alias("cell"), d2.alias("_d2"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("_qid", "_qv", "cell")
+    )
+    assigned = spark.read.parquet(assignment_path)
+    w_topk = Window.partitionBy("_qid").orderBy(
+        F.col("_cos").desc(), F.col(id_col)
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            "_qid",
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qv")).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w_topk))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").cast("long").alias("query_id"),
+            id_col,
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def materialize_ivfpq_index(
     emb: DataFrame,
     centroids: DataFrame,

@@ -699,6 +699,74 @@ def similarity_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_batch_served",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), queries AS (
+        SELECT CAST(vec_id AS BIGINT) AS qid, v AS qv FROM vecs WHERE vec_id < 4
+    ), probed AS (
+        SELECT qid, cell, qv FROM (
+            SELECT q.qid, c.c_id AS cell, q.qv,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                       list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cv)
+                       + list_dot_product(c.cv, c.cv), c.c_id) AS rn
+            FROM queries q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ), scored AS (
+        SELECT p.qid, a.vec_id,
+               list_dot_product(e.v, p.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS sim
+        FROM probed p
+        JOIN assigned a ON a.cell = p.cell
+        JOIN vecs e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> p.qid
+    ), ranked AS (
+        SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid AS query_id, vec_id, ROUND(sim, 6) AS cos_sim
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="BATCH ANN serving (operators/similarity.py:"
+    "ivf_batch_topk_served): four query vectors answered from one "
+    "materialized IVF index in ONE plan — the production batch-"
+    "inference shape, replacing the per-query plan loop "
+    "similarity_ivf_served demonstrates. Probe selection is a per-"
+    "query in-engine window over the broadcast centroid table (top-2 "
+    "cells each); the (qid, cell, qvec) probe rows broadcast-join the "
+    "cell-partitioned store; a per-qid window top-k finishes "
+    "(WindowGroupLimit trims below the shuffle). Scales in BOTH "
+    "directions at 100 TB: corpus (partition-pruned scan) and query "
+    "count (everything partitions by qid or cell, nothing serial).",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ivf_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = tempfile.mkdtemp(prefix="bosql_ivf_batch_") + "/assignment"
+    S.materialize_ivf_assignment(emb, cents, path)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return S.ivf_batch_topk_served(
+        spark, path, queries, cents, n_probe=2, k=10
+    )
+
+
+@register(
     "similarity_ivf_train_serve",
     oracle="""
     WITH vecs AS (

@@ -129,6 +129,21 @@ def test_ivf_train_serve_pushes_probes_as_semi_join(spark, sf_dir):
     assert has_operator(df, "TakeOrderedAndProject")
 
 
+def test_ivf_batch_served_plan(spark, sf_dir):
+    """Batch ANN serving must be ONE plan that scales in both
+    directions: the probed-cell join lands on the store's partition
+    column as dynamic partition pruning, per-qid top-k trims below the
+    shuffle (WindowGroupLimit), and nothing degrades to a sort-merge
+    join or a real cartesian (the only nested-loop joins are the
+    query-batch x 16-centroid broadcasts)."""
+    df = _df(spark, sf_dir, "similarity_ivf_batch_served")
+    text = explain_str(df, "formatted")
+    assert "dynamicpruningexpression" in text, text
+    assert "WindowGroupLimit" in text, text
+    assert "SortMergeJoin" not in text, text
+    assert "CartesianProduct" not in text, text
+
+
 def test_ivf_multiprobe_probe_selection_in_engine(spark, sf_dir):
     """Multi-probe's probe selection is IN-ENGINE: top-4 centroids feed
     a broadcast LEFT SEMI join — never a driver collect + isin literal.
