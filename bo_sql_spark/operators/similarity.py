@@ -536,6 +536,7 @@ def ivfpq_encode(
     vec_col: str = "embedding",
     cent_id: str = "c_id",
     cent_vec: str = "c_vec",
+    train_steps: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF-PQ index build: coarse cell + PQ codes of the RESIDUAL.
 
@@ -567,6 +568,13 @@ def ivfpq_encode(
         resid, m=m, dsub=dsub, ks=ks, id_col=id_col, vec_col="r",
         seed_from=ks,
     )
+    # Optional Lloyd refinement of the RESIDUAL codebooks — the trained
+    # production config: each step is one lazy pq_train_step plan over
+    # the residual column (fixed-point means, deterministic argmin).
+    for _ in range(train_steps):
+        codebooks = pq_train_step(
+            resid, codebooks, m=m, dsub=dsub, id_col=id_col, vec_col="r"
+        ).select("sub", "code", "c_vec")
     # pq_encode with the cell carried through both aggregations (cell
     # is functionally dependent on id, so first() is exact) — avoids a
     # corpus-wide rejoin of codes with the assignment.

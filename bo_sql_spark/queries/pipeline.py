@@ -2307,6 +2307,116 @@ def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivfpq_trained",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id,
+               list_dot_product(v, v) - 2*list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), resid AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(1, 65), i -> ve.v[i] - c.cv[i]) AS r
+        FROM assigned a
+        JOIN vecs ve USING (vec_id)
+        JOIN cents c ON a.cell = c.c_id
+    ), subs AS (
+        SELECT unnest(range(0, 8)) AS sub
+    ), dims AS (
+        SELECT unnest(range(1, 9)) AS pos
+    ), cb0 AS (
+        SELECT s.sub, r.vec_id - 16 AS code, list_slice(r.r, s.sub*8 + 1, s.sub*8 + 8) AS c_vec
+        FROM resid r CROSS JOIN subs s WHERE r.vec_id >= 16 AND r.vec_id < 32
+    ), partsr AS (
+        SELECT r.vec_id, s.sub, list_slice(r.r, s.sub*8 + 1, s.sub*8 + 8) AS sv
+        FROM resid r CROSS JOIN subs s
+    ), a0 AS (
+        SELECT p.vec_id, p.sub, (min({'d':
+               list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.c_vec)
+               + list_dot_product(c.c_vec, c.c_vec), 'c': c.code})).c AS code
+        FROM partsr p JOIN cb0 c USING (sub)
+        GROUP BY p.vec_id, p.sub
+    ), cb AS (
+        SELECT sub, code,
+               array_agg(CAST(FLOOR(s_micro / n + 0.5) AS BIGINT) / 1000000.0
+                         ORDER BY pos) AS c_vec
+        FROM (
+            SELECT a.sub, a.code, d.pos,
+                   SUM(CAST(FLOOR(p.sv[d.pos] * 1000000 + 0.5) AS BIGINT)) AS s_micro,
+                   COUNT(*) AS n
+            FROM a0 a
+            JOIN partsr p ON a.vec_id = p.vec_id AND a.sub = p.sub
+            CROSS JOIN dims d
+            GROUP BY a.sub, a.code, d.pos
+        )
+        GROUP BY sub, code
+    ), best AS (
+        SELECT p.vec_id, p.sub, (min({'d':
+               list_dot_product(p.sv, p.sv) - 2*list_dot_product(p.sv, c.c_vec)
+               + list_dot_product(c.c_vec, c.c_vec), 'c': c.code})).c AS code
+        FROM partsr p JOIN cb c USING (sub)
+        GROUP BY p.vec_id, p.sub
+    ), q AS (
+        SELECT v AS qv FROM vecs WHERE vec_id = 0
+    ), probed AS (
+        SELECT c_id AS cell, cv
+        FROM cents CROSS JOIN q
+        ORDER BY list_dot_product(qv, qv) - 2*list_dot_product(qv, cv) + list_dot_product(cv, cv), c_id
+        LIMIT 2
+    ), qres AS (
+        SELECT p.cell, s.sub,
+               list_slice(list_transform(range(1, 65), i -> q.qv[i] - p.cv[i]),
+                          s.sub*8 + 1, s.sub*8 + 8) AS qs
+        FROM probed p CROSS JOIN q CROSS JOIN subs s
+    ), lut AS (
+        SELECT qr.cell, qr.sub, c.code,
+               CAST(FLOOR((list_dot_product(qr.qs, qr.qs) - 2*list_dot_product(qr.qs, c.c_vec)
+                           + list_dot_product(c.c_vec, c.c_vec)) * 1000000 + 0.5) AS BIGINT) AS pd_micro
+        FROM qres qr JOIN cb c ON c.sub = qr.sub
+    ), cands AS (
+        SELECT b.vec_id, a.cell, b.sub, b.code
+        FROM best b JOIN assigned a USING (vec_id)
+        WHERE a.cell IN (SELECT cell FROM probed)
+    ), adc AS (
+        SELECT ca.vec_id, CAST(SUM(l.pd_micro) AS BIGINT) AS adc_d2_micro
+        FROM cands ca JOIN lut l USING (cell, sub, code)
+        GROUP BY ca.vec_id
+    )
+    SELECT vec_id, adc_d2_micro FROM adc
+    ORDER BY adc_d2_micro, vec_id LIMIT 10
+    """,
+    doc="IVF-PQ with TRAINED residual codebooks — the full production "
+    "recipe: coarse assignment, residuals, seed residual codebooks "
+    "refined by one in-engine Lloyd step (pq_train_step over the "
+    "residual column: fixed-point means, deterministic argmin), "
+    "re-encode, then probe + per-cell residual ADC. Closes the "
+    "training loop for the IVF-PQ family the way "
+    "similarity_pq_trained/_pq_trained256 do for flat PQ; the oracle "
+    "replays every stage including the residual-space Lloyd step. "
+    "Same broadcast-only plan shape as similarity_ivfpq_adc.",
+    tags=("pipeline", "similarity", "training", "approx"),
+)
+def similarity_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    m, dsub = 8, 8
+    encoded, cb = S.ivfpq_encode(
+        emb, cents, m=m, dsub=dsub, ks=16, train_steps=1
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return S.ivfpq_adc_topk(
+        encoded, cb, cents, qvec, m=m, dsub=dsub, n_probe=2, k=10
+    )
+
+
+@register(
     "similarity_ivfpq_served",
     oracle="""
     WITH cents AS (
