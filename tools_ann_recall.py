@@ -150,3 +150,52 @@ for probes in (2, 4):
         frac.append(len(cand) / n)
     print(f"IVF-PQ {N_CELLS} cells, {probes} probes, m={M}: recall@10 "
           f"{np.mean(rs):.2f}, scan {np.mean(frac)*100:.1f}%")
+
+
+# ---- IVF-PQ with a Lloyd-TRAINED residual codebook (train_steps=1,
+# fixed-point means — mirrors ivfpq_encode(train_steps=1))
+def fixed_point_lloyd_step(data, C):
+    d2 = (data * data).sum(1)[:, None] - 2 * data @ C.T + (C * C).sum(1)[None, :]
+    a = d2.argmin(1)
+    out = C.copy()
+    kept = []
+    for c in range(len(C)):
+        mask = a == c
+        if mask.any():
+            micros = np.floor(data[mask] * 1e6 + 0.5).sum(0)
+            out[c] = np.floor(micros / mask.sum() + 0.5) / 1e6
+            kept.append(c)
+    return out[kept], np.array(kept)
+
+
+CBRT, keptmaps = [], []
+for s in range(M):
+    trained, kept = fixed_point_lloyd_step(R[:, s * DSUB:(s + 1) * DSUB], CBR[s])
+    CBRT.append(trained)
+    keptmaps.append(kept)
+rtcodes = np.zeros((n, M), dtype=np.int64)
+for s in range(M):
+    sub = R[:, s * DSUB:(s + 1) * DSUB]
+    d2 = (sub * sub).sum(1)[:, None] - 2 * sub @ CBRT[s].T + (CBRT[s] * CBRT[s]).sum(1)[None, :]
+    rtcodes[:, s] = d2.argmin(1)
+
+for probes in (2, 4):
+    rs = []
+    for qi in queries:
+        cell_order = np.argsort(d2_cells[qi], kind="stable")[:probes]
+        cand = [i for i in range(n) if assign[i] in set(cell_order) and i != qi]
+        scores = []
+        for c in cell_order:
+            qr = V[qi] - cents[c]
+            for i in cand:
+                if assign[i] == c:
+                    d = 0.0
+                    for s in range(M):
+                        qs = qr[s * DSUB:(s + 1) * DSUB]
+                        cw = CBRT[s][rtcodes[i, s]]
+                        d += ((cw - qs) ** 2).sum()
+                    scores.append((d, i))
+        got = set(i for _, i in sorted(scores)[:K])
+        rs.append(recall(got, exact_l2_topk(qi)))
+    print(f"IVF-PQ {N_CELLS} cells, {probes} probes, m={M} TRAINED residual "
+          f"books (1 step): recall@10 {np.mean(rs):.2f}")
