@@ -543,3 +543,53 @@ def contamination_ratio(
             .alias("contamination_permille"),
         )
     )
+
+
+# ------------------------------------------------------------- SemDeDup
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    embeddings, then inside each cluster drop every vector that has a
+    LOWER-id neighbor with cosine >= threshold. Returns the survivors
+    as (id, cell).
+
+    The published algorithm's structure maps directly onto Spark:
+    k-means cluster assignment is the broadcast-centroid argmin the IVF
+    family already uses (one corpus scan, no vector shuffle beyond the
+    (id, cell) keys), and the within-cluster pairwise pass becomes a
+    self-join ON the cell key — the shuffle is hash-partitioned by
+    cell, and the O(|cell|^2) comparison never crosses cells. At 100 TB
+    the cluster count is scaled with the corpus (SemDeDup uses ~100k
+    clusters for billions of docs) precisely so |cell| stays bounded;
+    the cells ARE the units of parallel work. min-id-wins makes the
+    survivor set deterministic under any partitioning — no dependence
+    on comparison order, unlike greedy variants.
+
+    The reference engine has no semantic dedup (no vector types at all);
+    this extends its dedup surface the way a training-data pipeline
+    needs (cite: reference parser.h:9-14 — SELECT-only surface).
+    """
+    from bo_sql_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    hi = assigned.select(
+        "cell", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    lo = assigned.select(
+        "cell", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    dups = (
+        hi.join(lo, "cell")
+        .filter(F.col("_ida") > F.col("_idb"))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, id_col, "left_anti").select(
+        id_col, F.col("cell").cast("long").alias("cell")
+    )

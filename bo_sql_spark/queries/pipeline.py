@@ -2855,3 +2855,71 @@ def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     blobs = M.make_png_blob_df(t["documents"])
     return M.resize_png(blobs, max_side=16)
+
+
+@register(
+    "dedup_semantic",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), aug AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(v, (x, i) ->
+                   x * (CAST(1 AS DOUBLE)
+                        + CAST(0.0002 AS DOUBLE) * ((i - 1 + vec_id) % 5)))
+        FROM base WHERE vec_id % 7 = 0
+    ), cents AS (
+        SELECT vec_id AS c_id, v AS cv FROM aug WHERE vec_id < 16
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM aug CROSS JOIN cents GROUP BY vec_id
+    ), dups AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id > b.vec_id
+        JOIN aug va ON va.vec_id = a.vec_id
+        JOIN aug vb ON vb.vec_id = b.vec_id
+        WHERE list_dot_product(va.v, vb.v)
+              / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) >= 0.95
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell
+    FROM assigned a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
+    doc="SemDeDup (operators/dedup.py:semantic_dedup): cluster "
+    "embeddings to 16 fixed centroids, then within each cluster drop "
+    "every vector with a lower-id cosine-0.95 neighbor — the published "
+    "cluster-then-pairwise semantic dedup (Abbas et al. 2023), whose "
+    "within-cluster self-join shuffles only on the cell key (cluster "
+    "count scales with the corpus so |cell| stays bounded; no global "
+    "O(n^2)). The synthetic embeddings have no natural semantic dups "
+    "(max within-cell cos ~0.49), so the query plants one near-copy "
+    "per vec_id%7 doc in closed form — per-dim scaling by "
+    "1 + 0.0002*((i+vec_id)%5), identical double math in both engines "
+    "— and the survivors must be exactly the originals plus any "
+    "copies that landed in a different cell (asserted in "
+    "tests/test_operators.py).",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.0002)
+                * ((i + F.col("vec_id")) % 5).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionAll(planted)
+    cents = aug.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return D.semantic_dedup(aug, cents, threshold=0.95)

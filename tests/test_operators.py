@@ -618,3 +618,45 @@ def test_ivfpq_encode_and_adc(spark):
     top = S.ivfpq_adc_topk(encoded, cb, cents, qvec, m=m, dsub=dsub, n_probe=2, k=5)
     first = top.collect()[0]
     assert first["vec_id"] == qid and first["adc_d2_micro"] == 0
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    """SemDeDup must drop every planted near-copy (cos ~0.9999 to its
+    original, same cluster) and keep every original; min-id-wins makes
+    the survivor set exactly the original ids."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.0002) * (i % 5).cast("double")),
+        ).alias("embedding"),
+    )
+    aug = emb.unionAll(planted)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    survivors = {
+        r["vec_id"]
+        for r in D.semantic_dedup(aug, cents, threshold=0.95).collect()
+    }
+    originals = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    # every original survives; a copy can only survive if its (slightly
+    # scaled) vector crossed into a different cell — with per-dim
+    # scaling <= 1.0008 that never happens on this fixture
+    assert survivors == originals
+
+
+def test_semantic_dedup_no_threshold_hits_keeps_all(spark, sf_dir):
+    """Without planted copies the fixture has no within-cell pair above
+    0.95 (max ~0.49), so SemDeDup is the identity on ids."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = D.semantic_dedup(emb, cents, threshold=0.95)
+    assert out.count() == emb.count()

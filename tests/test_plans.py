@@ -218,3 +218,12 @@ def test_ivfpq_adc_plan(spark, sf_dir):
     text = explain_str(df, "simple")
     assert "CartesianProduct" not in text, text
     assert "SortMergeJoin" not in text, text
+
+
+def test_semantic_dedup_joins_on_cell_no_cartesian(spark, sf_dir):
+    """SemDeDup's within-cluster pairwise pass must join ON the cell
+    key (hash-partitioned by cluster), never a cartesian product, and
+    drop duplicates via LEFT ANTI."""
+    text = explain_str(_df(spark, sf_dir, "dedup_semantic"), "simple")
+    assert "CartesianProduct" not in text, text
+    assert "LeftAnti" in text, text
