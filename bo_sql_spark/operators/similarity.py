@@ -879,3 +879,120 @@ def pq_train_step(
         )
         .select("sub", "code", F.col("n_members").cast("long"), "c_vec")
     )
+
+
+# --------------------------------------------- scalar quantization
+def sq8_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension min/max over the corpus, as ONE row of two
+    dim-ordered arrays (mins, maxs) — the scalar-quantization codebook.
+
+    posexplode -> groupBy(pos) min/max is map-side combinable (shuffle
+    rows = dims per partition, not elements); the single-row result
+    broadcasts to the encode stage. min/max are order-independent
+    exactly, so no fixed-point doctrine is needed."""
+    per_dim = emb.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    ).groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s["mx"],
+        ).alias("maxs"),
+    )
+
+
+def sq8_encode(
+    emb: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantize each vector to 8-bit codes: code[d] =
+    round((v[d]-min[d]) / (max[d]-min[d]) * 255), clamped to [0,255]
+    (constant dims -> 0). 4x compression vs float32, 8x vs double —
+    the standard SQ8 layout a serving tier keeps fully in RAM.
+
+    Encode is a pure map-side zip_with over the broadcast one-row
+    stats — no shuffle, no UDF; the same closed-form double expression
+    runs in the DuckDB oracle, so codes are engine-identical."""
+    rngs = F.zip_with(F.col("maxs"), F.col("mins"), lambda mx, mn: mx - mn)
+    diffs = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("mins"),
+        lambda x, m: x - m,
+    )
+    code = F.zip_with(
+        diffs,
+        rngs,
+        lambda d, r: F.when(r == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(255).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(d / r * 255 + F.lit(0.5)).cast("long"),
+                ),
+            )
+        ),
+    )
+    return emb.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), code.alias("codes")
+    )
+
+
+def sq8_decode_micro(codes: Column, stats_struct: Column) -> Column:
+    """Decode 8-bit codes back to fixed-point micro values:
+    floor((mn + code * rng / 255) * 1000000 + 0.5) as BIGINT per dim.
+
+    Raw code-dot is NOT a dot-product estimate — min-max codes shift
+    and rescale every dimension differently (measured recall 0.0 on
+    the fixture) — so scoring decodes first, exactly as FAISS's scalar
+    quantizer does. Decoding to micros instead of doubles keeps the
+    score integer (products ~1e12, sums ~1e14 — far inside BIGINT), so
+    cross-engine hashes can never flake on summation order."""
+    return F.zip_with(
+        codes,
+        stats_struct,
+        lambda c, s: F.floor(
+            (s["mn"] + c * s["rng"] / 255) * 1000000 + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def sq8_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve top-k by the dot product of DECODED vectors in micro
+    fixed point (score unit: micro^2): broadcast the 1-row query codes
+    and the 1-row codebook stats, decode + score in codegen,
+    TakeOrderedAndProject keeps per-partition k-heaps — no global sort
+    at any corpus size. The stored index stays the 4x-compressed code
+    table; decode happens on the fly in the scan stage."""
+    st = F.zip_with(
+        F.col("mins"),
+        F.col("maxs"),
+        lambda mn, mx: F.struct(mn.alias("mn"), (mx - mn).alias("rng")),
+    )
+    dv = sq8_decode_micro(F.col("codes"), F.col("_st"))
+    dq = sq8_decode_micro(F.col("_qc"), F.col("_st"))
+    score = F.aggregate(
+        F.zip_with(dv, dq, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.crossJoin(F.broadcast(query_codes.select(F.col("codes").alias("_qc"))))
+        .crossJoin(F.broadcast(stats.select(st.alias("_st"))))
+        .select(F.col(id_col), score.alias("sq_score"))
+        .orderBy(F.col("sq_score").desc(), F.col(id_col))
+        .limit(k)
+    )

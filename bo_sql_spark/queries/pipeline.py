@@ -2923,3 +2923,60 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     return D.semantic_dedup(aug, cents, threshold=0.95)
+
+
+@register(
+    "similarity_sq8_topk",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (
+        SELECT unnest(range(1, 65)) AS pos
+    ), stats AS (
+        SELECT pos, MIN(v[pos]) AS mn, MAX(v[pos]) AS mx
+        FROM vecs CROSS JOIN dims GROUP BY pos
+    ), codes AS (
+        SELECT vec_id, pos,
+               CASE WHEN mx = mn THEN 0 ELSE
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR((v[pos] - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)))
+               END AS c
+        FROM vecs CROSS JOIN dims JOIN stats USING (pos)
+    ), dec AS (
+        SELECT vec_id, pos,
+               CAST(FLOOR((mn + c * (mx - mn) / 255) * 1000000 + 0.5) AS BIGINT) AS dm
+        FROM codes JOIN stats USING (pos)
+    ), q AS (
+        SELECT pos, dm AS qm FROM dec WHERE vec_id = 0
+    )
+    SELECT vec_id, CAST(SUM(dm * qm) AS BIGINT) AS sq_score
+    FROM dec JOIN q USING (pos)
+    WHERE vec_id <> 0
+    GROUP BY vec_id
+    ORDER BY sq_score DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Int8 scalar-quantization ANN (operators/similarity.py:"
+    "sq8_stats/sq8_encode/sq8_topk): per-dim min/max codebook (one "
+    "map-side-combinable agg, broadcast back), 8-bit codes from a "
+    "closed-form clamp (pure zip_with, no shuffle, no UDF), then "
+    "top-10 by dot product of DECODED vectors in micro fixed point — "
+    "decode-then-score is how FAISS's scalar quantizer works (raw "
+    "code-dot is not a dot estimate: min-max codes rescale every dim "
+    "differently; measured recall 0.0), and micros keep the score an "
+    "exact BIGINT so it can never flake cross-engine. The 4x-vs-"
+    "float32 compression tier between raw cosine (1x) and PQ (32x): "
+    "at 100 TB the code table is what the serving fleet holds in RAM, "
+    "decode runs in the scan stage, and scoring feeds "
+    "TakeOrderedAndProject. Recall@10 vs exact dot is asserted >= 0.9 "
+    "in tests/test_operators.py.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"]
+    stats = S.sq8_stats(emb)
+    codes = S.sq8_encode(emb, stats)
+    qcodes = codes.filter(F.col("vec_id") == 0)
+    return S.sq8_topk(
+        codes.filter(F.col("vec_id") != 0), qcodes, stats, k=10
+    )

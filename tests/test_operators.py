@@ -660,3 +660,37 @@ def test_semantic_dedup_no_threshold_hits_keeps_all(spark, sf_dir):
     )
     out = D.semantic_dedup(emb, cents, threshold=0.95)
     assert out.count() == emb.count()
+
+
+def test_sq8_codes_in_range_and_recall(spark, sf_dir):
+    """SQ8 codes must be ints in [0,255]; decoded-dot top-10 must agree
+    with exact-dot top-10 at recall >= 0.9 (deterministic fixture)."""
+    from bo_sql_spark.functions import dot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    stats = S.sq8_stats(emb)
+    codes = S.sq8_encode(emb, stats)
+    bounds = codes.select(
+        F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).first()
+    assert bounds["lo"] >= 0 and bounds["hi"] <= 255
+    q = codes.filter(F.col("vec_id") == 0)
+    approx = {
+        r.vec_id
+        for r in S.sq8_topk(
+            codes.filter(F.col("vec_id") != 0), q, stats, k=10
+        ).collect()
+    }
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", dot(F.col("embedding"), F.col("qv")).alias("s"))
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(approx & exact) / 10 >= 0.9

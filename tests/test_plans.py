@@ -227,3 +227,13 @@ def test_semantic_dedup_joins_on_cell_no_cartesian(spark, sf_dir):
     text = explain_str(_df(spark, sf_dir, "dedup_semantic"), "simple")
     assert "CartesianProduct" not in text, text
     assert "LeftAnti" in text, text
+
+
+def test_sq8_topk_broadcast_and_heap(spark, sf_dir):
+    """SQ8 serving: query codes + codebook stats arrive by broadcast
+    (never a shuffled join) and top-k is TakeOrderedAndProject."""
+    df = _df(spark, sf_dir, "similarity_sq8_topk")
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text
+    assert "CartesianProduct" not in text, text
+    assert "SortMergeJoin" not in text, text
