@@ -2980,3 +2980,70 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sq8_topk(
         codes.filter(F.col("vec_id") != 0), qcodes, stats, k=10
     )
+
+
+def _rp_oracle() -> str:
+    from bo_sql_spark.operators.sampling import portable_hash_sql
+
+    from bo_sql_spark.operators.sampling import PORTABLE_PRIME
+
+    mix = portable_hash_sql("j * 64 + d")
+    p = PORTABLE_PRIME
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), proj AS (
+        SELECT vec_id,
+               list_transform(range(0, 16), j ->
+                   list_dot_product(v, list_transform(
+                       list_transform(range(0, 64), d -> {mix}),
+                       h -> CASE WHEN (h * h) % {p} * 2 >= {p}
+                                 THEN CAST(-1 AS DOUBLE)
+                                 ELSE CAST(1 AS DOUBLE) END))) AS p
+        FROM vecs
+    ), q AS (
+        SELECT p AS qp FROM proj WHERE vec_id = 0
+    )
+    SELECT vec_id, ROUND(sim, 6) AS proj_cos
+    FROM (
+        SELECT vec_id,
+               list_dot_product(p, qp)
+               / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(qp, qp))) AS sim
+        FROM proj CROSS JOIN q WHERE vec_id <> 0
+    )
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "similarity_random_projection",
+    oracle=_rp_oracle(),
+    doc="JL random projection ANN (operators/similarity.py:"
+    "random_projection): 64 -> 16 dims via Achlioptas's +-1 sign "
+    "matrix, signs drawn per (out_dim, in_dim) cell from the engine-"
+    "portable integer mix — no stored matrix, no RNG, the projection "
+    "is a pure map-side higher-order expression in the scan stage. "
+    "Top-10 by cosine in the PROJECTED space (4x fewer multiplies and "
+    "4x fewer shuffle bytes per vector than full-dim scoring; JL "
+    "preserves pairwise geometry within ~1/sqrt(16)). Recall vs full-"
+    "dim exact cosine is measured in tests/test_operators.py. Both "
+    "engines build the identical matrix from the same mix and run the "
+    "same sequential-order dot products.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"]
+    proj = S.random_projection(emb, out_dim=16, in_dim=64)
+    qp = proj.filter(F.col("vec_id") == 0).select(F.col("proj").alias("_qp"))
+    return (
+        proj.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qp))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("proj"), F.col("_qp")).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_cos", 6).alias("proj_cos"))
+    )

@@ -694,3 +694,64 @@ def test_sq8_codes_in_range_and_recall(spark, sf_dir):
         .collect()
     }
     assert len(approx & exact) / 10 >= 0.9
+
+
+def test_random_projection_sign_matrix_quality():
+    """The +-1 matrix must behave like random signs: balanced, and no
+    two rows identical/correlated. Pure-python replica of the exact
+    integer formula (the LINEAR-mix parity trap produced a rank-1
+    matrix; the squared-mix MSB fixes it — keep it fixed)."""
+    P, M, A = 1_000_000_007, 1_000_003, 12_345
+
+    def sign(x: int) -> int:
+        h = ((x % P) * M + A) % P
+        return -1 if ((h * h) % P) * 2 >= P else 1
+
+    rows = [[sign(j * 64 + d) for d in range(64)] for j in range(16)]
+    flat = [s for r in rows for s in r]
+    assert abs(sum(flat)) < 110  # balanced within ~3 sigma
+    dots = [
+        sum(a * b for a, b in zip(rows[i], rows[j]))
+        for i in range(16)
+        for j in range(i + 1, 16)
+    ]
+    assert max(abs(d) for d in dots) < 40  # no duplicated/correlated rows
+
+
+def test_random_projection_preserves_planted_neighbors(spark, sf_dir):
+    """JL preserves LARGE similarities: a planted cos~0.9999 near-copy
+    must still rank its original as top-1 in the 16-dim projected
+    space for every planted query (recall of top-10 on near-isotropic
+    noise is NOT the contract — gaps there are below JL distortion)."""
+    from bo_sql_spark.functions import cosine_similarity as cs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.0003) * (i % 3).cast("double")),
+        ).alias("embedding"),
+    )
+    proj = S.random_projection(emb.unionAll(planted), 16, 64)
+    base = proj.filter(F.col("vec_id") < 100000)
+    queries = proj.filter(F.col("vec_id") >= 100000).select(
+        (F.col("vec_id") - 100000).alias("orig_id"), F.col("proj").alias("qp")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("orig_id").orderBy(F.col("_c").desc(), "vec_id")
+    top1 = (
+        base.crossJoin(queries)
+        .select(
+            "orig_id", "vec_id", cs(F.col("proj"), F.col("qp")).alias("_c")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    rows = top1.collect()
+    assert rows, "no planted queries"
+    hits = sum(1 for r in rows if r["vec_id"] == r["orig_id"])
+    assert hits == len(rows), f"{hits}/{len(rows)} planted top-1 matches"
