@@ -217,3 +217,116 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return out.withColumn("redacted", red)
+
+
+# ------------------------------------------------------------- BPE
+# Symbol sequences are SEP-wrapped strings — "<s>a<s><s>b<s>" for
+# symbols [a, b] — because merge application is then a plain string
+# replace() (identical left-to-right non-overlap semantics in Spark
+# and DuckDB), which keeps the whole training loop SQL-expressible
+# for the oracle. Each symbol is individually wrapped so a pattern
+# "<s>a<s><s>b<s>" can never match across symbol boundaries (a symbol
+# ending in "a" followed by "b" reads "...xa<s><s>b..." — no match)
+# and adjacent occurrences never share separator chars.
+BPE_SEP = "\x1f"
+
+
+def bpe_init_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus scan -> the (seq, freq) word table BPE trains on.
+
+    Words are whitespace tokens of the normalized text with the
+    end-of-word marker '_' appended (the classic Sennrich et al. 2016
+    setup); seq is the wrapped character representation. THIS is what
+    makes BPE training scale-friendly: the corpus is read once, and
+    every merge iteration after it runs over the DISTINCT-word
+    frequency table (vocab-sized, millions of rows at 100 TB — not
+    corpus-sized).
+    """
+    from bo_sql_spark.functions.textfn import tokens
+
+    s2 = BPE_SEP + BPE_SEP
+    w = F.concat(F.col("w"), F.lit("_"))
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(BPE_SEP),
+                F.array_join(F.split(w, ""), s2),
+                F.lit(BPE_SEP),
+            ).alias("seq"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )
+
+
+def bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency:
+    (a, b, cnt). The BPE training objective — the next merge is the
+    argmax. groupBy(a, b) is map-side combinable; shuffle rows are
+    vocab-scale pairs, never documents."""
+    s2 = BPE_SEP + BPE_SEP
+    syms = F.split(F.expr(f"btrim(seq, '{BPE_SEP}')"), s2)
+    exploded = (
+        state.select(syms.alias("syms"), "freq")
+        .filter(F.size("syms") >= 2)
+        # guard: Spark sequence(1, 0) would generate DESCENDING [1,0]
+        .select(
+            "syms",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+        )
+    )
+    return exploded.groupBy(
+        F.element_at("syms", F.col("i")).alias("a"),
+        F.element_at("syms", F.col("i") + 1).alias("b"),
+    ).agg(F.sum("freq").alias("cnt"))
+
+
+def bpe_apply_merge(state: DataFrame, merge_df: DataFrame) -> DataFrame:
+    """Apply one merge (a, b) -> ab to every word: a broadcast of the
+    1-row merge and a map-side string replace — no shuffle."""
+    pat = F.concat(
+        F.lit(BPE_SEP), F.col("a"), F.lit(BPE_SEP + BPE_SEP), F.col("b"), F.lit(BPE_SEP)
+    )
+    rep = F.concat(F.lit(BPE_SEP), F.col("a"), F.col("b"), F.lit(BPE_SEP))
+    return (
+        state.crossJoin(F.broadcast(merge_df.select("a", "b")))
+        .select("seq", "freq", pat.alias("_pat"), rep.alias("_rep"))
+        .select(F.expr("replace(seq, _pat, _rep)").alias("seq"), "freq")
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Train BPE merges: n_merges iterations of count-pairs ->
+    take-argmax -> apply-merge, entirely as DataFrame ops (the argmax
+    joins back by broadcast — the driver never sees a row). Ties break
+    deterministically by (cnt desc, a, b). Returns the merge table
+    (step, a, b, cnt) — the artifact a tokenizer ships.
+
+    Every iteration runs over the vocab-sized word-frequency table
+    (see bpe_init_words); state is localCheckpoint'ed per step so the
+    lazy plan stays linear in n_merges (the argmax feeds both the
+    output and the next state — without the cut the plan would double
+    per step, same lineage issue as connected_components)."""
+    state = bpe_init_words(docs, text_col).localCheckpoint(eager=False)
+    merges = []
+    for step in range(1, n_merges + 1):
+        top = (
+            bpe_pair_counts(state)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(
+            top.select(F.lit(step).cast("long").alias("step"), "a", "b", "cnt")
+        )
+        state = bpe_apply_merge(state, top).localCheckpoint(eager=False)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

@@ -3047,3 +3047,64 @@ def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("_cos", 6).alias("proj_cos"))
     )
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """Unrolled BPE training replay: the merge loop becomes n chained
+    (pair-count -> argmax -> replace) CTE stages. Generated, not
+    handwritten, so the step count stays in lockstep with the Spark
+    builder below."""
+    s = "\x1f"
+    s2 = s + s
+    sql = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ), wf AS (
+        SELECT w || '_' AS w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM toks WHERE w <> '' GROUP BY 1
+    ), s0 AS (
+        SELECT '{s}' || array_to_string(string_split(w, ''), '{s2}') || '{s}' AS seq, freq
+        FROM wf
+    )"""
+    for k in range(1, n_merges + 1):
+        sql += f""", p{k} AS (
+        SELECT sy[i] AS a, sy[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(range(1, len(sy))) AS i, sy, freq
+            FROM (SELECT string_split(trim(seq, '{s}'), '{s2}') AS sy, freq FROM s{k - 1})
+        ) GROUP BY 1, 2
+    ), m{k} AS (
+        SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+    ), s{k} AS (
+        SELECT replace(seq, '{s}' || m.a || '{s2}' || m.b || '{s}',
+                       '{s}' || m.a || m.b || '{s}') AS seq, freq
+        FROM s{k - 1}, m{k} m
+    )"""
+    steps = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, a, b, cnt FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return sql + f" SELECT step, a, b, cnt FROM ({steps})"
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_oracle(6),
+    doc="BPE tokenizer training (operators/text.py:bpe_train), the "
+    "Sennrich et al. 2016 algorithm end to end: 6 iterations of "
+    "count-adjacent-pairs -> argmax -> merge, ties broken (cnt desc, "
+    "a, b). The corpus is scanned ONCE into the distinct-word "
+    "frequency table; every iteration after that is vocab-sized "
+    "(millions of rows at 100 TB, not the corpus), the argmax joins "
+    "back by broadcast (the driver never sees a row), and merge "
+    "application is a map-side string replace over the SEP-wrapped "
+    "symbol encoding — chosen precisely so the loop stays SQL-"
+    "expressible and the oracle replays ALL 6 stages as generated "
+    "CTEs. Exact-match validated against a pure-python BPE reference "
+    "in tests/test_operators.py.",
+    tags=("pipeline", "text"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    return T.bpe_train(docs, n_merges=6)

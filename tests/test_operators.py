@@ -755,3 +755,65 @@ def test_random_projection_preserves_planted_neighbors(spark, sf_dir):
     assert rows, "no planted queries"
     hits = sum(1 for r in rows if r["vec_id"] == r["orig_id"])
     assert hits == len(rows), f"{hits}/{len(rows)} planted top-1 matches"
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """bpe_train must reproduce the exact merge sequence of a direct
+    Sennrich-style BPE implementation (greedy leftmost merge, '_' end
+    marker, ties by (cnt desc, a, b)) — including multi-level merges
+    where a merged symbol participates in a later pair."""
+    from collections import Counter
+
+    rows = [
+        (1, "low lower lowest low low newer new news"),
+        (2, "low lower newest newest wider wide new"),
+        (3, "the newest widest low new new lower"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.step, r.a, r.b, r.cnt)
+        for r in T.bpe_train(docs, 6).orderBy("step").collect()
+    ]
+
+    words: Counter = Counter()
+    for _, t in rows:
+        for w in t.lower().split():
+            words[w + "_"] += 1
+    vocab = {w: list(w) for w in words}
+    ref = []
+    for step in range(1, 7):
+        pc: Counter = Counter()
+        for w, freq in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += freq
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((step, a, b, cnt))
+        for w in vocab:
+            s = vocab[w]
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    assert got == ref
+
+
+def test_bpe_merge_cannot_match_across_symbol_boundary(spark):
+    """The wrapped encoding must prevent a merge pattern from matching
+    inside a LONGER symbol: with symbols [xa, b], merge (a, b) must
+    NOT fire."""
+    state = spark.createDataFrame(
+        [("\x1fxa\x1f\x1fb\x1f", 1)], "seq string, freq long"
+    )
+    merge = spark.createDataFrame([("a", "b")], "a string, b string")
+    out = T.bpe_apply_merge(state, merge).collect()
+    assert out[0]["seq"] == "\x1fxa\x1f\x1fb\x1f"  # unchanged
+    # and the true pair (xa, b) is what pair counting sees
+    pairs = {(r.a, r.b) for r in T.bpe_pair_counts(state).collect()}
+    assert pairs == {("xa", "b")}
