@@ -3108,3 +3108,145 @@ def _bpe_oracle(n_merges: int = 6) -> str:
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir)["documents"]
     return T.bpe_train(docs, n_merges=6)
+
+
+@register(
+    "text_unigram_doc_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, term FROM toks WHERE term <> ''
+    ), gf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS gf FROM tk GROUP BY term
+    )
+    SELECT tk.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(gf.gf) AS BIGINT) AS sum_freq,
+           CAST(SUM(gf.gf) // COUNT(*) AS BIGINT) AS mean_tok_freq
+    FROM tk JOIN gf USING (term)
+    GROUP BY tk.doc_id
+    """,
+    doc="Unigram-LM document quality proxy: per-doc mean corpus "
+    "frequency of its tokens — the log-free skeleton of a unigram "
+    "log-prob score (docs made of rare/garbage tokens score low, "
+    "stopword-heavy boilerplate scores high; pipelines cut both "
+    "tails). Two vocab-keyed aggregations: global term counts "
+    "(map-side combinable) broadcast back onto the token stream, then "
+    "one per-doc agg — corpus text never shuffles. All-integer "
+    "(BIGINT sums, DIV mean) so the score is exact in both engines.",
+    tags=("pipeline", "text"),
+)
+def text_unigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions.textfn import tokens
+
+    docs = _t(spark, sf_dir)["documents"]
+    tk = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    gf = tk.groupBy("term").agg(F.count(F.lit(1)).alias("gf"))
+    return (
+        tk.join(F.broadcast(gf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("gf").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long"),
+            F.col("sum_freq").cast("long"),
+            F.expr("sum_freq DIV n_tokens").alias("mean_tok_freq"),
+        )
+    )
+
+
+def _rp_rerank_oracle() -> str:
+    from bo_sql_spark.operators.sampling import PORTABLE_PRIME, portable_hash_sql
+
+    mix = portable_hash_sql("j * 64 + d")
+    p = PORTABLE_PRIME
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), proj AS (
+        SELECT vec_id,
+               list_transform(range(0, 16), j ->
+                   list_dot_product(v, list_transform(
+                       list_transform(range(0, 64), d -> {mix}),
+                       h -> CASE WHEN (h * h) % {p} * 2 >= {p}
+                                 THEN CAST(-1 AS DOUBLE)
+                                 ELSE CAST(1 AS DOUBLE) END))) AS p
+        FROM vecs
+    ), q AS (
+        SELECT p AS qp FROM proj WHERE vec_id = 0
+    ), cand AS (
+        SELECT vec_id
+        FROM proj CROSS JOIN q
+        WHERE vec_id <> 0
+        ORDER BY list_dot_product(p, qp)
+              / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(qp, qp))) DESC,
+              vec_id
+        LIMIT 100
+    ), qv AS (
+        SELECT v AS qvec FROM vecs WHERE vec_id = 0
+    )
+    SELECT vec_id, ROUND(sim, 6) AS cos_sim
+    FROM (
+        SELECT e.vec_id,
+               list_dot_product(e.v, qv.qvec)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS sim
+        FROM cand JOIN vecs e USING (vec_id) CROSS JOIN qv
+    )
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "similarity_rp_rerank",
+    oracle=_rp_rerank_oracle(),
+    doc="Coarse-to-fine ANN: rank ALL vectors by 16-dim projected "
+    "cosine (4x cheaper per row, TakeOrderedAndProject keeps the top "
+    "100), then exact 64-dim cosine reranks only those 100 — the "
+    "classic two-stage retrieval every production vector store runs "
+    "(coarse scan in the compressed space, exact math on a bounded "
+    "candidate set). The candidate set joins back to the full vectors "
+    "by broadcast, so the full-dim table is probed, never scanned. "
+    "Measured recall@10 vs exact is asserted in tests/"
+    "test_operators.py — candidates=100 recovers most of what raw "
+    "16-dim top-10 loses on the near-isotropic fixture.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    proj = S.random_projection(emb, out_dim=16, in_dim=64)
+    qp = proj.filter(F.col("vec_id") == 0).select(F.col("proj").alias("_qp"))
+    cand = (
+        proj.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qp))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("proj"), F.col("_qp")).alias("_pcos"),
+        )
+        .orderBy(F.col("_pcos").desc(), "vec_id")
+        .limit(100)
+        .select("vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("_qv")).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_cos", 6).alias("cos_sim"))
+    )

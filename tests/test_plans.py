@@ -237,3 +237,13 @@ def test_sq8_topk_broadcast_and_heap(spark, sf_dir):
     assert "TakeOrderedAndProject" in text, text
     assert "CartesianProduct" not in text, text
     assert "SortMergeJoin" not in text, text
+
+
+def test_rp_rerank_probes_not_scans_full_vectors(spark, sf_dir):
+    """Coarse-to-fine ANN: the candidate set must reach the full-dim
+    table as a BROADCAST probe (no shuffled join), with heap-based
+    top-k at both stages."""
+    text = explain_str(_df(spark, sf_dir, "similarity_rp_rerank"), "simple")
+    assert text.count("TakeOrderedAndProject") >= 2, text
+    assert "BroadcastHashJoin" in text, text
+    assert "SortMergeJoin" not in text, text
