@@ -1,0 +1,99 @@
+"""Distributed heavy hitters: Misra-Gries mergeable summaries per
+partition, then an exact recount of the candidate set.
+
+The op a 100 TB pipeline runs to find dominant domains/URLs/tokens when
+the key space is corpus-sized — where a plain groupBy(key) would
+shuffle every distinct key. Two phases instead:
+
+1. Per-partition Misra-Gries summary with ``m`` counters, inside ONE
+   Arrow-batched ``mapInPandas`` pass (vectorized per batch: pandas
+   value_counts merged into the summary with the standard mergeable-
+   summaries trim — add counts, then subtract the (m+1)-th largest and
+   drop non-positives; Agarwal et al., "Mergeable Summaries", PODS'12).
+   Only <= m candidate rows per partition ever shuffle.
+2. Exact recount of the (tiny, broadcast) candidate union, then the
+   global ratio filter.
+
+Guarantee (why the output is exact and deterministic even though the
+candidate set depends on partitioning): if cnt(t)/N >= 1/r globally,
+then cnt_p(t)/N_p >= 1/r in at least one partition (weighted-average
+pigeonhole), and an MG summary with m >= r counters retains every key
+with partition ratio > 1/(m+1). With m chosen > r the candidate union
+is a SUPERSET of the true heavy hitters under ANY partitioning, and the
+exact recount + threshold makes the final answer independent of the
+physical layout — which is what lets a DuckDB oracle check it.
+
+The reference engine has no sketches at all (SELECT-only surface,
+reference parser.h:9-14); this extends the engine the way frequency
+monitoring over training corpora needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def misra_gries_candidates(
+    df: DataFrame, key_col: str, m: int
+) -> DataFrame:
+    """Phase 1: per-partition MG summaries -> (key, est) candidate rows,
+    at most ``m`` per partition. ``est`` undercounts by at most
+    N_p/(m+1) (the MG bound); it is NOT exact and callers must recount.
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: pd.Series | None = None
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > m:
+                # mergeable-summaries trim: subtract the (m+1)-th
+                # largest count from everything, keep positives
+                kth = counters.nlargest(m + 1).iloc[-1]
+                counters = counters - kth
+                counters = counters[counters > 0]
+        if counters is None or counters.empty:
+            return
+        yield pd.DataFrame(
+            {key_col: counters.index, "est": counters.astype("int64").values}
+        )
+
+    return df.select(key_col).mapInPandas(
+        summarize, schema=f"{key_col} string, est long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    ratio_denom: int = 200,
+    m: int | None = None,
+) -> DataFrame:
+    """Exact keys with global frequency >= 1/ratio_denom of all rows,
+    found without ever shuffling the full key space: MG candidates
+    (phase 1), broadcast semi-join recount (phase 2), integer ratio
+    filter. Two corpus scans instead of one corpus-wide shuffle — the
+    right trade when |keys| ~ |corpus| (URLs, n-grams).
+
+    ``m`` defaults to 2*ratio_denom: any m > ratio_denom preserves the
+    superset guarantee; the factor 2 keeps candidates safe even when a
+    partition's summary absorbed heavy deletion pressure."""
+    if m is None:
+        m = 2 * ratio_denom
+    assert m > ratio_denom, "need m > ratio_denom for the MG guarantee"
+    cand = misra_gries_candidates(df, key_col, m).select(key_col).distinct()
+    exact = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * ratio_denom >= F.col("_total"))
+        .select(key_col, F.col("cnt").cast("long").alias("cnt"))
+    )

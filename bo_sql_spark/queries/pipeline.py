@@ -3250,3 +3250,43 @@ def similarity_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("_cos", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tk AS (
+        SELECT term FROM toks WHERE term <> ''
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tk
+    ), c AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY term
+    )
+    SELECT term, cnt FROM c, n WHERE cnt * 200 >= total
+    """,
+    doc="Distributed heavy hitters (operators/heavy_hitters.py): all "
+    "tokens with >= 0.5% global frequency, found via per-partition "
+    "Misra-Gries summaries (Arrow-batched mapInPandas, m=400 counters, "
+    "vectorized mergeable-summaries trim) + exact recount of the "
+    "broadcast candidate union. Only <= m rows per partition shuffle — "
+    "never the full key space — which is the 100 TB shape when keys "
+    "are corpus-sized (URLs, n-grams). The weighted-average pigeonhole "
+    "+ MG retention bound make the candidate set a guaranteed superset "
+    "under ANY partitioning, so the recounted, threshold-filtered "
+    "output is exact and layout-independent — which is exactly what "
+    "lets a declarative DuckDB oracle check a sketch-based operator.",
+    tags=("pipeline", "text", "approx"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions.textfn import tokens
+    from bo_sql_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = _t(spark, sf_dir)["documents"]
+    tk = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return heavy_hitters(tk, "term", ratio_denom=200)

@@ -857,3 +857,35 @@ def test_rp_rerank_beats_raw_projected_topk(spark, sf_dir):
     }
     assert len(got & exact) >= 5  # >= 0.5 recall
     assert len(got & exact) > len(raw & exact)
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 13])
+def test_heavy_hitters_exact_under_any_partitioning(spark, nparts):
+    """The MG-candidate + recount pipeline must return EXACTLY the keys
+    with global ratio >= 1/denom, for any physical layout (the superset
+    guarantee makes the output layout-independent)."""
+    from bo_sql_spark.operators.heavy_hitters import heavy_hitters
+
+    # skewed stream: key k appears 2^k times, k = 0..9 -> total 1023;
+    # denom 10 -> threshold 103 -> keys 7, 8, 9 qualify
+    rows = [(f"k{k}",) for k in range(10) for _ in range(2 ** k)]
+    df = spark.createDataFrame(rows, "term string").repartition(nparts)
+    got = {
+        (r["term"], r["cnt"])
+        for r in heavy_hitters(df, "term", ratio_denom=10).collect()
+    }
+    assert got == {("k7", 128), ("k8", 256), ("k9", 512)}
+
+
+def test_misra_gries_summary_bounds(spark):
+    """Per-partition summaries: at most m rows per partition, and every
+    estimate undercounts (est <= true count)."""
+    from bo_sql_spark.operators.heavy_hitters import misra_gries_candidates
+
+    rows = [(f"k{k}",) for k in range(50) for _ in range(k + 1)]
+    df = spark.createDataFrame(rows, "term string").repartition(2)
+    cand = misra_gries_candidates(df, "term", m=5)
+    pdf = cand.toPandas()
+    assert len(pdf) <= 2 * 5
+    true = {f"k{k}": k + 1 for k in range(50)}
+    assert all(r.est <= true[r.term] for r in pdf.itertuples())
