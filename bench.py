@@ -50,12 +50,17 @@ HEADLINE = [
 # applyInPandas paths).
 PIPELINE = [
     "dedup_survivors",
+    "dedup_semantic",
     "similarity_ivf_multiprobe",
     "similarity_ivf_served",
     "similarity_ivf_batch_served",
     "similarity_ivfpq_adc",
+    "similarity_sq8_topk",
+    "similarity_rp_rerank",
     "asof_join_purchases",
     "training_pipeline_e2e",
+    "text_bpe_train",
+    "text_heavy_hitters",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.

@@ -576,17 +576,35 @@ def semantic_dedup(
     """
     from bo_sql_spark.operators.similarity import ivf_assign
 
+    from bo_sql_spark.functions import dot, l2_norm
+
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    hi = assigned.select(
-        "cell", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    # Precompute each vector's norm ONCE before the pairwise pass —
+    # same value as computing sqrt(dot(v,v)) per pair (deterministic,
+    # oracle-identical), but 3x fewer array reductions per pair: the
+    # O(|cell|^2) stage does one dot + one multiply + one divide.
+    withn = assigned.select(
+        "cell", F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
     )
-    lo = assigned.select(
-        "cell", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    hi = withn.select(
+        "cell",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    lo = withn.select(
+        "cell",
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     dups = (
         hi.join(lo, "cell")
         .filter(F.col("_ida") > F.col("_idb"))
-        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
         .select(F.col("_ida").alias(id_col))
         .distinct()
     )
