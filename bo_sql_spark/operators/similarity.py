@@ -56,7 +56,7 @@ def ivf_assign(
     cent_vec: str = "c_vec",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
-    centroid (L2, ties -> smallest centroid id via min_by determinism).
+    centroid by L2 distance.
 
     Broadcast the centroid table, score all pairs in codegen, keep the
     argmin per vector — one pass over the corpus, no shuffle of vectors
@@ -64,8 +64,14 @@ def ivf_assign(
 
     Distance uses the expanded form ||v||^2 - 2 v.c + ||c||^2 with
     sequential dot products — the exact op order the DuckDB oracle
-    runs, so argmin ties resolve identically (bitwise-equal floats).
-    """
+    runs, so both engines see bitwise-equal distances. Honesty note on
+    ties: min_by (and DuckDB's arg_min) resolve EXACT distance ties by
+    row-encounter order, which is not guaranteed stable — but an exact
+    tie needs two distinct centroids equidistant from a vector in
+    double precision, measure-zero for real-valued centroids (the
+    fixtures have no duplicate vectors; verified). Where ties are REAL
+    — PQ codebooks, which can contain duplicate codewords — the
+    deterministic struct-min ``_argmin_code`` is used instead."""
     from bo_sql_spark.functions import dot
 
     v = F.col(vec_col)
