@@ -611,3 +611,75 @@ def semantic_dedup(
     return assigned.join(dups, id_col, "left_anti").select(
         id_col, F.col("cell").cast("long").alias("cell")
     )
+
+
+def semantic_dedup_incremental(
+    corpus_assigned: DataFrame,
+    batch: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup: dedupe a NEW batch against an existing
+    corpus assignment without re-pairing the corpus — per-batch cost is
+    O(|batch| x cell size), never O(corpus^2). The semantic twin of
+    minhash_probe_index / append_ivf_assignment.
+
+    ``corpus_assigned`` is the FULL corpus assignment (id, cell, vec) —
+    the same artifact ivf_assign/materialize_ivf_assignment produce —
+    not just prior survivors: a batch doc must be dropped if it
+    near-matches ANY corpus doc (min-id-wins counts dropped docs as
+    killers too), which is what makes this byte-equivalent to running
+    semantic_dedup over corpus+batch and restricting to batch ids
+    (proven in tests, requires corpus ids < batch ids). Corpus members
+    always outrank the batch; inside the batch, min-id-wins.
+    """
+    from bo_sql_spark.functions import dot, l2_norm
+    from bo_sql_spark.operators.similarity import ivf_assign
+
+    b = ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
+    bn = b.select(
+        "cell",
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    cn = corpus_assigned.select(
+        "cell",
+        F.col(vec_col).alias("_vc"),
+        l2_norm(F.col(vec_col)).alias("_nc"),
+    )
+    sim_corpus = dot(F.col(vec_col), F.col("_vc")) / (F.col("_n") * F.col("_nc"))
+    cross = (
+        bn.join(cn, "cell")
+        .filter(sim_corpus >= threshold)
+        .select(F.col(id_col))
+        .distinct()
+    )
+    hi = bn.select(
+        "cell",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    lo = bn.select(
+        "cell",
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    internal = (
+        hi.join(lo, "cell")
+        .filter(F.col("_ida") > F.col("_idb"))
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    dups = cross.unionAll(internal).distinct()
+    return b.join(dups, id_col, "left_anti").select(
+        id_col, F.col("cell").cast("long").alias("cell")
+    )

@@ -3290,3 +3290,85 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     return heavy_hitters(tk, "term", ratio_denom=200)
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), corpus AS (
+        SELECT vec_id, v FROM base WHERE vec_id < 400
+    ), batch AS (
+        SELECT vec_id, v FROM base WHERE vec_id >= 400
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(v, (x, i) ->
+                   x * (CAST(1 AS DOUBLE)
+                        + CAST(0.0002 AS DOUBLE) * ((i - 1 + vec_id) % 5)))
+        FROM base WHERE vec_id % 7 = 0 AND vec_id < 400
+    ), cents AS (
+        SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16
+    ), cassign AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM corpus CROSS JOIN cents GROUP BY vec_id
+    ), bassign AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM batch CROSS JOIN cents GROUP BY vec_id
+    ), cross_dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM bassign b JOIN cassign c ON b.cell = c.cell
+        JOIN batch vb ON vb.vec_id = b.vec_id
+        JOIN corpus vc ON vc.vec_id = c.vec_id
+        WHERE list_dot_product(vb.v, vc.v)
+              / (sqrt(list_dot_product(vb.v, vb.v)) * sqrt(list_dot_product(vc.v, vc.v))) >= 0.95
+    ), internal AS (
+        SELECT DISTINCT a.vec_id
+        FROM bassign a JOIN bassign b2 ON a.cell = b2.cell AND a.vec_id > b2.vec_id
+        JOIN batch va ON va.vec_id = a.vec_id
+        JOIN batch vb2 ON vb2.vec_id = b2.vec_id
+        WHERE list_dot_product(va.v, vb2.v)
+              / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb2.v, vb2.v))) >= 0.95
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell
+    FROM bassign
+    WHERE vec_id NOT IN (SELECT vec_id FROM cross_dups)
+      AND vec_id NOT IN (SELECT vec_id FROM internal)
+    """,
+    doc="Incremental SemDeDup (operators/dedup.py:"
+    "semantic_dedup_incremental): a new batch (vec_id >= 400 plus "
+    "planted closed-form near-copies of corpus docs) probes the "
+    "EXISTING corpus assignment — per-batch cost O(batch x cell), the "
+    "corpus is never re-paired. Corpus members always outrank the "
+    "batch; batch-internal dups resolve min-id-wins. Probing the full "
+    "assignment (not just survivors) is what makes the result "
+    "byte-equivalent to rerunning batch SemDeDup on corpus+batch "
+    "restricted to batch ids — proven in tests/test_operators.py. "
+    "The semantic twin of dedup_incremental_minhash and "
+    "similarity_ivf_incremental.",
+    tags=("pipeline", "dedup", "similarity", "incremental"),
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") < 400)
+    planted = corpus.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.0002) * ((i + F.col("vec_id")) % 5).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    batch = emb.filter(F.col("vec_id") >= 400).unionAll(planted)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    corpus_assigned = S.ivf_assign(corpus, cents)
+    return D.semantic_dedup_incremental(
+        corpus_assigned, batch, cents, threshold=0.95
+    )

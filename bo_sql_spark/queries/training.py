@@ -376,3 +376,55 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.take_token_budget(
         docs, "source", "doc_id", "n_toks", budget=_MIX_BUDGET, salt=_MIX_SALT
     )
+
+
+_QW_SALT = 23
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(LEAST(999,
+                   1000 * length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   // GREATEST(1, length(text))) AS BIGINT) AS weight_permille
+        FROM documents
+    )
+    SELECT doc_id, source, weight_permille
+    FROM scored
+    WHERE {portable_hash_sql('doc_id', _QW_SALT)} % 1000 < weight_permille
+    """,
+    doc="Quality-WEIGHTED deterministic sampling: each doc's keep "
+    "probability is its own integer quality signal (alpha-character "
+    "permille of the text — boilerplate/markup-heavy docs downweight "
+    "themselves), decided by comparing the engine-portable hash mod "
+    "1000 against the per-doc weight. The curriculum/upsampling "
+    "primitive of a training pipeline: acceptance is a pure function "
+    "of (doc_id, text), so any engine, any retry, any partitioning "
+    "reproduces the exact subset — and it stays a scan-stage filter "
+    "(no RNG, no shuffle, no Sample operator), same as the uniform "
+    "Bernoulli twin sample_hash_bernoulli.",
+    tags=("pipeline", "training", "sampling"),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.sampling import portable_hash
+
+    docs = _t(spark, sf_dir)["documents"]
+    alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    # floor(1000*alpha / len) == the oracle's integer //: operands are
+    # exact small doubles and a non-integer quotient can never round
+    # across an integer boundary (|a/b - n| >= 1/b >> ulp)
+    weight = F.least(
+        F.lit(999).cast("long"),
+        F.floor(F.lit(1000) * alpha / F.greatest(F.lit(1), F.length("text"))).cast("long"),
+    )
+    return (
+        docs.select(
+            "doc_id", "source", weight.alias("weight_permille")
+        )
+        .filter(
+            F.pmod(portable_hash("doc_id", _QW_SALT), F.lit(1000))
+            < F.col("weight_permille")
+        )
+    )

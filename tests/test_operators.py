@@ -889,3 +889,41 @@ def test_misra_gries_summary_bounds(spark):
     assert len(pdf) <= 2 * 5
     true = {f"k{k}": k + 1 for k in range(50)}
     assert all(r.est <= true[r.term] for r in pdf.itertuples())
+
+
+def test_semantic_dedup_incremental_equals_full_rerun(spark, sf_dir):
+    """Probing the full corpus assignment must be byte-equivalent to
+    rerunning batch SemDeDup over corpus+batch and restricting to the
+    batch ids (corpus ids all precede batch ids)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") < 300)
+    planted = corpus.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.0003) * (i % 4).cast("double")),
+        ).alias("embedding"),
+    )
+    batch = emb.filter(F.col("vec_id") >= 300).unionAll(planted)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    inc = {
+        (r["vec_id"], r["cell"])
+        for r in D.semantic_dedup_incremental(
+            S.ivf_assign(corpus, cents), batch, cents, threshold=0.95
+        ).collect()
+    }
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    full = {
+        (r["vec_id"], r["cell"])
+        for r in D.semantic_dedup(
+            corpus.unionAll(batch), cents, threshold=0.95
+        ).collect()
+        if r["vec_id"] in batch_ids
+    }
+    assert inc == full
+    # and the planted corpus copies were actually dropped (same-cell)
+    assert not any(v >= 100000 for v, _ in inc)
