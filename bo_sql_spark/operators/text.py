@@ -252,6 +252,7 @@ def bpe_init_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            w.alias("w"),
             F.concat(
                 F.lit(BPE_SEP),
                 F.array_join(F.split(w, ""), s2),
@@ -287,15 +288,18 @@ def bpe_pair_counts(state: DataFrame) -> DataFrame:
 
 def bpe_apply_merge(state: DataFrame, merge_df: DataFrame) -> DataFrame:
     """Apply one merge (a, b) -> ab to every word: a broadcast of the
-    1-row merge and a map-side string replace — no shuffle."""
+    1-row merge and a map-side string replace — no shuffle. All state
+    columns besides ``seq`` pass through (the segmenting consumers
+    carry the original word)."""
     pat = F.concat(
         F.lit(BPE_SEP), F.col("a"), F.lit(BPE_SEP + BPE_SEP), F.col("b"), F.lit(BPE_SEP)
     )
     rep = F.concat(F.lit(BPE_SEP), F.col("a"), F.col("b"), F.lit(BPE_SEP))
+    others = [c for c in state.columns if c != "seq"]
     return (
         state.crossJoin(F.broadcast(merge_df.select("a", "b")))
-        .select("seq", "freq", pat.alias("_pat"), rep.alias("_rep"))
-        .select(F.expr("replace(seq, _pat, _rep)").alias("seq"), "freq")
+        .select("seq", *others, pat.alias("_pat"), rep.alias("_rep"))
+        .select(F.expr("replace(seq, _pat, _rep)").alias("seq"), *others)
     )
 
 
@@ -330,3 +334,53 @@ def bpe_train(
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer APPLY: train ``n_merges`` BPE merges on the corpus,
+    segment every distinct word under them, and count the resulting
+    subword tokens per document — the op that prices a corpus in
+    tokens under its own tokenizer (sequence packing, token budgets,
+    cost estimates all key off it).
+
+    Scale shape: training and segmentation both run on the vocab-sized
+    word table; the corpus is touched exactly twice (once to build the
+    word table, once to join the per-word piece counts back to the
+    token stream by broadcast). Returns (id, n_words, n_bpe_tokens).
+    """
+    from bo_sql_spark.functions.textfn import tokens
+
+    s2 = BPE_SEP + BPE_SEP
+    state = bpe_init_words(docs, text_col).localCheckpoint(eager=False)
+    for _ in range(n_merges):
+        top = (
+            bpe_pair_counts(state)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        state = bpe_apply_merge(state, top).localCheckpoint(eager=False)
+    seg = state.select(
+        "w",
+        F.size(F.split(F.expr(f"btrim(seq, '{BPE_SEP}')"), s2))
+        .cast("long")
+        .alias("n_pieces"),
+    )
+    doctok = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .select(id_col, F.concat(F.col("w"), F.lit("_")).alias("w"))
+    )
+    return (
+        doctok.join(F.broadcast(seg), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        )
+    )

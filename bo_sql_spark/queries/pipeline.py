@@ -3049,22 +3049,28 @@ def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = 6) -> str:
+def _bpe_oracle(n_merges: int = 6, final: str = "merges") -> str:
     """Unrolled BPE training replay: the merge loop becomes n chained
     (pair-count -> argmax -> replace) CTE stages. Generated, not
     handwritten, so the step count stays in lockstep with the Spark
-    builder below."""
+    builders below. ``final='merges'`` emits the merge table
+    (text_bpe_train); ``final='doc_tokens'`` segments every word under
+    the trained merges and emits per-doc subword token counts
+    (text_bpe_token_count)."""
     s = "\x1f"
     s2 = s + s
     sql = f"""
     WITH toks AS (
-        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
         FROM documents
+    ), doctok AS (
+        SELECT doc_id, w || '_' AS w FROM toks WHERE w <> ''
     ), wf AS (
-        SELECT w || '_' AS w, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM toks WHERE w <> '' GROUP BY 1
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM doctok GROUP BY 1
     ), s0 AS (
-        SELECT '{s}' || array_to_string(string_split(w, ''), '{s2}') || '{s}' AS seq, freq
+        SELECT w, '{s}' || array_to_string(string_split(w, ''), '{s2}') || '{s}' AS seq, freq
         FROM wf
     )"""
     for k in range(1, n_merges + 1):
@@ -3077,10 +3083,20 @@ def _bpe_oracle(n_merges: int = 6) -> str:
     ), m{k} AS (
         SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
     ), s{k} AS (
-        SELECT replace(seq, '{s}' || m.a || '{s2}' || m.b || '{s}',
+        SELECT w, replace(seq, '{s}' || m.a || '{s2}' || m.b || '{s}',
                        '{s}' || m.a || m.b || '{s}') AS seq, freq
         FROM s{k - 1}, m{k} m
     )"""
+    if final == "doc_tokens":
+        return sql + f""", seg AS (
+        SELECT w, CAST(len(string_split(trim(seq, '{s}'), '{s2}')) AS BIGINT) AS n_pieces
+        FROM s{n_merges}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_tokens
+    FROM doctok JOIN seg USING (w)
+    GROUP BY doc_id"""
     steps = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS step, a, b, cnt FROM m{k}"
         for k in range(1, n_merges + 1)
@@ -3372,3 +3388,21 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup_incremental(
         corpus_assigned, batch, cents, threshold=0.95
     )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=_bpe_oracle(6, final="doc_tokens"),
+    doc="Tokenizer APPLY (operators/text.py:bpe_token_counts): train "
+    "the same 6 BPE merges as text_bpe_train, segment every DISTINCT "
+    "word under them (vocab-sized work), and join the per-word piece "
+    "counts back to the token stream by broadcast for per-doc subword "
+    "counts — how a pipeline prices its corpus in tokens under its own "
+    "tokenizer (packing, budgets, cost estimates key off this). The "
+    "corpus is touched exactly twice; the oracle replays training, "
+    "segmentation, and the final join in one generated query.",
+    tags=("pipeline", "text", "training"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    return T.bpe_token_counts(docs, n_merges=6)

@@ -927,3 +927,17 @@ def test_semantic_dedup_incremental_equals_full_rerun(spark, sf_dir):
     assert inc == full
     # and the planted corpus copies were actually dropped (same-cell)
     assert not any(v >= 100000 for v, _ in inc)
+
+
+def test_bpe_token_counts_consistency(spark):
+    """Subword counts: every doc has n_bpe_tokens <= n_chars-ish bound
+    and >= n_words (merges only shrink sequences, never below 1 piece
+    per word); a word fully merged to one symbol counts 1."""
+    rows = [(1, "aa aa aa aa"), (2, "ab")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 3 merges on this corpus: (a,a)->aa, (aa,_)->aa_, ... 'aa' words
+    # collapse to a single piece
+    out = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in T.bpe_token_counts(docs, 3).collect()}
+    assert out[1][0] == 4
+    assert out[1][1] == 4  # each 'aa_' word -> one merged symbol
+    assert out[2][0] == 1 and 1 <= out[2][1] <= 3
