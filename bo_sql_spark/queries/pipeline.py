@@ -3406,3 +3406,91 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir)["documents"]
     return T.bpe_token_counts(docs, n_merges=6)
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       CASE WHEN len(tok) < 2 THEN [] ELSE range(1, len(tok)) END,
+                       i -> tok[i] || ' ' || tok[i + 1])) AS shingle
+            FROM toks
+        )
+        WHERE shingle IS NOT NULL AND shingle <> '' AND shingle <> ' '
+    ), c2 AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY shingle
+    ), c1 AS (
+        SELECT string_split(shingle, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        FROM c2 GROUP BY 1
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c2.c2 * 1000000 // c1.c1) // COUNT(*) AS BIGINT) AS mean_bigram_score
+    FROM bg
+    JOIN c2 USING (shingle)
+    JOIN c1 ON c1.w1 = string_split(shingle, ' ')[1]
+    GROUP BY bg.doc_id
+    """,
+    doc="Bigram-LM document quality score: per-doc mean MLE conditional "
+    "probability P(w2|w1) = c(w1 w2)/c(w1) over the corpus, in integer "
+    "micros (c2*1e6 DIV c1, then DIV by bigram count) — the 2-gram "
+    "upgrade of text_unigram_doc_score and the log-free skeleton of "
+    "perplexity-based filtering (docs whose word transitions are "
+    "unusual for the corpus score low). Bigrams come from the same "
+    "zip_with shingle machinery as dedup; both count tables are "
+    "vocab-scale aggregations broadcast back onto the bigram stream, "
+    "so corpus text never shuffles. All-integer: bit-exact in any "
+    "engine.",
+    tags=("pipeline", "text"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions.textfn import tokens
+
+    docs = _t(spark, sf_dir)["documents"]
+    # NON-distinct bigrams (word_shingles dedups — an LM counts every
+    # occurrence): zip tokens with their left-shifted tail; the last
+    # token pairs with the null pad and drops out.
+    toks = tokens(F.col("text"))
+    grams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bg = (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle").contains(" "))
+        .filter(~F.col("shingle").startswith(" "))
+        .filter(~F.col("shingle").endswith(" "))
+    )
+    c2 = bg.groupBy("shingle").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.select(
+        F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)).alias("w1"), "c2"
+    ).groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        bg.join(F.broadcast(c2), "shingle")
+        .withColumn("w1", F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c1), "w1")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("c2 * 1000000L DIV c1")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long"),
+            F.expr("_s DIV n_bigrams").cast("long").alias("mean_bigram_score"),
+        )
+    )
