@@ -3494,3 +3494,171 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_s DIV n_bigrams").cast("long").alias("mean_bigram_score"),
         )
     )
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events
+    ), c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, cnt
+    FROM c, n WHERE cnt * 125 >= total
+    """,
+    doc="STREAMING heavy hitters (operators/heavy_hitters.py + "
+    "foreachBatch): each microbatch's Misra-Gries summary (m=256 "
+    "counters, Arrow-batched) appends to a candidate store — MG "
+    "summaries are mergeable, and a key with global ratio >= 1/125 "
+    "must exceed that ratio in >= 1 microbatch (pigeonhole over "
+    "batches), so the drained candidate union is a superset under ANY "
+    "batching; a final exact recount of the bounded candidate set "
+    "against the full table yields the same layout- and batching-"
+    "independent exact answer as the batch twin text_heavy_hitters — "
+    "the lambda shape: sketch on arrival, verify exactly at serve "
+    "time. availableNow drain; the multi-batch path inherits the "
+    "batch-partition proofs (tests pin exactness across layouts).",
+    tags=("pipeline", "streaming", "approx"),
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators.heavy_hitters import misra_gries_candidates
+
+    events = _t(spark, sf_dir)["events"]
+    root = tempfile.mkdtemp(prefix="bosql_hh_stream_")
+    store = os.path.join(root, "candidates")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        cand = misra_gries_candidates(
+            batch_df.select(F.col("user_id").cast("string").alias("term")),
+            "term",
+            m=256,
+        )
+        cand.write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cand_keys = (
+        spark.read.parquet(store)
+        .select(F.col("term").cast("long").alias("user_id"))
+        .distinct()
+    )
+    exact = (
+        events.join(F.broadcast(cand_keys), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = events.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 125 >= F.col("_total"))
+        .select(
+            F.col("user_id").cast("long"), F.col("cnt").cast("long").alias("cnt")
+        )
+    )
+
+
+@register(
+    "dedup_survivors_best",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.4
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        ) SELECT * FROM r
+    ), canon AS (
+        SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+    ), q AS (
+        SELECT doc_id,
+               CAST(LEAST(999,
+                   1000 * length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   // GREATEST(1, length(text))) AS BIGINT) AS w
+        FROM documents WHERE doc_id < 150
+    ), member AS (
+        SELECT q.doc_id, COALESCE(canon.cluster_id, q.doc_id) AS cluster_id, q.w
+        FROM q LEFT JOIN canon ON q.doc_id = canon.node
+    ), best AS (
+        SELECT cluster_id,
+               (MIN({'nw': -w, 'id': doc_id})).id AS keeper
+        FROM member GROUP BY cluster_id
+    )
+    SELECT CAST(m.doc_id AS BIGINT) AS doc_id, m.w AS quality_permille
+    FROM member m JOIN best b
+      ON m.cluster_id = b.cluster_id AND m.doc_id = b.keeper
+    """,
+    doc="Keep-BEST dedup survivors: same near-dup clusters as "
+    "dedup_survivors, but the canonical doc per cluster is the "
+    "HIGHEST-quality member (integer alpha-permille signal, ties -> "
+    "min doc_id via lexicographic struct-min over (-quality, id)) — "
+    "what pipelines actually ship when duplicates differ in cleanliness "
+    "(a clean copy should win over a boilerplate-wrapped one), vs the "
+    "min-id convention that picks by arrival accident. Plan adds one "
+    "per-cluster argmax over the (id, cluster, weight) table — "
+    "group-key shuffle only, text never moves after scoring.",
+    tags=("pipeline", "dedup", "iterative"),
+)
+def dedup_survivors_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 150)
+    alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    w = F.least(
+        F.lit(999).cast("long"),
+        F.floor(
+            F.lit(1000) * alpha / F.greatest(F.lit(1), F.length("text"))
+        ).cast("long"),
+    )
+    q = docs.select("doc_id", w.alias("w"))
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    canon = D.connected_components(pairs)
+    member = (
+        q.join(canon, q.doc_id == canon.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "w",
+        )
+    )
+    best = member.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("w")).alias("nw"), F.col("doc_id").alias("id")))[
+            "id"
+        ].alias("keeper")
+    )
+    return (
+        member.join(
+            best,
+            (member.cluster_id == best.cluster_id)
+            & (member.doc_id == best.keeper),
+        )
+        .select(F.col("doc_id"), F.col("w").alias("quality_permille"))
+    )
