@@ -3662,3 +3662,40 @@ def dedup_survivors_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_id"), F.col("w").alias("quality_permille"))
     )
+
+
+@register(
+    "orc_roundtrip_docs",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(md5(text)) AS min_md5,
+           MAX(md5(text)) AS max_md5
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="ORC ingest contract: the corpus round-trips through Spark's "
+    "native ORC source written PARTITIONED BY lang (hive layout), and "
+    "the per-lang stats + content checksums (min/max md5 of text) "
+    "must equal reading the parquet directly — any encoding loss, "
+    "row duplication, or partition-column corruption breaks the hash. "
+    "A second columnar format beside parquet (+ CSV/JSONL line "
+    "formats); partition pruning on the lang directory is pinned in "
+    "tests/test_plans.py. Beyond-reference surface: the reference "
+    "loads CSV only (src/storage/csv_loader.cpp).",
+    tags=("pipeline", "source"),
+)
+def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bosql_orc_") + "/docs"
+    t["documents"].write.mode("overwrite").partitionBy("lang").orc(path)
+    loaded = spark.read.orc(path)
+    return loaded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min(F.md5("text")).alias("min_md5"),
+        F.max(F.md5("text")).alias("max_md5"),
+    )

@@ -247,3 +247,21 @@ def test_rp_rerank_probes_not_scans_full_vectors(spark, sf_dir):
     assert text.count("TakeOrderedAndProject") >= 2, text
     assert "BroadcastHashJoin" in text, text
     assert "SortMergeJoin" not in text, text
+
+
+def test_orc_partition_pruning(spark, sf_dir):
+    """A lang filter over the partitioned ORC store must prune at the
+    source (PartitionFilters carries the predicate), reading one
+    directory, not the table."""
+    import tempfile
+
+    from bo_sql_spark.catalog import load_tables
+
+    import pyspark.sql.functions as F
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = tempfile.mkdtemp(prefix="bosql_orc_plan_") + "/docs"
+    docs.write.mode("overwrite").partitionBy("lang").orc(path)
+    df = spark.read.orc(path).filter(F.col("lang") == "en").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200], plan
