@@ -918,6 +918,7 @@ def sq8_encode(
     stats: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Scalar-quantize each vector to 8-bit codes: code[d] =
     round((v[d]-min[d]) / (max[d]-min[d]) * 255), clamped to [0,255]
@@ -947,7 +948,7 @@ def sq8_encode(
         ),
     )
     return emb.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col), code.alias("codes")
+        F.col(id_col), *[F.col(k) for k in keep], code.alias("codes")
     )
 
 
@@ -1066,3 +1067,25 @@ def random_projection(
         ),
     )
     return emb.select(F.col(id_col), proj.alias(out_col))
+
+
+def materialize_ivfsq_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persist an IVF-SQ8 index: coarse-assign every vector to its
+    cell, scalar-quantize it against the corpus-global min/max
+    codebook, and write (id, codes) parquet PARTITIONED BY cell — the
+    FAISS IVFScalarQuantizer layout. The stored index holds 8-bit
+    codes, not vectors: 4x smaller than IVF-Flat's store at the same
+    pruning behavior, and decode happens in the serving scan.
+    Returns the (one-row) stats codebook the serving side broadcasts.
+    """
+    stats = sq8_stats(emb, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    codes = sq8_encode(assigned, stats, id_col=id_col, vec_col=vec_col, keep=("cell",))
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return stats

@@ -3699,3 +3699,68 @@ def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("text")).alias("min_md5"),
         F.max(F.md5("text")).alias("max_md5"),
     )
+
+
+@register(
+    "similarity_ivfsq_served",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), dims AS (
+        SELECT unnest(range(1, 65)) AS pos
+    ), stats AS (
+        SELECT pos, MIN(v[pos]) AS mn, MAX(v[pos]) AS mx
+        FROM vecs CROSS JOIN dims GROUP BY pos
+    ), dec AS (
+        SELECT vec_id, pos,
+               CAST(FLOOR((mn + (CASE WHEN mx = mn THEN 0 ELSE
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR((v[pos] - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)))
+               END) * (mx - mn) / 255) * 1000000 + 0.5) AS BIGINT) AS dm
+        FROM vecs CROSS JOIN dims JOIN stats USING (pos)
+    ), q AS (
+        SELECT pos, dm AS qm FROM dec WHERE vec_id = 0
+    )
+    SELECT d.vec_id, CAST(SUM(d.dm * q.qm) AS BIGINT) AS sq_score
+    FROM dec d
+    JOIN q USING (pos)
+    JOIN assigned a ON a.vec_id = d.vec_id
+    WHERE a.cell = (SELECT cell FROM assigned WHERE vec_id = 0)
+      AND d.vec_id <> 0
+    GROUP BY d.vec_id
+    ORDER BY sq_score DESC, d.vec_id
+    LIMIT 10
+    """,
+    doc="IVF-SQ8 served index (operators/similarity.py:"
+    "materialize_ivfsq_index) — the FAISS IVFScalarQuantizer layout: "
+    "coarse cells partition the store, 8-bit SQ codes replace vectors "
+    "inside it (4x smaller index than IVF-Flat at identical pruning), "
+    "decode-and-score runs in the serving scan as exact BIGINT micro "
+    "dot products. Fully in-engine serving: the query's OWN index row "
+    "supplies both its probe cell (broadcast semi-join on the "
+    "partition column -> partition pruning) and its codes — no "
+    "assignment recompute, no driver collect. Completes the index "
+    "matrix: {Flat, SQ8, PQ} x {one-shot, materialized-served}.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ivfsq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = tempfile.mkdtemp(prefix="bosql_ivfsq_") + "/index"
+    stats = S.materialize_ivfsq_index(emb, cents, path)
+    store = spark.read.parquet(path)
+    qrow = store.filter(F.col("vec_id") == 0)
+    serve = store.join(
+        F.broadcast(qrow.select("cell")), "cell", "left_semi"
+    ).filter(F.col("vec_id") != 0)
+    return S.sq8_topk(serve, qrow, stats, k=10)

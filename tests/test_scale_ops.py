@@ -313,3 +313,39 @@ def test_ivfpq_served_prunes_partitions(spark, tmp_path):
         spark, path, cents, vecs[1][1], m=4, dsub=2, n_probe=1, k=5
     )
     assert 0 < other.count() <= 5
+
+
+def test_ivfsq_store_is_codes_partitioned_by_cell(spark, tmp_path):
+    """The IVF-SQ8 store must hold 8-bit CODES (no vector column) in a
+    hive cell=N layout, and a cell probe must prune at the source."""
+    import os
+
+    import numpy as np
+
+    from bo_sql_spark.operators.similarity import (
+        materialize_ivfsq_index,
+        sq8_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = str(tmp_path / "ivfsq")
+    stats = materialize_ivfsq_index(emb, cents, path)
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+    store = spark.read.parquet(path)
+    assert set(store.columns) == {"vec_id", "codes", "cell"}  # no vectors
+    qrow = store.filter(F.col("vec_id") == 0)
+    served = sq8_topk(
+        store.join(F.broadcast(qrow.select("cell")), "cell", "left_semi")
+        .filter(F.col("vec_id") != 0),
+        qrow,
+        stats,
+        k=5,
+    )
+    text = explain_str(served, "formatted")
+    assert "PartitionFilters" in text or "dynamicpruning" in text.lower(), text
+    assert served.count() == 5
