@@ -683,3 +683,44 @@ def semantic_dedup_incremental(
     return b.join(dups, id_col, "left_anti").select(
         id_col, F.col("cell").cast("long").alias("cell")
     )
+
+
+def semantic_dedup_stream_ingest(
+    spark,
+    batch: DataFrame,
+    centroids: DataFrame,
+    store_path: str,
+    survivors_path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One microbatch of streaming SemDeDup: dedupe ``batch`` against
+    the assignment store accumulated so far, append this batch's FULL
+    assignment to the store (killers count even when dropped — the
+    invariant semantic_dedup_incremental's equivalence proof needs),
+    and append the batch's survivors. With batch ids arriving in
+    increasing order the drained survivors equal one batch SemDeDup
+    run over everything (store-precedence == min-id-wins) — proven in
+    tests/test_streaming.py. The foreachBatch twin of
+    append_ivf_assignment / minhash_probe_index for the semantic
+    family."""
+    import os
+
+    from bo_sql_spark.operators.similarity import ivf_assign
+
+    b_assigned = ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
+    if os.path.exists(store_path) and any(
+        not f.startswith((".", "_")) for f in os.listdir(store_path)
+    ):
+        corpus_assigned = spark.read.parquet(store_path)
+        surv = semantic_dedup_incremental(
+            corpus_assigned, batch, centroids, threshold, id_col, vec_col
+        )
+    else:
+        surv = semantic_dedup(batch, centroids, threshold, id_col, vec_col)
+    # survivors first: the store append must not race into this batch's
+    # own incremental view (it was computed above, lazily, from the
+    # pre-append store read)
+    surv.localCheckpoint(eager=True).write.mode("append").parquet(survivors_path)
+    b_assigned.write.mode("append").partitionBy("cell").parquet(store_path)

@@ -3764,3 +3764,101 @@ def similarity_ivfsq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(qrow.select("cell")), "cell", "left_semi"
     ).filter(F.col("vec_id") != 0)
     return S.sq8_topk(serve, qrow, stats, k=10)
+
+
+@register(
+    "dedup_semantic_stream_ingest",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), aug AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(v, (x, i) ->
+                   x * (CAST(1 AS DOUBLE)
+                        + CAST(0.0002 AS DOUBLE) * ((i - 1 + vec_id) % 5)))
+        FROM base WHERE vec_id % 7 = 0
+    ), cents AS (
+        SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM aug CROSS JOIN cents GROUP BY vec_id
+    ), dups AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id > b.vec_id
+        JOIN aug va ON va.vec_id = a.vec_id
+        JOIN aug vb ON vb.vec_id = b.vec_id
+        WHERE list_dot_product(va.v, vb.v)
+              / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) >= 0.95
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell
+    FROM assigned a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
+    doc="STREAMING SemDeDup (operators/dedup.py:"
+    "semantic_dedup_stream_ingest): embeddings arrive as a file "
+    "stream; each microbatch is deduped against the assignment store "
+    "accumulated so far (batch-internal min-id-wins + store "
+    "precedence), its full assignment appends to the cell-partitioned "
+    "store, and its survivors append to the output. With ids arriving "
+    "in order, the drained survivor set equals ONE batch SemDeDup run "
+    "over everything — the oracle replays exactly that batch "
+    "computation, so any batching artifact fails the hash; the "
+    "multi-batch path is proven == batch in tests/test_streaming.py. "
+    "Completes the semantic family: batch, incremental, streaming — "
+    "mirroring minhash and IVF. Same planted near-copies as "
+    "dedup_semantic.",
+    tags=("pipeline", "dedup", "streaming"),
+)
+def dedup_semantic_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb_batch = _t(spark, sf_dir)["embeddings"]
+    cents = emb_batch.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    root = tempfile.mkdtemp(prefix="bosql_semdedup_stream_")
+    store = os.path.join(root, "assignment")
+    survivors = os.path.join(root, "survivors")
+
+    stream = (
+        spark.readStream.schema(emb_batch.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        b = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        planted = b.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.0002) * ((i + F.col("vec_id")) % 5).cast("double")
+                ),
+            ).alias("embedding"),
+        )
+        D.semantic_dedup_stream_ingest(
+            spark, b.unionAll(planted), cents, store, survivors, threshold=0.95
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(survivors).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )

@@ -153,3 +153,85 @@ def test_events_stream_empty_dir_falls_back_to_raw_schema(spark, tmp_path):
     stream = events_stream(spark, str(empty))
     assert stream.isStreaming
     assert "ts_ns" in stream.columns
+
+
+def test_semantic_stream_ingest_multibatch_equals_batch(spark, tmp_path):
+    """Two microbatches (ids in arrival order, the second containing
+    near-copies of first-batch vectors) must drain to exactly the
+    survivor set of ONE batch SemDeDup over all rows — store
+    precedence across batches == min-id-wins globally."""
+    import os
+    import time
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_stream_ingest,
+    )
+
+    rng = np.random.default_rng(3)
+    all_vecs = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(120)
+    ]
+    first = all_vecs[:60]
+    # second batch: fresh vectors + near-copies of batch-1 vectors
+    second = all_vecs[60:] + [
+        (1000 + i, [x * 1.0002 for x in v]) for i, v in first[:10]
+    ]
+    schema = "vec_id long, embedding array<double>"
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(
+        str(tmp_path / "f1")
+    )
+    spark.createDataFrame(second, schema).coalesce(1).write.parquet(
+        str(tmp_path / "f2")
+    )
+    import glob
+    import shutil
+
+    for j, src in enumerate(("f1", "f2")):
+        part = glob.glob(str(tmp_path / src / "part-*.parquet"))[0]
+        dst = os.path.join(land, f"batch{j}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (time.time() + j * 10, time.time() + j * 10))
+
+    cents_df = spark.createDataFrame(first[:4], schema).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    store = str(tmp_path / "store")
+    surv_path = str(tmp_path / "surv")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(land)
+    )
+
+    def ingest(batch_df, batch_id):
+        semantic_dedup_stream_ingest(
+            spark, batch_df, cents_df, store, surv_path, threshold=0.95
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(surv_path).collect()
+    }
+    everything = spark.createDataFrame(first + second, schema)
+    batch = {
+        (r["vec_id"], r["cell"])
+        for r in semantic_dedup(everything, cents_df, threshold=0.95).collect()
+    }
+    assert streamed == batch
+    # and the near-copies were really killed across the batch boundary
+    assert not any(v >= 1000 for v, _ in streamed)
