@@ -405,3 +405,73 @@ def test_random_in_subquery_agrees(ctx, pred, sub_pred, quant):
     got = spark.sql(sql).first()["n"]
     want = con.execute(sql).fetchone()[0]
     assert got == want, f"{sql}: {got} vs {want}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=64,
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    ).filter(lambda vs: len({len(v) for v in vs}) == 1),
+)
+def test_dot_product_bitwise_parity_with_duckdb(ctx, vecs):
+    """THE load-bearing assumption of every similarity oracle: Spark's
+    zip_with/aggregate dot (sequential index-order sum) must be
+    BITWISE equal to DuckDB's list_dot_product on arbitrary doubles —
+    compared via struct equality of the raw float bits, not rounding.
+    If either engine ever changes summation order (pairwise/SIMD),
+    this fails before a registered query flakes."""
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.functions import dot
+
+    import pyarrow as pa
+
+    spark, con = ctx
+    q = vecs[0]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    got = {
+        r["vec_id"]: r["d"]
+        for r in df.select("vec_id", dot(F.col("v"), qcol).alias("d")).collect()
+    }
+    # deliver the doubles to DuckDB via Arrow, exactly as parquet does
+    # for the real oracles — float literals in SQL text go through the
+    # DECIMAL parser and can land a ULP off (measured), which would
+    # test the literal path, not the dot product
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([i for i, _ in rows], type=pa.int64()),
+            "v": pa.array([v for _, v in rows], type=pa.list_(pa.float64())),
+        }
+    )
+    con.register("fuzz_vecs", tbl)
+    want = dict(
+        con.execute(
+            "SELECT vec_id, list_dot_product(v, (SELECT v FROM fuzz_vecs WHERE vec_id = 0)) FROM fuzz_vecs"
+        ).fetchall()
+    )
+    con.unregister("fuzz_vecs")
+    for i in got:
+        a = struct.pack("<d", got[i])
+        b = struct.pack("<d", want[i])
+        assert a == b, (i, got[i], want[i])
