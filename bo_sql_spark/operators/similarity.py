@@ -1089,3 +1089,72 @@ def materialize_ivfsq_index(
     codes = sq8_encode(assigned, stats, id_col=id_col, vec_col=vec_col, keep=("cell",))
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
     return stats
+
+
+def ivfsq_batch_topk_served(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    stats: DataFrame,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Batch ANN over the IVF-SQ8 store in ONE plan: per-query in-
+    engine probe selection (window over the broadcast centroids),
+    queries scalar-quantized against the same codebook, then the
+    (qid, cell, query-codes) probe rows — broadcast-sized — join the
+    cell-partitioned CODE store; decode-to-micros + exact BIGINT dot
+    score inside the pruned scan, per-qid window top-k. The
+    ivf_batch_topk_served shape on a 4x-smaller index."""
+    from pyspark.sql import Window
+
+    from bo_sql_spark.functions import dot
+
+    q = queries.select(F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_qv"))
+    cv = F.col(cent_vec)
+    d2 = dot(F.col("_qv"), F.col("_qv")) - 2 * dot(F.col("_qv"), cv) + dot(cv, cv)
+    w_probe = Window.partitionBy("_qid").orderBy("_d2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("_qid", F.col(cent_id).alias("cell"), d2.alias("_d2"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("_qid", "cell")
+    )
+    qcodes = sq8_encode(q, stats, id_col="_qid", vec_col="_qv").select(
+        "_qid", F.col("codes").alias("_qc")
+    )
+    probeq = probes.join(qcodes, "_qid")
+    st = F.zip_with(
+        F.col("mins"),
+        F.col("maxs"),
+        lambda mn, mx: F.struct(mn.alias("mn"), (mx - mn).alias("rng")),
+    )
+    dv = sq8_decode_micro(F.col("codes"), F.col("_st"))
+    dq = sq8_decode_micro(F.col("_qc"), F.col("_st"))
+    score = F.aggregate(
+        F.zip_with(dv, dq, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    store = spark.read.parquet(index_path)
+    w_topk = Window.partitionBy("_qid").orderBy(
+        F.col("sq_score").desc(), F.col(id_col)
+    )
+    return (
+        store.join(F.broadcast(probeq), "cell")
+        .crossJoin(F.broadcast(stats.select(st.alias("_st"))))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select("_qid", F.col(id_col), score.alias("sq_score"))
+        .withColumn("_rn", F.row_number().over(w_topk))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").cast("long").alias("query_id"), id_col, "sq_score"
+        )
+    )

@@ -3862,3 +3862,162 @@ def dedup_semantic_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(survivors).select(
         "vec_id", F.col("cell").cast("long").alias("cell")
     )
+
+
+@register(
+    "similarity_sq8_batch_served",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), dims AS (
+        SELECT unnest(range(1, 65)) AS pos
+    ), stats AS (
+        SELECT pos, MIN(v[pos]) AS mn, MAX(v[pos]) AS mx
+        FROM vecs CROSS JOIN dims GROUP BY pos
+    ), dec AS (
+        SELECT vec_id, pos,
+               CAST(FLOOR((mn + (CASE WHEN mx = mn THEN 0 ELSE
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR((v[pos] - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)))
+               END) * (mx - mn) / 255) * 1000000 + 0.5) AS BIGINT) AS dm
+        FROM vecs CROSS JOIN dims JOIN stats USING (pos)
+    ), queries AS (
+        SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 2
+    ), probes AS (
+        SELECT qid, c_id AS cell FROM (
+            SELECT q.qid, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_dot_product(q.qv, q.qv)
+                                - 2 * list_dot_product(q.qv, c.cv)
+                                + list_dot_product(c.cv, c.cv), c.c_id
+                   ) AS rn
+            FROM queries q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ), qdec AS (
+        SELECT vec_id AS qid, pos, dm AS qm FROM dec WHERE vec_id < 2
+    ), cand AS (
+        SELECT p.qid, a.vec_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.qid
+    ), scored AS (
+        SELECT c.qid, c.vec_id, CAST(SUM(d.dm * q.qm) AS BIGINT) AS sq_score
+        FROM cand c
+        JOIN dec d ON d.vec_id = c.vec_id
+        JOIN qdec q ON q.qid = c.qid AND q.pos = d.pos
+        GROUP BY c.qid, c.vec_id
+    )
+    SELECT qid AS query_id, vec_id, sq_score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY sq_score DESC, vec_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc="Batch ANN over the IVF-SQ8 store (operators/similarity.py:"
+    "ivfsq_batch_topk_served): two queries answered in ONE plan — "
+    "per-query in-engine probe selection (window over broadcast "
+    "centroids, 2 nearest cells each), queries scalar-quantized "
+    "against the same codebook, the broadcast (qid, cell, codes) "
+    "probe rows prune the cell-partitioned CODE store, and scoring "
+    "decodes to micros for exact BIGINT dots with a per-qid window "
+    "top-10. The similarity_ivf_batch_served shape on a 4x smaller "
+    "index; nothing is per-query serial, no driver collect.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_sq8_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    path = tempfile.mkdtemp(prefix="bosql_ivfsq_batch_") + "/index"
+    stats = S.materialize_ivfsq_index(emb, cents, path)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return S.ivfsq_batch_topk_served(
+        spark, path, queries, cents, stats, n_probe=2, k=10
+    )
+
+
+@register(
+    "similarity_matryoshka_rerank",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pref AS (
+        SELECT vec_id, v[1:16] AS p, v FROM vecs
+    ), q AS (
+        SELECT p AS qp, v AS qv FROM pref WHERE vec_id = 0
+    ), cand AS (
+        SELECT vec_id
+        FROM pref CROSS JOIN q
+        WHERE vec_id <> 0
+        ORDER BY list_dot_product(p, qp)
+              / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(qp, qp))) DESC,
+              vec_id
+        LIMIT 100
+    )
+    SELECT vec_id, ROUND(sim, 6) AS cos_sim
+    FROM (
+        SELECT e.vec_id,
+               list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM cand JOIN vecs e USING (vec_id) CROSS JOIN q
+    )
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Matryoshka-style coarse-to-fine ANN: rank by cosine over the "
+    "FIRST 16 dimensions only (MRL-trained embeddings, Kusupati et "
+    "al. 2022, order dimensions by information so a prefix is itself "
+    "a valid embedding — truncation is a slice, zero compute, unlike "
+    "the JL projection twin similarity_rp_rerank), keep the top 100, "
+    "exact full-dim rerank on just those via broadcast probe. On "
+    "non-MRL synthetic embeddings the prefix is an arbitrary 16-dim "
+    "marginal — structurally identical to serving a real MRL model, "
+    "which is what the plan shape demonstrates: 4x fewer multiplies "
+    "and bytes in the scan stage, TakeOrderedAndProject twice, no "
+    "shuffled join.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pref = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("p"), "embedding"
+    )
+    qrow = pref.filter(F.col("vec_id") == 0).select(
+        F.col("p").alias("_qp"), F.col("embedding").alias("_qv")
+    )
+    cand = (
+        pref.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow.select("_qp")))
+        .select(
+            "vec_id", cosine_similarity(F.col("p"), F.col("_qp")).alias("_pcos")
+        )
+        .orderBy(F.col("_pcos").desc(), "vec_id")
+        .limit(100)
+        .select("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qrow.select("_qv")))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("_qv")).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_cos", 6).alias("cos_sim"))
+    )

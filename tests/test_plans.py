@@ -265,3 +265,14 @@ def test_orc_partition_pruning(spark, sf_dir):
     df = spark.read.orc(path).filter(F.col("lang") == "en").select("doc_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_sq8_batch_served_one_plan_no_serial(spark, sf_dir):
+    """Batch SQ8 serving: both queries answered by one plan with
+    broadcast probes onto the code store and a windowed top-k — no
+    cartesian blowup, no shuffled join of the store."""
+    df = _df(spark, sf_dir, "similarity_sq8_batch_served")
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text, text
+    assert "SortMergeJoin" not in text, text
+    assert "BroadcastHashJoin" in text, text
