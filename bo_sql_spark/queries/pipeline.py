@@ -4021,3 +4021,143 @@ def similarity_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("_cos", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "embedding_mean_pool",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, vec_id % 50 AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), parts AS (
+        SELECT doc_id, pos,
+               SUM(CAST(FLOOR(v[pos] * 1000000 + 0.5) AS BIGINT)) AS s_micro,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM vecs CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) d
+        GROUP BY doc_id, pos
+    )
+    SELECT doc_id,
+           CAST(MIN(n) AS BIGINT) AS n_chunks,
+           array_agg(CAST(FLOOR(s_micro / n + 0.5) AS BIGINT) / 1000000.0
+                     ORDER BY pos) AS pooled
+    FROM parts GROUP BY doc_id
+    """,
+    doc="Chunk-to-document embedding MEAN POOLING (vec_id % 50 plays "
+    "the chunk->doc map): per-dim means in fixed point — sum "
+    "floor(x*1e6+0.5) micros as BIGINT partials, one divide at the "
+    "end — so partial-aggregate merge order can never flip a "
+    "component (same doctrine as IVF/PQ training means). The RAG-prep "
+    "op that collapses a chunk-embedding table into doc vectors: "
+    "shuffle rows are (doc, dim, partial) scalars, never vectors, and "
+    "the agg is map-side combinable at any corpus size.",
+    tags=("pipeline", "similarity"),
+)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"]
+    parts = (
+        emb.select(
+            (F.col("vec_id") % 50).alias("doc_id"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "x"
+            ),
+        )
+        .groupBy("doc_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.sum(
+                F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("long")
+            ).alias("s_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            F.min("n").cast("long").alias("n_chunks"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s_micro", "n"))),
+                lambda s: F.floor(s["s_micro"] / s["n"] + F.lit(0.5))
+                / F.lit(1_000_000.0),
+            ).alias("pooled"),
+        )
+    )
+
+
+@register(
+    "inference_length_buckets",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, n_chars, n_chars // 256 AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 32
+                AS BIGINT) AS batch_id
+    FROM b
+    """,
+    doc="Length-bucketed INFERENCE BATCHING: docs bucket by "
+    "n_chars DIV 256 and take deterministic 32-doc batch ids inside "
+    "each bucket — the dynamic-batching prep every LLM inference "
+    "fleet runs (similar-length sequences batch together so padding "
+    "waste is bounded by the bucket width). One window per bucket "
+    "(hash-partitioned by bucket, no global sort); all integer.",
+    tags=("pipeline", "training"),
+)
+def inference_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir)["documents"]
+    b = docs.select("doc_id", F.expr("n_chars DIV 256").alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        b.withColumn("rn0", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.expr("rn0 DIV 32").alias("batch_id"),
+        )
+    )
+
+
+_KSTRAT_SALT = 31
+from bo_sql_spark.operators.sampling import portable_hash_sql  # noqa: E402
+
+
+@register(
+    "sample_fixed_k_per_source",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {portable_hash_sql('doc_id', _KSTRAT_SALT)}, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+    doc="Fixed-k-per-stratum sampling: exactly 20 docs per source, "
+    "chosen by ranking each stratum in engine-portable hash order — "
+    "the deterministic equivalent of per-group reservoir sampling "
+    "(fraction-based stratified sampling can't promise exact group "
+    "sizes; eval-set construction and per-domain probes need them). "
+    "One window per source (hash-partitioned, WindowGroupLimit trims "
+    "to k below the shuffle); membership is a pure function of "
+    "(doc_id, salt), reproducible on any engine or retry.",
+    tags=("pipeline", "training", "sampling"),
+)
+def sample_fixed_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bo_sql_spark.operators.sampling import portable_hash
+
+    docs = _t(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(
+        portable_hash("doc_id", _KSTRAT_SALT), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )
