@@ -139,6 +139,25 @@ for p in (1, 2, 4):
          f"~{p}/16 of corpus", mean_recall(lambda qi, p=p: ivf_topk(qi, p), exact_cos_topk))
     )
 
+
+def ivfsq_topk(qi, probes):
+    cells = np.argsort(d2c[qi], kind="stable")[:probes]
+    idx = np.where(np.isin(assign, cells))[0]
+    s = dec[idx] @ dec[qi]
+    order = np.argsort(-s, kind="stable")
+    return set([i for i in idx[order] if i != qi][:K])
+
+
+# truth for IVF-SQ8 = exact dot restricted to nothing (global): the
+# composition loses from BOTH pruning and quantization; score against
+# the global exact-dot ranking to show the combined effect
+for p in (1, 2):
+    rows.append(
+        (f"IVF-SQ8 16 cells, {p} probe(s)", dim + 8,
+         f"~{p}/16 corpus, int8",
+         mean_recall(lambda qi, p=p: ivfsq_topk(qi, p), exact_dot_topk))
+    )
+
 print("| tier | index bytes/vec | scan cost | recall@10 |")
 print("|---|---|---|---|")
 for name, bytes_, cost, r in rows:
