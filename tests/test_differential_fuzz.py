@@ -475,3 +475,69 @@ def test_dot_product_bitwise_parity_with_duckdb(ctx, vecs):
         a = struct.pack("<d", got[i])
         b = struct.pack("<d", want[i])
         assert a == b, (i, got[i], want[i])
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.integers(min_value=2, max_value=24).flatmap(
+        lambda d: st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-1e3,
+                    max_value=1e3,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=64,
+                ),
+                min_size=d,
+                max_size=d,
+            ).map(lambda v: v if any(x != 0 for x in v) else [1.0] + v[1:]),
+            min_size=2,
+            max_size=6,
+        )
+    ),
+)
+def test_cosine_round6_parity_with_duckdb(ctx, vecs):
+    """End-to-end parity of the registered similarity pipeline's score
+    path: cosine (dot / (sqrt(dot)*sqrt(dot))) rounded to 6dp must
+    agree exactly across engines on arbitrary non-zero doubles —
+    covers the sqrt and division steps the raw dot test doesn't."""
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.functions import cosine_similarity
+
+    spark, con = ctx
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    qcol = F.array(*[F.lit(float(x)) for x in vecs[0]])
+    got = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", F.round(cosine_similarity(F.col("v"), qcol), 6).alias("c")
+        ).collect()
+    }
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([i for i, _ in rows], type=pa.int64()),
+            "v": pa.array([v for _, v in rows], type=pa.list_(pa.float64())),
+        }
+    )
+    con.register("fuzz_cos_vecs", tbl)
+    want = dict(
+        con.execute(
+            """
+            SELECT vec_id,
+                   ROUND(list_dot_product(v, q.qv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+            FROM fuzz_cos_vecs, (SELECT v AS qv FROM fuzz_cos_vecs WHERE vec_id = 0) q
+            """
+        ).fetchall()
+    )
+    con.unregister("fuzz_cos_vecs")
+    assert got == pytest.approx(want, abs=0)  # exact equality, dict-wise
