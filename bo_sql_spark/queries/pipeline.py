@@ -4241,3 +4241,77 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_dup_pos").cast("long"),
         )
     )
+
+
+@register(
+    "stream_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tok) - 5 + 2, 2)),
+                       i -> array_to_string(tok[i:i+4], ' ')))) AS shingle
+            FROM toks
+        )
+        WHERE shingle IS NOT NULL AND shingle <> ''
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s
+        JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0) e
+          USING (shingle)
+        WHERE s.doc_id % 25 <> 0
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id % 25 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    doc="STREAMING decontamination — drop contaminated docs AT INGEST: "
+    "documents arrive as a file stream, the eval set's distinct "
+    "5-word shingles are computed once from the batch table and "
+    "broadcast into every microbatch's LEFT ANTI join (per-batch cost "
+    "is O(batch), eval shingles are fixed), and clean docs append to "
+    "the landing store. The in-flight form of decontaminate_survivors "
+    "— a training pipeline that filters at ingest never pays a "
+    "full-corpus scrub later. Per-doc membership is independent of "
+    "batching, so the drained store must equal the batch query "
+    "exactly; same oracle, different execution path (the pattern the "
+    "streaming window queries established).",
+    tags=("pipeline", "dedup", "training", "streaming"),
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs_batch = _t(spark, sf_dir)["documents"]
+    evalset = docs_batch.filter(F.col("doc_id") % 25 == 0)
+    root = tempfile.mkdtemp(prefix="bosql_decontam_stream_")
+    out = os.path.join(root, "clean")
+
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        train = batch_df.filter(F.col("doc_id") % 25 != 0)
+        clean, _contaminated = D.decontaminate(train, evalset)
+        clean.select("doc_id", "source").write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
