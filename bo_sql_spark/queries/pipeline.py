@@ -4168,7 +4168,7 @@ def sample_fixed_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), w AS (
         SELECT doc_id, i AS pos, md5(substr(norm, i, 40)) AS h
         FROM d, unnest(range(1, GREATEST(length(norm) - 40 + 2, 2))) t(i)
@@ -4205,7 +4205,13 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     L = 40
-    d = docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    # NULL-text docs are dropped EXPLICITLY in both engines: Spark's
+    # greatest(NULL,1) is NULL (row vanishes via sequence(NULL)) but
+    # DuckDB's GREATEST ignores NULLs (row would survive) — a measured
+    # cross-engine divergence this filter removes from the equation.
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
     w = d.select(
         "doc_id",
         F.explode(
