@@ -276,3 +276,27 @@ def test_sq8_batch_served_one_plan_no_serial(spark, sf_dir):
     assert "CartesianProduct" not in text, text
     assert "SortMergeJoin" not in text, text
     assert "BroadcastHashJoin" in text, text
+
+
+def test_unigram_bigram_scores_broadcast_count_tables(spark, sf_dir):
+    """LM doc-scoring queries must broadcast their vocab-scale count
+    tables back onto the token/bigram stream — corpus text never
+    shuffles through a SortMergeJoin."""
+    for name in ("text_unigram_doc_score", "text_bigram_lm_score"):
+        text = explain_str(_df(spark, sf_dir, name), "simple")
+        assert "BroadcastHashJoin" in text, (name, text)
+        assert "SortMergeJoin" not in text, (name, text)
+
+
+def test_bpe_token_count_joins_pieces_by_broadcast(spark, sf_dir):
+    """Tokenizer apply: the per-word piece counts must reach the token
+    stream as a broadcast (vocab-sized side), never a shuffled join."""
+    text = explain_str(_df(spark, sf_dir, "text_bpe_token_count"), "simple")
+    assert "BroadcastHashJoin" in text, text
+
+
+def test_fixed_k_sample_trims_below_shuffle(spark, sf_dir):
+    """Fixed-k-per-stratum sampling must plan WindowGroupLimit so only
+    ~k rows per source survive below the shuffle."""
+    text = explain_str(_df(spark, sf_dir, "sample_fixed_k_per_source"), "simple")
+    assert "WindowGroupLimit" in text, text
