@@ -546,6 +546,53 @@ def contamination_ratio(
 
 
 # ------------------------------------------------------------- SemDeDup
+def _with_norms(
+    assigned: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(cell, id, vec, _n): each vector's norm computed ONCE before any
+    pairwise pass — same value as sqrt(dot(v,v)) per pair
+    (deterministic, oracle-identical), 3x fewer array reductions."""
+    from bo_sql_spark.functions import l2_norm
+
+    return assigned.select(
+        "cell", F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
+    )
+
+
+def _pairwise_dup_ids(
+    withn: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Ids with a LOWER-id same-cell neighbor at cosine >= threshold —
+    the within-cluster pairwise pass shared by semantic_dedup and its
+    incremental twin, kept in ONE place so the similarity expression
+    and min-id-wins tie rule can never diverge between the batch and
+    incremental paths (their byte-equivalence proof depends on it)."""
+    from bo_sql_spark.functions import dot
+
+    hi = withn.select(
+        "cell",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    lo = withn.select(
+        "cell",
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    return (
+        hi.join(lo, "cell")
+        .filter(F.col("_ida") > F.col("_idb"))
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame,
@@ -576,37 +623,9 @@ def semantic_dedup(
     """
     from bo_sql_spark.operators.similarity import ivf_assign
 
-    from bo_sql_spark.functions import dot, l2_norm
-
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    # Precompute each vector's norm ONCE before the pairwise pass —
-    # same value as computing sqrt(dot(v,v)) per pair (deterministic,
-    # oracle-identical), but 3x fewer array reductions per pair: the
-    # O(|cell|^2) stage does one dot + one multiply + one divide.
-    withn = assigned.select(
-        "cell", F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
-    )
-    hi = withn.select(
-        "cell",
-        F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    lo = withn.select(
-        "cell",
-        F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    dups = (
-        hi.join(lo, "cell")
-        .filter(F.col("_ida") > F.col("_idb"))
-        .filter(
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-            >= threshold
-        )
-        .select(F.col("_ida").alias(id_col))
-        .distinct()
+    dups = _pairwise_dup_ids(
+        _with_norms(assigned, id_col, vec_col), threshold, id_col, vec_col
     )
     return assigned.join(dups, id_col, "left_anti").select(
         id_col, F.col("cell").cast("long").alias("cell")
@@ -620,6 +639,7 @@ def semantic_dedup_incremental(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: dedupe a NEW batch against an existing
     corpus assignment without re-pairing the corpus — per-batch cost is
@@ -638,13 +658,15 @@ def semantic_dedup_incremental(
     from bo_sql_spark.functions import dot, l2_norm
     from bo_sql_spark.operators.similarity import ivf_assign
 
-    b = ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
-    bn = b.select(
-        "cell",
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("_n"),
+    # callers that already assigned this batch (the streaming ingest
+    # materializes the assignment for the store append anyway) pass it
+    # in, avoiding a second |batch| x |centroids| argmin pass
+    b = (
+        batch_assigned
+        if batch_assigned is not None
+        else ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
     )
+    bn = _with_norms(b, id_col, vec_col)
     cn = corpus_assigned.select(
         "cell",
         F.col(vec_col).alias("_vc"),
@@ -657,28 +679,7 @@ def semantic_dedup_incremental(
         .select(F.col(id_col))
         .distinct()
     )
-    hi = bn.select(
-        "cell",
-        F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    lo = bn.select(
-        "cell",
-        F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    internal = (
-        hi.join(lo, "cell")
-        .filter(F.col("_ida") > F.col("_idb"))
-        .filter(
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-            >= threshold
-        )
-        .select(F.col("_ida").alias(id_col))
-        .distinct()
-    )
+    internal = _pairwise_dup_ids(bn, threshold, id_col, vec_col)
     dups = cross.unionAll(internal).distinct()
     return b.join(dups, id_col, "left_anti").select(
         id_col, F.col("cell").cast("long").alias("cell")
@@ -709,18 +710,27 @@ def semantic_dedup_stream_ingest(
 
     from bo_sql_spark.operators.similarity import ivf_assign
 
-    b_assigned = ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
+    b_assigned = ivf_assign(
+        batch, centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     if os.path.exists(store_path) and any(
         not f.startswith((".", "_")) for f in os.listdir(store_path)
     ):
         corpus_assigned = spark.read.parquet(store_path)
         surv = semantic_dedup_incremental(
-            corpus_assigned, batch, centroids, threshold, id_col, vec_col
+            corpus_assigned,
+            batch,
+            centroids,
+            threshold,
+            id_col,
+            vec_col,
+            batch_assigned=b_assigned,
         )
     else:
         surv = semantic_dedup(batch, centroids, threshold, id_col, vec_col)
     # survivors first: the store append must not race into this batch's
-    # own incremental view (it was computed above, lazily, from the
-    # pre-append store read)
+    # own incremental view (computed lazily from the pre-append store
+    # read; b_assigned is checkpointed eagerly above so the assignment
+    # runs ONCE and both its consumers read the materialized copy)
     surv.localCheckpoint(eager=True).write.mode("append").parquet(survivors_path)
     b_assigned.write.mode("append").partitionBy("cell").parquet(store_path)

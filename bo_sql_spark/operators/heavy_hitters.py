@@ -86,8 +86,23 @@ def heavy_hitters(
         m = 2 * ratio_denom
     assert m > ratio_denom, "need m > ratio_denom for the MG guarantee"
     cand = misra_gries_candidates(df, key_col, m).select(key_col).distinct()
+    return recount_candidates(df, cand, key_col, ratio_denom)
+
+
+def recount_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    ratio_denom: int,
+) -> DataFrame:
+    """Phase 2, shared by the batch and streaming paths: exact recount
+    of a (guaranteed-superset) candidate set via broadcast semi-join,
+    then the integer global-ratio filter. Living in one place keeps
+    the threshold comparison (>=, not >) and join semantics identical
+    wherever candidates came from (one MG pass, or a drained
+    per-microbatch store)."""
     exact = (
-        df.join(F.broadcast(cand), key_col, "left_semi")
+        df.join(F.broadcast(candidates.select(key_col)), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -674,6 +674,38 @@ def ivfpq_adc_topk(
     )
 
 
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+    keep_qvec: bool = False,
+) -> DataFrame:
+    """Per-query in-engine probe selection, shared by every batch
+    serving path: queries (as (_qid, _qv)) cross-join the broadcast
+    centroids, a per-qid window ranks cells by the expanded L2 and
+    keeps the n_probe nearest (ties -> smallest cell). One place owns
+    the distance expression and tie rule, so batch IVF-Flat and batch
+    IVF-SQ8 can never drift apart. Returns (_qid, cell) or
+    (_qid, _qv, cell) with ``keep_qvec``."""
+    from pyspark.sql import Window
+
+    from bo_sql_spark.functions import dot
+
+    cv = F.col(cent_vec)
+    d2 = dot(F.col("_qv"), F.col("_qv")) - 2 * dot(F.col("_qv"), cv) + dot(cv, cv)
+    w_probe = Window.partitionBy("_qid").orderBy("_d2", "cell")
+    out = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("_qid", "_qv", F.col(cent_id).alias("cell"), d2.alias("_d2"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+    )
+    cols = ["_qid", "_qv", "cell"] if keep_qvec else ["_qid", "cell"]
+    return out.select(*cols)
+
+
 def ivf_batch_topk_served(
     spark,
     assignment_path: str,
@@ -687,10 +719,17 @@ def ivf_batch_topk_served(
     cent_vec: str = "c_vec",
     qid_col: str = "qid",
     qvec_col: str = "qv",
+    exclude_qid_matches: bool = True,
 ) -> DataFrame:
     """Answer a BATCH of ANN queries from a materialized IVF index in
     ONE plan — the production serving shape (batch inference, offline
     eval sweeps), replacing the per-query build-a-plan loop.
+
+    ``exclude_qid_matches`` (default True) drops the corpus vector
+    whose id EQUALS the query's qid — the self-exclusion convention of
+    held-out eval sweeps where qids ARE corpus ids. Serving external
+    queries with their own id space MUST pass False, or an unlucky
+    qid/vec_id collision silently deletes a true neighbor.
 
     Probe selection is per-query and in-engine: queries cross-join the
     broadcast centroid table, a per-qid window ranks cells by L2 and
@@ -708,23 +747,18 @@ def ivf_batch_topk_served(
     q = queries.select(
         F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_qv")
     )
-    cv = F.col(cent_vec)
-    d2 = dot(F.col("_qv"), F.col("_qv")) - 2 * dot(F.col("_qv"), cv) + dot(cv, cv)
-    w_probe = Window.partitionBy("_qid").orderBy("_d2", "cell")
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .select("_qid", "_qv", F.col(cent_id).alias("cell"), d2.alias("_d2"))
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= n_probe)
-        .select("_qid", "_qv", "cell")
+    probes = _probe_cells(
+        q, centroids, n_probe, cent_id, cent_vec, keep_qvec=True
     )
     assigned = spark.read.parquet(assignment_path)
     w_topk = Window.partitionBy("_qid").orderBy(
         F.col("_cos").desc(), F.col(id_col)
     )
+    joined = assigned.join(F.broadcast(probes), "cell")
+    if exclude_qid_matches:
+        joined = joined.filter(F.col(id_col) != F.col("_qid"))
     return (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col(id_col) != F.col("_qid"))
+        joined
         .select(
             "_qid",
             F.col(id_col),
@@ -830,11 +864,11 @@ def pq_train_step(
     slices assign to their nearest codeword (broadcast argmin), new
     codewords are per-(sub, code, dim) means — shuffle rows are tiny
     partials, never vectors — reassembled sorted by dim. Means are
-    computed in FIXED POINT (sum of floor(x*1e6+0.5) micros as BIGINT,
-    then one double divide by count), so partial-aggregate merge order
-    can never flip a codeword by an ulp — both engines produce
-    bit-identical codebooks (``round_dp`` is retained for API compat
-    but superseded: micros fix the resolution at 6dp)
+    computed in FIXED POINT (sum of floor(x*scale+0.5) partials as
+    BIGINT, scale = 10^round_dp, then one double divide by count), so
+    partial-aggregate merge order can never flip a codeword by an ulp
+    — both engines produce bit-identical codebooks at the requested
+    resolution (round_dp=6 is what every registered oracle replays)
     (SCALE.md measures what training buys: recall 0.14 -> 0.17 at
     ks=16, and the ks axis dominates — 0.40 at trained ks=256).
     Returns (sub, code, n_members, c_vec); codewords that attracted no
@@ -863,12 +897,13 @@ def pq_train_step(
         .groupBy(id_col, "sub")
         .agg(_argmin_code().alias("code"), F.first("sv").alias("sv"))
     )
+    scale = 10 ** round_dp
     by_dim = (
         best.select("sub", "code", F.posexplode("sv"))
         .groupBy("sub", "code", "pos")
         .agg(
             F.sum(
-                F.floor(F.col("col") * 1_000_000 + F.lit(0.5)).cast("long")
+                F.floor(F.col("col") * scale + F.lit(0.5)).cast("long")
             ).alias("s_micro"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -880,7 +915,7 @@ def pq_train_step(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "s_micro", "n"))),
                 lambda x: F.floor(x["s_micro"] / x["n"] + F.lit(0.5))
-                / F.lit(1_000_000.0),
+                / F.lit(float(scale)),
             ).alias("c_vec"),
         )
         .select("sub", "code", F.col("n_members").cast("long"), "c_vec")
@@ -971,6 +1006,29 @@ def sq8_decode_micro(codes: Column, stats_struct: Column) -> Column:
     )
 
 
+def _sq8_stats_struct() -> Column:
+    """(mn, rng) struct array from the broadcast (mins, maxs) codebook
+    row — the one decode parameterization every SQ8 scorer shares."""
+    return F.zip_with(
+        F.col("mins"),
+        F.col("maxs"),
+        lambda mn, mx: F.struct(mn.alias("mn"), (mx - mn).alias("rng")),
+    )
+
+
+def _sq8_score(codes: Column, qcodes: Column) -> Column:
+    """Exact BIGINT dot of two micro-decoded code arrays (decode via
+    the _st stats-struct column) — the single scoring expression for
+    one-shot, served, and batch-served SQ8 paths."""
+    dv = sq8_decode_micro(codes, F.col("_st"))
+    dq = sq8_decode_micro(qcodes, F.col("_st"))
+    return F.aggregate(
+        F.zip_with(dv, dq, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def sq8_topk(
     codes: DataFrame,
     query_codes: DataFrame,
@@ -984,21 +1042,10 @@ def sq8_topk(
     TakeOrderedAndProject keeps per-partition k-heaps — no global sort
     at any corpus size. The stored index stays the 4x-compressed code
     table; decode happens on the fly in the scan stage."""
-    st = F.zip_with(
-        F.col("mins"),
-        F.col("maxs"),
-        lambda mn, mx: F.struct(mn.alias("mn"), (mx - mn).alias("rng")),
-    )
-    dv = sq8_decode_micro(F.col("codes"), F.col("_st"))
-    dq = sq8_decode_micro(F.col("_qc"), F.col("_st"))
-    score = F.aggregate(
-        F.zip_with(dv, dq, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    score = _sq8_score(F.col("codes"), F.col("_qc"))
     return (
         codes.crossJoin(F.broadcast(query_codes.select(F.col("codes").alias("_qc"))))
-        .crossJoin(F.broadcast(stats.select(st.alias("_st"))))
+        .crossJoin(F.broadcast(stats.select(_sq8_stats_struct().alias("_st"))))
         .select(F.col(id_col), score.alias("sq_score"))
         .orderBy(F.col("sq_score").desc(), F.col(id_col))
         .limit(k)
@@ -1104,6 +1151,7 @@ def ivfsq_batch_topk_served(
     cent_vec: str = "c_vec",
     qid_col: str = "qid",
     qvec_col: str = "qv",
+    exclude_qid_matches: bool = True,
 ) -> DataFrame:
     """Batch ANN over the IVF-SQ8 store in ONE plan: per-query in-
     engine probe selection (window over the broadcast centroids),
@@ -1117,40 +1165,25 @@ def ivfsq_batch_topk_served(
     from bo_sql_spark.functions import dot
 
     q = queries.select(F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_qv"))
-    cv = F.col(cent_vec)
-    d2 = dot(F.col("_qv"), F.col("_qv")) - 2 * dot(F.col("_qv"), cv) + dot(cv, cv)
-    w_probe = Window.partitionBy("_qid").orderBy("_d2", "cell")
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .select("_qid", F.col(cent_id).alias("cell"), d2.alias("_d2"))
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= n_probe)
-        .select("_qid", "cell")
-    )
+    probes = _probe_cells(q, centroids, n_probe, cent_id, cent_vec)
     qcodes = sq8_encode(q, stats, id_col="_qid", vec_col="_qv").select(
         "_qid", F.col("codes").alias("_qc")
     )
     probeq = probes.join(qcodes, "_qid")
-    st = F.zip_with(
-        F.col("mins"),
-        F.col("maxs"),
-        lambda mn, mx: F.struct(mn.alias("mn"), (mx - mn).alias("rng")),
-    )
-    dv = sq8_decode_micro(F.col("codes"), F.col("_st"))
-    dq = sq8_decode_micro(F.col("_qc"), F.col("_st"))
-    score = F.aggregate(
-        F.zip_with(dv, dq, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    score = _sq8_score(F.col("codes"), F.col("_qc"))
     store = spark.read.parquet(index_path)
     w_topk = Window.partitionBy("_qid").orderBy(
         F.col("sq_score").desc(), F.col(id_col)
     )
+    joined = store.join(F.broadcast(probeq), "cell").crossJoin(
+        F.broadcast(stats.select(_sq8_stats_struct().alias("_st")))
+    )
+    # same self-exclusion convention (and warning) as
+    # ivf_batch_topk_served: qids must be corpus ids, or pass False
+    if exclude_qid_matches:
+        joined = joined.filter(F.col(id_col) != F.col("_qid"))
     return (
-        store.join(F.broadcast(probeq), "cell")
-        .crossJoin(F.broadcast(stats.select(st.alias("_st"))))
-        .filter(F.col(id_col) != F.col("_qid"))
+        joined
         .select("_qid", F.col(id_col), score.alias("sq_score"))
         .withColumn("_rn", F.row_number().over(w_topk))
         .filter(F.col("_rn") <= k)

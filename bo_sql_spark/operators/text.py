@@ -290,33 +290,56 @@ def bpe_apply_merge(state: DataFrame, merge_df: DataFrame) -> DataFrame:
     """Apply one merge (a, b) -> ab to every word: a broadcast of the
     1-row merge and a map-side string replace — no shuffle. All state
     columns besides ``seq`` pass through (the segmenting consumers
-    carry the original word)."""
-    pat = F.concat(
-        F.lit(BPE_SEP), F.col("a"), F.lit(BPE_SEP + BPE_SEP), F.col("b"), F.lit(BPE_SEP)
-    )
-    rep = F.concat(F.lit(BPE_SEP), F.col("a"), F.col("b"), F.lit(BPE_SEP))
+    carry the original word).
+
+    The merge arrives by LEFT join on a constant key, NOT a crossJoin:
+    when training exhausts the pair supply before n_merges (tiny or
+    fully-merged corpora) the merge row is EMPTY, and a crossJoin
+    with an empty side would silently wipe the whole state —
+    bpe_token_counts would return zero docs. With the left join the
+    null merge coalesces to a separator pattern no symbol can contain,
+    so the step is a no-op and the state survives (pinned in
+    tests/test_operators.py::test_bpe_exhausted_merges_is_noop)."""
     others = [c for c in state.columns if c != "seq"]
+    pat = F.coalesce(
+        F.concat(
+            F.lit(BPE_SEP), F.col("a"), F.lit(BPE_SEP + BPE_SEP), F.col("b"), F.lit(BPE_SEP)
+        ),
+        F.lit(BPE_SEP * 3),  # unmatchable: symbols never contain SEP
+    )
+    rep = F.coalesce(
+        F.concat(F.lit(BPE_SEP), F.col("a"), F.col("b"), F.lit(BPE_SEP)),
+        F.lit(BPE_SEP * 3),
+    )
     return (
-        state.crossJoin(F.broadcast(merge_df.select("a", "b")))
+        state.withColumn("_k", F.lit(1))
+        .join(
+            F.broadcast(merge_df.select("a", "b", F.lit(1).alias("_k"))),
+            "_k",
+            "left",
+        )
         .select("seq", *others, pat.alias("_pat"), rep.alias("_rep"))
         .select(F.expr("replace(seq, _pat, _rep)").alias("seq"), *others)
     )
 
 
-def bpe_train(
-    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
-) -> DataFrame:
-    """Train BPE merges: n_merges iterations of count-pairs ->
-    take-argmax -> apply-merge, entirely as DataFrame ops (the argmax
-    joins back by broadcast — the driver never sees a row). Ties break
-    deterministically by (cnt desc, a, b). Returns the merge table
-    (step, a, b, cnt) — the artifact a tokenizer ships.
+def _bpe_train_loop(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The ONE training loop both public BPE entry points build on:
+    n_merges iterations of count-pairs -> take-argmax -> apply-merge,
+    entirely as DataFrame ops (the argmax joins back by broadcast —
+    the driver never sees a row). Ties break deterministically by
+    (cnt desc, a, b). Returns (final word state, per-step merge rows).
 
     Every iteration runs over the vocab-sized word-frequency table
     (see bpe_init_words); state is localCheckpoint'ed per step so the
     lazy plan stays linear in n_merges (the argmax feeds both the
     output and the next state — without the cut the plan would double
-    per step, same lineage issue as connected_components)."""
+    per step, same lineage issue as connected_components). Living in
+    one place keeps the tie rule and checkpoint strategy identical
+    between the merge table bpe_train ships and the state
+    bpe_token_counts segments with."""
     state = bpe_init_words(docs, text_col).localCheckpoint(eager=False)
     merges = []
     for step in range(1, n_merges + 1):
@@ -330,6 +353,16 @@ def bpe_train(
             top.select(F.lit(step).cast("long").alias("step"), "a", "b", "cnt")
         )
         state = bpe_apply_merge(state, top).localCheckpoint(eager=False)
+    return state, merges
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Train BPE merges and return the merge table (step, a, b, cnt) —
+    the artifact a tokenizer ships. See _bpe_train_loop for the loop's
+    design notes; steps past pair exhaustion contribute no rows."""
+    _state, merges = _bpe_train_loop(docs, n_merges, text_col)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -356,15 +389,7 @@ def bpe_token_counts(
     from bo_sql_spark.functions.textfn import tokens
 
     s2 = BPE_SEP + BPE_SEP
-    state = bpe_init_words(docs, text_col).localCheckpoint(eager=False)
-    for _ in range(n_merges):
-        top = (
-            bpe_pair_counts(state)
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-            .localCheckpoint(eager=False)
-        )
-        state = bpe_apply_merge(state, top).localCheckpoint(eager=False)
+    state, _merges = _bpe_train_loop(docs, n_merges, text_col)
     seg = state.select(
         "w",
         F.size(F.split(F.expr(f"btrim(seq, '{BPE_SEP}')"), s2))

@@ -3083,9 +3083,10 @@ def _bpe_oracle(n_merges: int = 6, final: str = "merges") -> str:
     ), m{k} AS (
         SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
     ), s{k} AS (
-        SELECT w, replace(seq, '{s}' || m.a || '{s2}' || m.b || '{s}',
-                       '{s}' || m.a || m.b || '{s}') AS seq, freq
-        FROM s{k - 1}, m{k} m
+        SELECT w, replace(seq,
+                   COALESCE('{s}' || m.a || '{s2}' || m.b || '{s}', '{s}{s}{s}'),
+                   COALESCE('{s}' || m.a || m.b || '{s}', '{s}{s}{s}')) AS seq, freq
+        FROM s{k - 1} LEFT JOIN m{k} m ON TRUE
     )"""
     if final == "doc_tokens":
         return sql + f""", seg AS (
@@ -3556,23 +3557,15 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
+    from bo_sql_spark.operators.heavy_hitters import recount_candidates
+
     cand_keys = (
         spark.read.parquet(store)
         .select(F.col("term").cast("long").alias("user_id"))
         .distinct()
     )
-    exact = (
-        events.join(F.broadcast(cand_keys), "user_id", "left_semi")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    total = events.agg(F.count(F.lit(1)).alias("_total"))
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * 125 >= F.col("_total"))
-        .select(
-            F.col("user_id").cast("long"), F.col("cnt").cast("long").alias("cnt")
-        )
+    return recount_candidates(events, cand_keys, "user_id", 125).select(
+        F.col("user_id").cast("long"), "cnt"
     )
 
 

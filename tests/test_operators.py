@@ -990,3 +990,17 @@ def test_survivors_best_prefers_quality_over_id(spark, sf_dir):
     # the quality convention actually changes at least one keeper on
     # this fixture (guards against silently degenerating to min-id)
     assert best != minid
+
+
+def test_bpe_exhausted_merges_is_noop(spark):
+    """When training exhausts the pair supply before n_merges (every
+    word fully merged), the extra steps must be NO-OPS — not a state
+    wipe. Regression: the crossJoin form emptied the state on an empty
+    merge row, and bpe_token_counts silently returned zero docs."""
+    docs = spark.createDataFrame([(1, "aa aa"), (2, "ab")], "doc_id long, text string")
+    # words: 'aa_' (x2), 'ab_' — at most ~5 distinct pairs exist; 10
+    # merges exhausts them
+    out = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in T.bpe_token_counts(docs, 10).collect()}
+    assert out == {1: (2, 2), 2: (1, 1)}
+    merges = T.bpe_train(docs, 10).collect()
+    assert 0 < len(merges) < 10  # fewer steps than requested, not empty

@@ -1,8 +1,8 @@
 """Registry-wide plan lint: build every registered query's physical
-plan at sf0.001 and flag anti-patterns — CartesianProduct, row-at-a-
-time PythonUDF (BatchEvalPython), and global Sort over an unbounded
-input (Sort without a following/fused limit is allowed only for
-queries that declare an ordered output).
+plan at sf0.001 and flag anti-patterns: CartesianProduct and
+row-at-a-time PythonUDF (BatchEvalPython). (Global-sort detection is
+NOT implemented — Sort nodes also appear inside windows and fused
+top-ks, so a naive check would be all false positives.)
 
 The hand-written pins in tests/test_plans.py assert the POSITIVE shape
 of ~30 queries; this lint asserts the NEGATIVE space over all of them.
