@@ -695,17 +695,30 @@ def semantic_dedup_stream_ingest(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """One microbatch of streaming SemDeDup: dedupe ``batch`` against
-    the assignment store accumulated so far, append this batch's FULL
+    the assignment store accumulated so far, write this batch's FULL
     assignment to the store (killers count even when dropped — the
     invariant semantic_dedup_incremental's equivalence proof needs),
-    and append the batch's survivors. With batch ids arriving in
+    and write the batch's survivors. With batch ids arriving in
     increasing order the drained survivors equal one batch SemDeDup
     run over everything (store-precedence == min-id-wins) — proven in
     tests/test_streaming.py. The foreachBatch twin of
     append_ivf_assignment / minhash_probe_index for the semantic
-    family."""
+    family.
+
+    Exactly-once: pass foreachBatch's ``batch_id`` and both sinks
+    become idempotent per Spark's foreachBatch guidance — survivors
+    and store rows land in batch-scoped ``ingest_batch=<id>`` dirs
+    written with overwrite, so a microbatch RETRY (same batch_id
+    replayed after a crash, including a crash between the two writes)
+    rewrites the same paths instead of appending duplicates, and the
+    dedup view for batch N reads only ``ingest_batch < N`` dirs — a
+    partially-written current-batch dir is never consulted.
+    ``batch_id=None`` keeps the plain append behavior for one-shot
+    batch callers that manage their own paths (NOT retry-safe; do not
+    use from a streaming sink)."""
     import os
 
     from bo_sql_spark.operators.similarity import ivf_assign
@@ -713,10 +726,22 @@ def semantic_dedup_stream_ingest(
     b_assigned = ivf_assign(
         batch, centroids, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
-    if os.path.exists(store_path) and any(
-        not f.startswith((".", "_")) for f in os.listdir(store_path)
-    ):
-        corpus_assigned = spark.read.parquet(store_path)
+    if batch_id is None:
+        prior_dirs = (
+            [store_path]
+            if os.path.exists(store_path)
+            and any(not f.startswith((".", "_")) for f in os.listdir(store_path))
+            else []
+        )
+    else:
+        prior_dirs = [
+            os.path.join(store_path, d)
+            for d in (os.listdir(store_path) if os.path.exists(store_path) else [])
+            if d.startswith("ingest_batch=")
+            and int(d.split("=", 1)[1]) < batch_id
+        ]
+    if prior_dirs:
+        corpus_assigned = spark.read.parquet(*prior_dirs)
         surv = semantic_dedup_incremental(
             corpus_assigned,
             batch,
@@ -732,5 +757,15 @@ def semantic_dedup_stream_ingest(
     # own incremental view (computed lazily from the pre-append store
     # read; b_assigned is checkpointed eagerly above so the assignment
     # runs ONCE and both its consumers read the materialized copy)
-    surv.localCheckpoint(eager=True).write.mode("append").parquet(survivors_path)
-    b_assigned.write.mode("append").partitionBy("cell").parquet(store_path)
+    surv = surv.localCheckpoint(eager=True)
+    if batch_id is None:
+        surv.write.mode("append").parquet(survivors_path)
+        b_assigned.write.mode("append").partitionBy("cell").parquet(store_path)
+    else:
+        scoped = f"ingest_batch={int(batch_id)}"
+        surv.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, scoped)
+        )
+        b_assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(store_path, scoped)
+        )

@@ -45,10 +45,16 @@ def misra_gries_candidates(
     N_p/(m+1) (the MG bound); it is NOT exact and callers must recount.
     """
 
+    key_type = df.schema[key_col].dataType.simpleString()
+
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: pd.Series | None = None
         for pdf in batches:
-            vc = pdf[key_col].value_counts()
+            # value_counts(dropna=True is the default) would silently
+            # drop NULL keys; callers pre-filter nulls (heavy_hitters /
+            # recount_candidates do) so dropping here is consistent —
+            # but make it explicit rather than an accident of pandas.
+            vc = pdf[key_col].value_counts(dropna=True)
             counters = vc if counters is None else counters.add(vc, fill_value=0)
             if len(counters) > m:
                 # mergeable-summaries trim: subtract the (m+1)-th
@@ -63,7 +69,7 @@ def misra_gries_candidates(
         )
 
     return df.select(key_col).mapInPandas(
-        summarize, schema=f"{key_col} string, est long"
+        summarize, schema=f"{key_col} {key_type}, est long"
     )
 
 
@@ -81,10 +87,20 @@ def heavy_hitters(
 
     ``m`` defaults to 2*ratio_denom: any m > ratio_denom preserves the
     superset guarantee; the factor 2 keeps candidates safe even when a
-    partition's summary absorbed heavy deletion pressure."""
+    partition's summary absorbed heavy deletion pressure.
+
+    NULL keys are excluded from both the candidate set and the total
+    (a NULL URL/token is a data-quality signal, not a frequency one);
+    the matching oracle filters ``key IS NOT NULL`` / empty the same
+    way."""
     if m is None:
         m = 2 * ratio_denom
-    assert m > ratio_denom, "need m > ratio_denom for the MG guarantee"
+    if m <= ratio_denom:
+        raise ValueError(
+            f"need m ({m}) > ratio_denom ({ratio_denom}) for the MG "
+            "superset guarantee"
+        )
+    df = df.filter(F.col(key_col).isNotNull())
     cand = misra_gries_candidates(df, key_col, m).select(key_col).distinct()
     return recount_candidates(df, cand, key_col, ratio_denom)
 
@@ -100,9 +116,18 @@ def recount_candidates(
     then the integer global-ratio filter. Living in one place keeps
     the threshold comparison (>=, not >) and join semantics identical
     wherever candidates came from (one MG pass, or a drained
-    per-microbatch store)."""
+    per-microbatch store).
+
+    No forced broadcast on the candidate side: the union is <= m rows
+    per *partition*, so at 100 TB (tens of thousands of partitions,
+    m=400 default) it can reach millions of rows and blow the
+    broadcast/driver limit. AQE sees the post-distinct size at runtime
+    and broadcasts exactly when it is actually small — which is every
+    realistic case — while the huge-candidate edge degrades to a
+    correct shuffled semi-join instead of an OOM."""
+    df = df.filter(F.col(key_col).isNotNull())
     exact = (
-        df.join(F.broadcast(candidates.select(key_col)), key_col, "left_semi")
+        df.join(candidates.select(key_col), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -3827,6 +3827,20 @@ def dedup_semantic_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(batch_df, batch_id):
+        # This query's planting rule (+100000 ids inside the batch) is
+        # only order-preserving for a SINGLE microbatch: with a second
+        # input file, batch 0's planted ids (100000+) would exceed
+        # batch 1's natural ids and break the ids-arrive-in-increasing-
+        # order invariant the store-precedence == min-id-wins proof
+        # needs. sf dirs hold exactly one embeddings.parquet; guard it
+        # rather than rely on that silently. (The multi-batch operator
+        # itself is proven == batch in tests/test_streaming.py with
+        # monotone ids.)
+        if batch_id > 0:
+            raise ValueError(
+                "dedup_semantic_stream_ingest expects a single-file "
+                f"sf dir; got microbatch {batch_id}"
+            )
         b = batch_df.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
@@ -3842,7 +3856,13 @@ def dedup_semantic_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
         D.semantic_dedup_stream_ingest(
-            spark, b.unionAll(planted), cents, store, survivors, threshold=0.95
+            spark,
+            b.unionAll(planted),
+            cents,
+            store,
+            survivors,
+            threshold=0.95,
+            batch_id=batch_id,
         )
 
     q = (

@@ -877,6 +877,40 @@ def test_heavy_hitters_exact_under_any_partitioning(spark, nparts):
     assert got == {("k7", 128), ("k8", 256), ("k9", 512)}
 
 
+def test_heavy_hitters_null_keys_and_typed_schema(spark):
+    """NULL keys are excluded from candidates AND the ratio total (a
+    null heavy hitter must not silently vanish while still inflating
+    the denominator), and the candidate schema follows the input key
+    type instead of hardcoding string."""
+    from bo_sql_spark.operators.heavy_hitters import (
+        heavy_hitters,
+        misra_gries_candidates,
+    )
+
+    # 6x NULL, 3x k1, 1x k2 -> with nulls excluded total=4, denom=2
+    # -> threshold 2 -> only k1 qualifies (cnt 3). If nulls leaked
+    # into the total (10), threshold 5 would drop k1 too.
+    rows = [(None,)] * 6 + [("k1",)] * 3 + [("k2",)]
+    df = spark.createDataFrame(rows, "term string").repartition(2)
+    got = {(r["term"], r["cnt"]) for r in heavy_hitters(df, "term", 2).collect()}
+    assert got == {("k1", 3)}
+
+    ints = spark.createDataFrame([(7,)] * 5 + [(9,)], "k bigint")
+    cand = misra_gries_candidates(ints, "k", m=4)
+    assert dict(cand.dtypes)["k"] == "bigint"
+    assert {r["k"] for r in cand.collect()} == {7, 9}
+
+
+def test_heavy_hitters_rejects_bad_m(spark):
+    """m <= ratio_denom breaks the superset guarantee -> ValueError
+    (a real error, not a strippable assert)."""
+    from bo_sql_spark.operators.heavy_hitters import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "term string")
+    with pytest.raises(ValueError, match="ratio_denom"):
+        heavy_hitters(df, "term", ratio_denom=10, m=10)
+
+
 def test_misra_gries_summary_bounds(spark):
     """Per-partition summaries: at most m rows per partition, and every
     estimate undercounts (est <= true count)."""

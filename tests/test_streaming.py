@@ -212,7 +212,13 @@ def test_semantic_stream_ingest_multibatch_equals_batch(spark, tmp_path):
 
     def ingest(batch_df, batch_id):
         semantic_dedup_stream_ingest(
-            spark, batch_df, cents_df, store, surv_path, threshold=0.95
+            spark,
+            batch_df,
+            cents_df,
+            store,
+            surv_path,
+            threshold=0.95,
+            batch_id=batch_id,
         )
 
     q = (
@@ -235,3 +241,46 @@ def test_semantic_stream_ingest_multibatch_equals_batch(spark, tmp_path):
     assert streamed == batch
     # and the near-copies were really killed across the batch boundary
     assert not any(v >= 1000 for v, _ in streamed)
+
+
+def test_semantic_stream_ingest_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch exactly-once: replaying a microbatch with the same
+    batch_id (a retry after a crash — including a crash BETWEEN the
+    survivors write and the store write) must leave survivors and the
+    assignment store byte-identical to a single clean run, not
+    duplicated or inconsistent."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.dedup import semantic_dedup_stream_ingest
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    schema = "vec_id long, embedding array<double>"
+    b0 = spark.createDataFrame(vecs[:20], schema)
+    b1 = spark.createDataFrame(
+        vecs[20:] + [(500 + i, [x * 1.0001 for x in v]) for i, v in vecs[:5]],
+        schema,
+    )
+    cents = spark.createDataFrame(vecs[:4], schema).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    store = str(tmp_path / "store")
+    surv = str(tmp_path / "surv")
+    kw = dict(threshold=0.95)
+    semantic_dedup_stream_ingest(spark, b0, cents, store, surv, batch_id=0, **kw)
+    # simulate a crash between sinks: batch 1's survivors land but its
+    # store write doesn't, then the whole microbatch is replayed
+    semantic_dedup_stream_ingest(spark, b1, cents, store, surv, batch_id=1, **kw)
+    import shutil
+
+    shutil.rmtree(f"{store}/ingest_batch=1")
+    semantic_dedup_stream_ingest(spark, b1, cents, store, surv, batch_id=1, **kw)
+
+    surv_rows = spark.read.parquet(surv).select("vec_id").collect()
+    ids = [r["vec_id"] for r in surv_rows]
+    assert len(ids) == len(set(ids)), "retry duplicated survivor rows"
+    assert not any(i >= 500 for i in ids)
+    store_rows = spark.read.parquet(store).select("vec_id").collect()
+    sids = [r["vec_id"] for r in store_rows]
+    assert len(sids) == len(set(sids)) == 45
