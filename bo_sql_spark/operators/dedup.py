@@ -146,6 +146,80 @@ def lsh_band_pairs(
     )
 
 
+def lsh_band_pairs_salted(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 2,
+    salt_r: int = 8,
+    hot_threshold: int = 64,
+) -> DataFrame:
+    """lsh_band_pairs with HOT-BUCKET salting: identical pair set, but
+    a bucket of B co-colliding docs no longer generates its B*(B-1)/2
+    pairs inside ONE reduce task.
+
+    Why AQE can't fix this (measured in tools_scaling_r7.py): a viral
+    template shared by 5% of a corpus puts thousands of ids into one
+    (band, h) bucket. The self-join INPUT for that key is tiny — a few
+    KB of ids — so AQE's skew-join split, which triggers on input
+    partition BYTES, never fires; the blow-up is in the OUTPUT
+    (quadratic pairs) and the task that computes it. The fix has to be
+    output-aware: bucket sizes are counted first (map-combinable agg
+    over the same tiny rows), and buckets over ``hot_threshold`` take
+    a grid-salted self-join — each member gets a deterministic salt
+    s in [0, salt_r) from xxhash64 of its id, the left role replicates
+    to cells (s, j) for all j, the right role to cells (i, s), and the
+    join adds (cell_i, cell_j) to the key, spreading the quadratic
+    output over salt_r^2 tasks. Replication multiplies the HOT rows'
+    shuffle by salt_r — bounded, tiny rows — while cold buckets
+    (almost all of them) keep the exact original single-shuffle path.
+    Every pair lands in exactly one grid cell, so no distinct-level
+    dedup across cells is needed beyond the one the base op already
+    does."""
+    stacked = lsh_band_rows(df, id_col, sig_col, bands, rows_per_band)
+    sizes = stacked.groupBy("band", "h").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    tagged = stacked.join(sizes, ["band", "h"])
+    cold = tagged.filter(F.col("_bsz") <= hot_threshold)
+    hot = tagged.filter(F.col("_bsz") > hot_threshold).withColumn(
+        "_s", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_r))
+    )
+
+    a, b_ = cold.alias("a"), cold.alias("b")
+    cold_pairs = a.join(
+        b_,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.h") == F.col("b.h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+
+    cells = F.explode(F.sequence(F.lit(0), F.lit(int(salt_r) - 1)))
+    left = hot.select(
+        id_col, "band", "h", F.col("_s").alias("ci"), cells.alias("cj")
+    )
+    right = hot.select(
+        F.col(id_col).alias("_rid"),
+        F.col("band").alias("_rband"),
+        F.col("h").alias("_rh"),
+        cells.alias("_rci"),
+        F.col("_s").alias("_rcj"),
+    )
+    hot_pairs = left.join(
+        right,
+        (F.col("band") == F.col("_rband"))
+        & (F.col("h") == F.col("_rh"))
+        & (F.col("ci") == F.col("_rci"))
+        & (F.col("cj") == F.col("_rcj"))
+        & (F.col(id_col) < F.col("_rid")),
+    ).select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"))
+
+    return cold_pairs.unionAll(hot_pairs).distinct()
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two array<string> set columns."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
@@ -196,6 +270,7 @@ def minhash_dedup_pairs(
     n_hashes: int = 32,
     bands: int = 16,
     shingle_k: int = 3,
+    salt_r: int = 0,
 ) -> DataFrame:
     """Full near-dup pipeline: signature -> LSH candidates -> exact verify.
 
@@ -207,11 +282,22 @@ def minhash_dedup_pairs(
     excluded from banding: xxhash64 skips NULL inputs, so their band
     hashes would all collapse to the same value and every empty doc
     would become a candidate of every other.
+
+    ``salt_r > 0`` routes candidate generation through
+    lsh_band_pairs_salted: identical pairs, but hot LSH buckets (a
+    viral template cluster) spread their quadratic pair output over
+    salt_r^2 tasks instead of one straggler — the skew AQE's
+    input-byte-based split cannot see.
     """
     with_sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k).filter(
         F.col("minhash").isNotNull()
     )
-    cands = lsh_band_pairs(with_sig, id_col, "minhash", bands, n_hashes // bands)
+    if salt_r > 0:
+        cands = lsh_band_pairs_salted(
+            with_sig, id_col, "minhash", bands, n_hashes // bands, salt_r=salt_r
+        )
+    else:
+        cands = lsh_band_pairs(with_sig, id_col, "minhash", bands, n_hashes // bands)
     sets_a = with_sig.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
@@ -769,3 +855,129 @@ def semantic_dedup_stream_ingest(
         b_assigned.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(store_path, scoped)
         )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 40,
+    winnow_w: int = 16,
+) -> DataFrame:
+    """Winnowing-sampled span fingerprints (Schleimer et al., SIGMOD'03
+    "Winnowing: Local Algorithms for Document Fingerprinting"):
+    (id, n_windows, pos, h) with one row per SELECTED window position —
+    for every run of ``winnow_w`` consecutive window starts, the
+    position whose (hash, pos) is minimal. Expected density 2/(w+1),
+    and the selection is CONTENT-determined (not offset-determined), so
+    any substring of length >= winnow_w + span_len - 1 shared by two
+    docs yields at least one shared fingerprint in both — the local
+    guarantee a plain ``pos % s`` stride does not have (a shifted copy
+    samples different windows).
+
+    The 100 TB shape — this is the production form of exact
+    duplicate-span detection (dedup_duplicate_spans keeps the stride-1
+    exact version as its ground-truth twin): ONE doc-granular shuffle
+    co-locates each doc's rows (repartition by id BEFORE the per-
+    position explode, so the explode, the sliding min, and the per-doc
+    dedup all run pipelined on 1x corpus bytes), and only the sampled
+    ~2/(w+1) fingerprint rows — fixed-width (id, pos, 60-bit hash)
+    triples, no text — ever shuffle again. Total shuffle is
+    corpus_bytes + positions*rowsize*2/(w+1) instead of the exact
+    variant's ~50x corpus bytes.
+
+    The hash is the first 15 hex digits of md5 as a BIGINT — portable
+    bit-for-bit to any engine with md5 (DuckDB oracle included),
+    unlike xxhash64. Ties in the sliding min break by position
+    (struct-min over (h, pos)), so selection is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    from bo_sql_spark.functions import normalize_text
+
+    L, W = int(span_len), int(winnow_w)
+    d = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col, normalize_text(F.col(text_col)).alias("_norm"))
+        .repartition(F.col(id_col))
+    )
+    nw = F.greatest(F.length("_norm") - L + 1, F.lit(1))
+    w = d.select(
+        id_col,
+        nw.alias("n_windows"),
+        F.explode(F.sequence(F.lit(1), nw)).alias("pos"),
+        "_norm",
+    ).select(
+        id_col,
+        "n_windows",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.col("_norm").substr(F.col("pos"), F.lit(L))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, W - 1)
+    )
+    return (
+        w.withColumn("_m", F.min(F.struct("h", "pos")).over(frame))
+        .filter(F.col("pos") <= F.greatest(F.col("n_windows") - W + 1, F.lit(1)))
+        .select(
+            id_col,
+            "n_windows",
+            F.col("_m.pos").alias("pos"),
+            F.col("_m.h").alias("h"),
+        )
+        # same pos can win several overlapping winnow windows; (id,pos)
+        # determines h so this is deterministic — and it rides the
+        # existing hashpartitioning(id) with NO extra exchange
+        # (partition-local aggregate; pinned in tests/test_plans.py)
+        .dropDuplicates([id_col, "pos"])
+    )
+
+
+def duplicate_span_stats_winnowed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 40,
+    winnow_w: int = 16,
+) -> DataFrame:
+    """Per-doc duplicated-span stats over winnowed fingerprints: a
+    fingerprint duplicated across >1 doc is an EXACT duplicated span
+    (no false positives vs the stride-1 exact query — every selected
+    window is a real window); spans shorter than winnow_w+span_len-1
+    chars may be missed (the winnowing locality bound). Columns mirror
+    dedup_duplicate_spans with fingerprint granularity: n_fingerprints,
+    n_dup_fingerprints, dup_permille (integer, over fingerprints),
+    first_dup_pos."""
+    sel = winnow_fingerprints(docs, id_col, text_col, span_len, winnow_w)
+    dup = (
+        sel.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    return (
+        sel.join(dup, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_fingerprints"),
+            F.min(F.when(F.col("_dup").isNotNull(), F.col("pos"))).alias(
+                "first_dup_pos"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("n_fingerprints").cast("long"),
+            F.col("n_dup_fingerprints").cast("long"),
+            F.expr("n_dup_fingerprints * 1000 DIV n_fingerprints").alias(
+                "dup_permille"
+            ),
+            F.col("first_dup_pos").cast("long"),
+        )
+    )

@@ -4263,6 +4263,68 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_duplicate_spans_winnowed",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents WHERE text IS NOT NULL
+    ), w AS (
+        SELECT doc_id, GREATEST(length(norm) - 40 + 1, 1) AS nw, i AS pos,
+               CAST(('0x' || substr(md5(substr(norm, i, 40)), 1, 15)) AS BIGINT) AS h
+        FROM d, unnest(range(1, GREATEST(length(norm) - 40 + 2, 2))) t(i)
+    ), winmin AS (
+        SELECT doc_id, nw, pos,
+               MIN({'h': h, 'pos': pos}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+        FROM w
+    ), sel AS (
+        SELECT DISTINCT doc_id, nw, m.pos AS pos, m.h AS h
+        FROM winmin WHERE pos <= GREATEST(nw - 16 + 1, 1)
+    ), dup AS (
+        SELECT h FROM sel GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT sel.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_fingerprints,
+           CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS dup_permille,
+           CAST(MIN(CASE WHEN dup.h IS NOT NULL THEN pos END) AS BIGINT)
+               AS first_dup_pos
+    FROM sel LEFT JOIN dup USING (h)
+    GROUP BY sel.doc_id
+    """,
+    doc="PRODUCTION duplicate-span detection (operators/dedup.py:"
+    "winnow_fingerprints): winnowing-sampled span fingerprints "
+    "(Schleimer et al., SIGMOD'03) instead of the exact twin's "
+    "stride-1 windows — per run of 16 consecutive window starts, keep "
+    "the position with minimal (hash, pos); expected density 2/17 and "
+    "the selection is CONTENT-determined, so any shared span >= "
+    "16+40-1 = 55 chars still yields a shared fingerprint in both "
+    "docs (the locality guarantee a pos%s stride lacks: a shifted "
+    "copy samples different windows). One doc-granular repartition "
+    "(1x corpus) co-locates each doc before the explode, so the "
+    "sliding min and per-doc dedup run pipelined with NO per-position "
+    "shuffle (pinned); only ~12% of positions — fixed-width (id, pos, "
+    "60-bit md5-prefix BIGINT) rows, portable to the oracle — reach "
+    "the groupBy(h), bounding that shuffle at ~corpus_bytes*2/(w+1) "
+    "instead of the exact twin's ~50x corpus bytes. No false "
+    "positives vs the exact query (every fingerprint is a real "
+    "window); dedup_duplicate_spans stays registered as the "
+    "oracle-checked ground-truth twin, and at sf0.01 the winnowed "
+    "form flags the identical 47-doc set (recall floor pinned in "
+    "tests/test_operators.py).",
+    tags=("pipeline", "dedup", "text"),
+)
+def dedup_duplicate_spans_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    return D.duplicate_span_stats_winnowed(
+        docs, id_col="doc_id", text_col="text", span_len=40, winnow_w=16
+    )
+
+
+@register(
     "stream_decontaminate",
     oracle="""
     WITH toks AS (

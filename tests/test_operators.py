@@ -1038,3 +1038,122 @@ def test_bpe_exhausted_merges_is_noop(spark):
     assert out == {1: (2, 2), 2: (1, 1)}
     merges = T.bpe_train(docs, 10).collect()
     assert 0 < len(merges) < 10  # fewer steps than requested, not empty
+
+
+def test_winnow_fingerprints_shift_invariant(spark):
+    """The winnowing locality guarantee vs a plain pos%s stride: a
+    shared span >= w+L-1 chars embedded at DIFFERENT offsets in two
+    docs must produce at least one COMMON fingerprint in both (the
+    selection is content-determined, so the offset shift is
+    irrelevant), and both docs must be flagged by the stats op."""
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    span = "".join(rng.choice(alpha) for _ in range(80))  # >= 8+40-1
+    pre_a = "".join(rng.choice(alpha) for _ in range(53))
+    pre_b = "".join(rng.choice(alpha) for _ in range(117))  # different shift
+    lone = "".join(rng.choice(alpha) for _ in range(200))
+    docs = spark.createDataFrame(
+        [(1, pre_a + span), (2, pre_b + span), (3, lone)],
+        "doc_id long, text string",
+    )
+    fp = D.winnow_fingerprints(docs, span_len=40, winnow_w=8)
+    by_doc = {
+        i: {r["h"] for r in rows}
+        for i, rows in (
+            (i, fp.filter(F.col("doc_id") == i).collect()) for i in (1, 2, 3)
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared span produced no common fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    stats = {
+        r["doc_id"]: r["n_dup_fingerprints"]
+        for r in D.duplicate_span_stats_winnowed(
+            docs, span_len=40, winnow_w=8
+        ).collect()
+    }
+    assert stats[1] > 0 and stats[2] > 0 and stats[3] == 0
+
+
+def test_winnowed_spans_density_and_no_false_positives(spark, sf_dir):
+    """On real docs: fingerprint density tracks the 2/(w+1) expectation
+    (sampling actually bounds the shuffle), flagged docs are a SUBSET
+    of the exact stride-1 query's flagged docs (every fingerprint is a
+    real window — no false positives), and recall on this corpus'
+    planted >=55-char overlaps is total."""
+    from bo_sql_spark.queries import load_all
+
+    reg = load_all()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    W = 16
+    fp = D.winnow_fingerprints(docs, span_len=40, winnow_w=W)
+    n_fp = fp.count()
+    n_pos = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.greatest(
+                F.length(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+                - 40
+                + 1,
+                F.lit(1),
+            ).alias("nw")
+        )
+        .agg(F.sum("nw"))
+        .collect()[0][0]
+    )
+    dens = n_fp / n_pos
+    assert 0.5 * 2 / (W + 1) < dens < 2.5 * 2 / (W + 1), dens
+    exact_flagged = {
+        r["doc_id"]
+        for r in reg["dedup_duplicate_spans"].builder(spark, sf_dir).collect()
+        if r["n_dup_windows"] > 0
+    }
+    win_flagged = {
+        r["doc_id"]
+        for r in reg["dedup_duplicate_spans_winnowed"]
+        .builder(spark, sf_dir)
+        .collect()
+        if r["n_dup_fingerprints"] > 0
+    }
+    assert win_flagged <= exact_flagged, win_flagged - exact_flagged
+    assert win_flagged == exact_flagged  # recall 1.0 on this corpus
+
+
+def test_lsh_salted_pairs_equal_unsalted(spark):
+    """Grid-salted hot-bucket candidate generation must produce the
+    EXACT same pair set as the plain self-join — including a planted
+    hot cluster big enough to cross the hot threshold — with every
+    pair landing in exactly one grid cell (no dup inflation before
+    the distinct)."""
+    import random
+
+    rng = random.Random(5)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    template = "shared boilerplate template text repeated across the hot cluster docs"
+    rows = [(i, template + f" tail{i % 3}") for i in range(30)] + [
+        (100 + i, "".join(rng.choice(alpha) for _ in range(80))) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = D.minhash_signatures(docs).filter(F.col("minhash").isNotNull())
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_band_pairs(sig, "doc_id").collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_band_pairs_salted(
+            sig, "doc_id", salt_r=4, hot_threshold=8
+        ).collect()
+    }
+    assert salted == plain and len(plain) >= 30 * 29 / 2 / 3
+    # and through the full verified pipeline
+    p0 = {
+        (r["id_a"], r["id_b"], r["jacc"])
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    p1 = {
+        (r["id_a"], r["id_b"], r["jacc"])
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5, salt_r=4).collect()
+    }
+    assert p0 == p1

@@ -300,3 +300,27 @@ def test_fixed_k_sample_trims_below_shuffle(spark, sf_dir):
     ~k rows per source survive below the shuffle."""
     text = explain_str(_df(spark, sf_dir, "sample_fixed_k_per_source"), "simple")
     assert "WindowGroupLimit" in text, text
+
+
+def test_winnowed_spans_shuffles_docs_once_then_fingerprints(spark, sf_dir):
+    """The production span-dedup plan: exactly ONE doc-granular
+    repartition (1x corpus) feeds the per-position explode, the
+    sliding min + per-doc dedup ride that partitioning with no further
+    exchange (the per-position rows NEVER shuffle), only sampled
+    fingerprint rows reach the groupBy(h), and the dup set comes back
+    as a broadcast."""
+    df = _df(spark, sf_dir, "dedup_duplicate_spans_winnowed")
+    text = explain_str(df, "simple")
+    # the only shuffles: docs by doc_id (REPARTITION_BY_COL) and
+    # fingerprints by h — never a shuffle keyed by pos
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", text)
+    assert parts, text
+    assert all("pos" not in p for p in parts), parts
+    keyed = {p.split("#")[0].strip() for p in parts}
+    assert keyed <= {"doc_id", "h"}, parts
+    # per-doc dedup of selected positions is a partition-local
+    # aggregate (no exchange between the Window and the final agg)
+    assert "BroadcastHashJoin" in text, text
+    assert "SortMergeJoin" not in text, text
