@@ -54,7 +54,9 @@ PIPELINE = [
     "similarity_ivf_multiprobe",
     "similarity_ivf_served",
     "similarity_ivf_batch_served",
+    "similarity_ivfsq_served",
     "similarity_ivfpq_adc",
+    "similarity_pq_trained256",
     "similarity_sq8_topk",
     "similarity_rp_rerank",
     "asof_join_purchases",
@@ -64,13 +66,25 @@ PIPELINE = [
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.
+# stream_semdedup_ingest (the dedup_semantic_stream_ingest registry
+# entry) is the stateful-pipeline representative: per-microbatch
+# SemDeDup against the accumulated assignment store, timed end-to-end
+# including its idempotent batch-scoped sinks; its rows/s base is the
+# embeddings table, not events.
 # Warmed + best-of-2 like the batch tiers: the first replay in a
 # session pays one-time JIT/state-store setup that swamps the operator
 # (~2x), so timing warm replays is what lets an operator-level
 # regression show through; the reported number is the steady cost of a
 # replay in a resident session. Two queries: tumbling (stateless window
 # agg) and session windows (the genuinely stateful path).
-STREAMING = ["stream_tumbling_hourly", "stream_session_windows"]
+STREAMING = [
+    "stream_tumbling_hourly",
+    "stream_session_windows",
+    "dedup_semantic_stream_ingest",
+]
+
+# rows/s denominator per streaming query (default: events table)
+STREAMING_SOURCE = {"dedup_semantic_stream_ingest": "embeddings.parquet"}
 
 # Wide-output queries are executed via the noop sink (full computation,
 # no driver-side Arrow transfer) — benching collect() on 600k rows would
@@ -220,6 +234,85 @@ def _ivfpq_builder():
     return build
 
 
+def _ivfsq_served_builder():
+    """Amortized builder for the DEFAULT serving tier (IVF-SQ8 — the
+    tier SCALE.md's ledger declares the engine's serving default, at
+    IVF-Flat recall on a 7x smaller index). The registered
+    ``similarity_ivfsq_served`` query builds the code store on every
+    call so its oracle is self-contained; here the partitioned 8-bit
+    code store and the one-row stats codebook are built ONCE at
+    warm-up, and timed runs measure pure serving: cell-pruned scan of
+    stored codes + decode-to-micros scoring + top-k heap."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators import similarity as S
+
+    state: dict = {}
+
+    def build(spark, sf_dir):
+        if "path" not in state:
+            emb = load_tables(spark, sf_dir)["embeddings"]
+            cents = emb.filter(F.col("vec_id") < 16).select(
+                F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+            )
+            path = tempfile.mkdtemp(prefix="bosql_bench_ivfsq_") + "/index"
+            stats = S.materialize_ivfsq_index(emb, cents, path)
+            state["path"], state["stats"] = path, stats
+        store = spark.read.parquet(state["path"])
+        qrow = store.filter(F.col("vec_id") == 0)
+        serve = store.join(
+            F.broadcast(qrow.select("cell")), "cell", "left_semi"
+        ).filter(F.col("vec_id") != 0)
+        return S.sq8_topk(serve, qrow, state["stats"], k=10)
+
+    return build
+
+
+def _pq256_served_builder():
+    """Amortized builder for trained-PQ serving at the standard ks=256
+    config: the Lloyd-trained codebooks and the encoded corpus are
+    built + persisted ONCE at warm-up (what the registered
+    similarity_pq_trained256 query re-does per call so its oracle can
+    replay training); timed runs measure ADC serving — broadcast
+    (sub, code) lookup table against the stored codes."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators import similarity as S
+
+    state: dict = {}
+    m, dsub, ks = 8, 8, 256
+
+    def build(spark, sf_dir):
+        if "dir" not in state:
+            emb = load_tables(spark, sf_dir)["embeddings"]
+            cb0 = S.pq_codebooks_from_seeds(emb, m=m, dsub=dsub, ks=ks)
+            cb1 = S.pq_train_step(emb, cb0, m=m, dsub=dsub).select(
+                "sub", "code", "c_vec"
+            )
+            base = tempfile.mkdtemp(prefix="bosql_bench_pq256_")
+            S.pq_encode(emb, cb1, m=m, dsub=dsub).write.mode(
+                "overwrite"
+            ).parquet(base + "/codes")
+            cb1.write.mode("overwrite").parquet(base + "/codebooks")
+            qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+            state["dir"] = base
+            state["qvec"] = [float(x) for x in qrow["embedding"]]
+        return S.pq_adc_topk(
+            spark.read.parquet(state["dir"] + "/codes"),
+            spark.read.parquet(state["dir"] + "/codebooks"),
+            state["qvec"],
+            m=m, dsub=dsub, k=10,
+        )
+
+    return build
+
+
 def main() -> None:
     from bo_sql_spark.queries import load_all
     from bo_sql_spark.session import get_session
@@ -237,6 +330,10 @@ def main() -> None:
         builders["similarity_ivf_batch_served"] = _ivf_batch_served_builder()
     if "similarity_ivfpq_adc" in builders:
         builders["similarity_ivfpq_adc"] = _ivfpq_builder()
+    if "similarity_ivfsq_served" in builders:
+        builders["similarity_ivfsq_served"] = _ivfsq_served_builder()
+    if "similarity_pq_trained256" in builders:
+        builders["similarity_pq_trained256"] = _pq256_served_builder()
 
     spark = get_session(app_name="bo-sql-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -257,7 +354,18 @@ def main() -> None:
     # note in the module docstring. Core queries are sub-second, so a
     # third timed run is cheap and halves sensitivity to machine noise;
     # the multi-second pipeline/streaming queries stay at best-of-2.
-    for tier, runs in ((core, 3), (pipeline, 2), (streaming, 2)):
+    # The SemDeDup ingest replay is its own sub-tier AFTER the window
+    # queries: its warm run (store build + heavy foreachBatch) would
+    # otherwise contaminate the window queries' timed runs the same
+    # way cross-tier warm-up inflated core in round 4.
+    stream_windows = [n for n in streaming if not n.endswith("_ingest")]
+    stream_ingest = [n for n in streaming if n.endswith("_ingest")]
+    for tier, runs in (
+        (core, 3),
+        (pipeline, 2),
+        (stream_windows, 2),
+        (stream_ingest, 2),
+    ):
         for name in tier:
             _run(builders[name](spark, SF_DIR), name)
         for name in tier:
@@ -277,8 +385,9 @@ def main() -> None:
     try:
         import pyarrow.parquet as pq
 
-        n_rows = pq.read_metadata(os.path.join(SF_DIR, "events.parquet")).num_rows
         for name in streaming:
+            src = STREAMING_SOURCE.get(name, "events.parquet")
+            n_rows = pq.read_metadata(os.path.join(SF_DIR, src)).num_rows
             if times.get(name, 0) > 0:
                 streaming_rows_per_sec[name] = round(n_rows / times[name], 1)
     except Exception:
