@@ -1191,3 +1191,88 @@ def ivfsq_batch_topk_served(
             F.col("_qid").cast("long").alias("query_id"), id_col, "sq_score"
         )
     )
+
+
+# ------------------------------------------------- OPQ-style rotation
+def seeded_rotation_micro(
+    dim: int = 64, n_givens: int = 256, seed: int = 7
+) -> list[list[int]]:
+    """Deterministic orthogonal rotation matrix in integer MICROS
+    (entry_ij = round(R_ij * 1e6)) — the OPQ-style pre-transform for
+    PQ (Ge et al., 'Optimized Product Quantization', CVPR'13; the
+    seeded-rotation baseline of Jegou et al. 2011).
+
+    Engine-portable by construction: the matrix is a pure function of
+    (dim, n_givens, seed) built WITHOUT libm — each Givens rotation's
+    (cos, sin) = (a/c, b/c) comes from a Pythagorean triple
+    a=m^2-n^2, b=2mn, c=m^2+n^2 (exactly orthogonal rationals), with
+    (m, n) and the rotated dim-pair drawn from a seeded LCG. Pair
+    selection forces a cross-SUBSPACE offset (a multiple-of-dsub gap,
+    never 0 mod dim), because mixing energy ACROSS the m PQ subspaces
+    is the entire point of the transform — within-subspace rotations
+    are invisible to per-subspace quantizers. The composed matrix is
+    rounded to micros ONCE at the end; every consumer (Spark plan and
+    generated DuckDB oracle alike) embeds the identical integers, so
+    cross-engine parity cannot break."""
+    state = seed & 0x7FFFFFFF
+    def nxt() -> int:
+        nonlocal state
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        return state
+
+    R = [[1.0 if i == j else 0.0 for j in range(dim)] for i in range(dim)]
+    for _ in range(n_givens):
+        p = nxt() % dim
+        # gap 8..dim-8 in steps of 8: always lands in another subspace
+        gap = 8 * (1 + nxt() % (dim // 8 - 1))
+        q = (p + gap) % dim
+        mm = 2 + nxt() % 6
+        nn = 1 + nxt() % (mm - 1)
+        a, b, c = mm * mm - nn * nn, 2 * mm * nn, mm * mm + nn * nn
+        co, si = a / c, b / c
+        if nxt() % 2:
+            si = -si
+        rp, rq = R[p], R[q]
+        for j in range(dim):
+            rp[j], rq[j] = co * rp[j] - si * rq[j], si * rp[j] + co * rq[j]
+    return [[int(round(x * 1_000_000)) for x in row] for row in R]
+
+
+def rotate_embeddings(
+    emb: DataFrame,
+    rot_micro: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply an integer-micro rotation matrix to a vector column with
+    EXACT cross-engine arithmetic: v_int = floor(v*1e6 + 0.5) (BIGINT
+    micros), y_i = sum_j R_ij_int * v_int_j (every partial sum an
+    integer < 2^53 — |R| <= 1e6, |v_int| <= ~4e6, 64 terms — so the
+    sum is exact in ANY engine and ANY accumulation order, double or
+    integer), and v'_i = y_i / 1e12 (an integer < 2^53 divided by a
+    power of ten: the same double everywhere). The rotated doubles
+    then feed the UNCHANGED trained-PQ pipeline, whose own fixed-point
+    doctrine re-quantizes them identically in both engines.
+
+    One nested higher-order expression per vector — no shuffle, no
+    UDF; the 4096-multiply cost per vector is the inherent dense-
+    rotation cost of OPQ at any scale (it runs inside the scan
+    stage)."""
+    # ONE nested Literal node (array<array<bigint>>) — building it from
+    # 4096 F.lit calls wrapped in F.array would re-evaluate the array
+    # constructor per row and ran ~20x slower
+    rot_lit = F.lit([[int(v) for v in row] for row in rot_micro])
+    vi = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    y = F.transform(
+        rot_lit,
+        lambda row: F.aggregate(
+            F.zip_with(row, vi, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    rotated = F.transform(y, lambda e: e.cast("double") / F.lit(1e12))
+    return emb.select(F.col(id_col), rotated.alias(vec_col))

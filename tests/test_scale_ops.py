@@ -349,3 +349,104 @@ def test_ivfsq_store_is_codes_partitioned_by_cell(spark, tmp_path):
     text = explain_str(served, "formatted")
     assert "PartitionFilters" in text or "dynamicpruning" in text.lower(), text
     assert served.count() == 5
+
+
+def test_seeded_rotation_orthogonal_and_deterministic():
+    """The OPQ rotation (integer-micro Givens composition) must be
+    orthogonal to micro precision (R R^T ~ I, |det| ~ 1 -- rounding to
+    1e-6 entries bounds the deviation), identical across calls (a pure
+    function of the seed: both the Spark plan and the generated oracle
+    embed it, so any nondeterminism would break parity), and actually
+    MIX across PQ subspace boundaries (the entire point -- a
+    block-diagonal rotation is invisible to per-subspace quantizers)."""
+    import numpy as np
+
+    from bo_sql_spark.operators.similarity import seeded_rotation_micro
+
+    r1 = seeded_rotation_micro()
+    r2 = seeded_rotation_micro()
+    assert r1 == r2
+    R = np.array(r1, dtype=np.float64) / 1e6
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-4
+    assert abs(abs(np.linalg.det(R)) - 1.0) < 1e-3
+    # a vector living in subspace 0 must spread: no subspace keeps >50%
+    v = np.zeros(64)
+    v[:8] = 1.0
+    w = (R @ v).reshape(8, 8)
+    frac = (w**2).sum(1) / (w**2).sum()
+    assert frac.max() < 0.5, frac
+
+
+def test_rotate_embeddings_preserves_norms(spark, sf_dir):
+    """rotate_embeddings is the fixed-point application of an
+    orthogonal matrix: L2 norms (hence exact-NN truth sets) survive to
+    ~1e-4 relative -- the quantization floor of micro-rounded entries."""
+    import numpy as np
+
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators.similarity import (
+        rotate_embeddings,
+        seeded_rotation_micro,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rot = rotate_embeddings(emb, seeded_rotation_micro())
+    joined = {
+        r["vec_id"]: np.linalg.norm(np.array(r["embedding"], dtype=np.float64))
+        for r in rot.collect()
+    }
+    for r in emb.limit(200).collect():
+        n0 = np.linalg.norm(np.array(r["embedding"], dtype=np.float64))
+        assert abs(joined[r["vec_id"]] - n0) <= 1e-4 * max(n0, 1e-9)
+
+
+def test_opq_rotation_recall_gain():
+    """The recall claim behind similarity_opq_adc, on the NumPy mirror
+    of the engine's trained-PQ formulas: rotation must not hurt on the
+    (near-isotropic) fixture, and must clearly WIN on an anisotropic
+    variant -- the regime OPQ exists for. Orthogonality preserves the
+    exact-L2 truth set, so the comparison is apples-to-apples."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bo_sql_spark.operators.similarity import seeded_rotation_micro
+
+    t = pq.read_table("/root/testdata/sf0.1/embeddings.parquet")
+    V = np.stack(
+        [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+    )
+    R = np.array(seeded_rotation_micro()) / 1e6
+    m, dsub, ks, k = 8, 8, 256, 10
+
+    def recall(X):
+        cbs, codes_cols = [], []
+        for s in range(m):
+            sl = X[:, s * dsub:(s + 1) * dsub]
+            cb = X[:ks, s * dsub:(s + 1) * dsub].copy()
+            a = ((sl[:, None, :] - cb[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(ks):
+                mask = a == c
+                if mask.any():
+                    cb[c] = sl[mask].mean(0)
+            cbs.append(cb)
+            codes_cols.append(
+                ((sl[:, None, :] - cb[None, :, :]) ** 2).sum(-1).argmin(1)
+            )
+        codes = np.stack(codes_cols, axis=1)
+        rs = []
+        for qi in range(25):
+            d2 = ((X - X[qi]) ** 2).sum(1)
+            want = set([i for i in np.argsort(d2, kind="stable") if i != qi][:k])
+            lut = np.stack(
+                [((cbs[s] - X[qi, s * dsub:(s + 1) * dsub]) ** 2).sum(1) for s in range(m)]
+            )
+            adc = lut[np.arange(m)[None, :], codes].sum(1)
+            got = set([i for i in np.argsort(adc, kind="stable") if i != qi][:k])
+            rs.append(len(got & want) / k)
+        return float(np.mean(rs))
+
+    assert recall(V @ R.T) >= recall(V) - 0.02
+    w = np.repeat([3.0, 1.5, 1.0, 0.7, 0.5, 0.4, 0.3, 0.25], 8)
+    VA = V * w
+    r_plain, r_rot = recall(VA), recall(VA @ R.T)
+    assert r_rot >= r_plain + 0.1, (r_plain, r_rot)

@@ -158,6 +158,62 @@ for p in (1, 2):
          mean_recall(lambda qi, p=p: ivfsq_topk(qi, p), exact_dot_topk))
     )
 
+# --- trained PQ ks=256 with and without the OPQ-style rotation
+# (round 7): NumPy mirror of pq_codebooks_from_seeds -> one Lloyd
+# step -> encode -> ADC, on the native fixture AND an anisotropic
+# variant (per-subspace variance ramp) — the regime rotation exists
+# for. Orthogonality preserves exact-L2 truth, so truth is computed
+# per-space and stays comparable.
+import sys as _sys
+
+_sys.path.insert(0, "/root/repo")
+from bo_sql_spark.operators.similarity import seeded_rotation_micro
+
+ROT = np.array(seeded_rotation_micro()) / 1e6
+M_PQ, DSUB, KS_PQ = 8, 8, 256
+
+
+def pq256_recall(X):
+    cbs, codes_cols = [], []
+    for s in range(M_PQ):
+        sl = X[:, s * DSUB:(s + 1) * DSUB]
+        cb = X[:KS_PQ, s * DSUB:(s + 1) * DSUB].copy()
+        a = ((sl[:, None, :] - cb[None, :, :]) ** 2).sum(-1).argmin(1)
+        for c in range(KS_PQ):
+            mask = a == c
+            if mask.any():
+                cb[c] = sl[mask].mean(0)
+        cbs.append(cb)
+        codes_cols.append(((sl[:, None, :] - cb[None, :, :]) ** 2).sum(-1).argmin(1))
+    codes = np.stack(codes_cols, axis=1)
+    rs = []
+    for qi in queries:
+        d2 = ((X - X[qi]) ** 2).sum(1)
+        want = set([i for i in np.argsort(d2, kind="stable") if i != qi][:K])
+        lut = np.stack(
+            [((cbs[s] - X[qi, s * DSUB:(s + 1) * DSUB]) ** 2).sum(1) for s in range(M_PQ)]
+        )
+        adc = lut[np.arange(M_PQ)[None, :], codes].sum(1)
+        got = set([i for i in np.argsort(adc, kind="stable") if i != qi][:K])
+        rs.append(len(got & want) / K)
+    return float(np.mean(rs))
+
+
+W_ANISO = np.repeat([3.0, 1.5, 1.0, 0.7, 0.5, 0.4, 0.3, 0.25], dim // 8)
+VA = V * W_ANISO
+rows.append(("PQ trained ks=256 (vs exact L2)", M_PQ, "LUT scan", pq256_recall(V)))
+rows.append(
+    ("OPQ-rotated PQ ks=256 (vs exact L2)", M_PQ, "LUT scan (+rotate at encode)",
+     pq256_recall(V @ ROT.T))
+)
+rows.append(
+    ("PQ ks=256, ANISOTROPIC variant", M_PQ, "LUT scan", pq256_recall(VA))
+)
+rows.append(
+    ("OPQ-rotated PQ ks=256, ANISOTROPIC", M_PQ, "LUT scan (+rotate)",
+     pq256_recall(VA @ ROT.T))
+)
+
 print("| tier | index bytes/vec | scan cost | recall@10 |")
 print("|---|---|---|---|")
 for name, bytes_, cost, r in rows:
