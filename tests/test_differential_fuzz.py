@@ -541,3 +541,187 @@ def test_cosine_round6_parity_with_duckdb(ctx, vecs):
     )
     con.unregister("fuzz_cos_vecs")
     assert got == pytest.approx(want, abs=0)  # exact equality, dict-wise
+
+
+# --------------------------------------------------------------------
+# Fixed-point doctrine families (round 7): every ANN/text oracle in the
+# registry rests on integer-micro arithmetic — quantize with
+# FLOOR(x*S + 0.5), integer DIV (never /), grouped micro-means,
+# struct-min tie-breaks. These five generators fuzz the DOCTRINE
+# itself: random scales and random op-chains rendered into BOTH
+# dialects from one AST, asserted exactly equal.
+
+FP_SCALES = [1_000, 100_000, 1_000_000]
+FP_COLS = ["l_quantity", "l_discount", "l_tax", "l_linenumber"]
+
+
+@st.composite
+def int_op_chain(draw):
+    """Random chain of integer ops applied to a BIGINT micro value:
+    [(op, const), ...] with op in DIV/MUL/ADD/MOD. Non-negative domain
+    (the doctrine's: micros of non-negative measures) so DIV and %
+    agree across engines by construction; at most one MUL keeps every
+    intermediate far under 2^63."""
+    n = draw(st.integers(min_value=1, max_value=4))
+    ops, muls = [], 0
+    for _ in range(n):
+        op = draw(st.sampled_from(["DIV", "MUL", "ADD", "MOD"]))
+        if op == "MUL":
+            if muls:
+                op = "ADD"
+            muls += 1
+        const = {
+            "DIV": draw(st.sampled_from([3, 7, 10, 97, 1000])),
+            "MUL": draw(st.sampled_from([3, 11])),
+            "ADD": draw(st.integers(min_value=0, max_value=10_000)),
+            "MOD": draw(st.sampled_from([97, 1009, 65_536])),
+        }[op]
+        ops.append((op, const))
+    return ops
+
+
+def _render_chain(expr: str, ops, dialect: str) -> str:
+    for op, c in ops:
+        if op == "DIV":
+            expr = f"({expr} {'DIV' if dialect == 'spark' else '//'} {c})"
+        elif op == "MUL":
+            expr = f"({expr} * {c})"
+        elif op == "ADD":
+            expr = f"({expr} + {c})"
+        else:
+            expr = f"({expr} % {c})"
+    return expr
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(col=st.sampled_from(FP_COLS), scale=st.sampled_from(FP_SCALES), pred=predicate())
+def test_fp_quantize_sum_agrees(ctx, col, scale, pred):
+    """Family 1 — quantize-then-aggregate: SUM/MIN/MAX/COUNT over
+    CAST(FLOOR(col*S + 0.5) AS BIGINT) at random scales must agree
+    exactly (DuckDB sums BIGINT into HUGEINT; comparing through a
+    BIGINT cast pins that the doctrine's magnitudes never need it)."""
+    spark, con = ctx
+    q = f"CAST(FLOOR({col} * {scale} + 0.5) AS BIGINT)"
+    sql = (
+        f"SELECT COUNT(*) AS n, CAST(SUM({q}) AS BIGINT) AS s, "
+        f"MIN({q}) AS mn, MAX({q}) AS mx FROM lineitem WHERE {pred}"
+    )
+    got = tuple(spark.sql(sql).first())
+    want = con.execute(sql).fetchone()
+    assert got == tuple(want), (sql, got, want)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(col=st.sampled_from(FP_COLS), scale=st.sampled_from(FP_SCALES), ops=int_op_chain())
+def test_fp_div_chain_agrees(ctx, col, scale, ops):
+    """Family 2 — integer op-chains: random DIV/*,+,% chains over
+    micros, rendered as Spark `DIV` and DuckDB `//` from one AST.
+    This is the doctrine's core claim (integer DIV is engine-portable
+    where float / is not) fuzzed directly."""
+    spark, con = ctx
+    base = f"CAST(FLOOR({col} * {scale} + 0.5) AS BIGINT)"
+    s_expr = _render_chain(base, ops, "spark")
+    d_expr = _render_chain(base, ops, "duck")
+    s_sql = f"SELECT CAST(SUM({s_expr}) AS BIGINT) AS s, MIN({s_expr}) AS mn FROM lineitem"
+    d_sql = f"SELECT CAST(SUM({d_expr}) AS BIGINT) AS s, MIN({d_expr}) AS mn FROM lineitem"
+    got = tuple(spark.sql(s_sql).first())
+    want = con.execute(d_sql).fetchone()
+    assert got == tuple(want), (ops, got, want)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scale=st.sampled_from(FP_SCALES),
+    shift=st.sampled_from([0.0, 0.05, 0.5, 3.14159, 25.0]),
+)
+def test_fp_round_half_up_signed_agrees(ctx, scale, shift):
+    """Family 3 — round-half-up on SIGNED values: the quantizer
+    FLOOR(x*S + 0.5) must agree on negative inputs too (centered
+    columns appear in every embedding oracle; floor(-0.5+0.5)=0 vs
+    truncation would diverge silently). Exercised by shifting a
+    column below zero."""
+    spark, con = ctx
+    e = f"CAST(FLOOR((l_discount - {shift}) * {scale} + 0.5) AS BIGINT)"
+    sql = (
+        f"SELECT CAST(SUM({e}) AS BIGINT) AS s, MIN({e}) AS mn, MAX({e}) AS mx "
+        "FROM lineitem"
+    )
+    got = tuple(spark.sql(sql).first())
+    want = con.execute(sql).fetchone()
+    assert got == tuple(want), (sql, got, want)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    col=st.sampled_from(["l_quantity", "l_extendedprice"]),
+    scale=st.sampled_from(FP_SCALES),
+    key=st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+)
+def test_fp_grouped_micro_mean_agrees(ctx, col, scale, key):
+    """Family 4 — the codeword-mean pattern (PQ/SQ8 training oracles):
+    per-group CAST(FLOOR(SUM(micros) * 1.0 / COUNT(*) + 0.5) AS
+    BIGINT). The inner division is IEEE double (correctly rounded in
+    both engines); fuzzing scales x keys pins that the float excursion
+    re-lands on the same integer everywhere."""
+    spark, con = ctx
+    m = f"CAST(FLOOR({col} * {scale} + 0.5) AS BIGINT)"
+    sql = (
+        f"SELECT {key} AS k, "
+        f"CAST(FLOOR(SUM({m}) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS mean_micro "
+        f"FROM lineitem GROUP BY {key}"
+    )
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, (sql, got[:3], want[:3])
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mod=st.sampled_from([2, 3, 5, 7]),
+    key=st.sampled_from(["l_returnflag", "l_linestatus"]),
+    scale=st.sampled_from(FP_SCALES),
+)
+def test_fp_struct_min_tiebreak_agrees(ctx, mod, key, scale):
+    """Family 5 — struct-min tie-breaks (the argmin rule of every
+    IVF/SemDeDup/winnowing oracle): min over (value, id) structs with
+    PLANTED ties (value = micros % mod collapses to mod buckets) must
+    pick the same id in both engines — lexicographic struct ordering,
+    id as the deterministic tie-break."""
+    spark, con = ctx
+    v = f"(CAST(FLOOR(l_quantity * {scale} + 0.5) AS BIGINT) % {mod})"
+    s_sql = (
+        f"SELECT {key} AS k, min(named_struct('v', {v}, 'id', l_orderkey)).id AS arg "
+        f"FROM lineitem GROUP BY {key}"
+    )
+    d_sql = (
+        f"SELECT {key} AS k, (min({{'v': {v}, 'id': l_orderkey}})).id AS arg "
+        f"FROM lineitem GROUP BY {key}"
+    )
+    got = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+    want = sorted(tuple(r) for r in con.execute(d_sql).fetchall())
+    assert got == want, (got, want)
