@@ -243,3 +243,57 @@ def take_token_budget(
         F.col(n_tokens_col).alias("n_tokens"),
         F.col("cum_tokens").cast("long"),
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    half_powers: int = 1,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-reweighted mixing — the multilingual/multi-source
+    LLM data recipe (p_s ~ n_s^alpha, alpha < 1: XLM/mBERT-style
+    upweighting of low-resource strata, Conneau & Lample 2019). The
+    per-stratum keep RATE is derived IN-ENGINE from the stratum
+    counts:
+
+        r_s = (n_min / n_s) ^ (1 / 2^half_powers)
+
+    so the smallest stratum keeps everything and larger strata are
+    deterministically downsampled toward the tempered distribution
+    (half_powers=1 -> alpha = 1/2; 2 -> alpha = 3/4). The exponent is
+    restricted to sqrt chains ON PURPOSE: IEEE-754 specifies sqrt (and
+    division) as correctly rounded, so both engines compute the exact
+    same double for r_s — pow() carries no such guarantee and would
+    break oracle parity at the last ulp. The keep decision is the
+    portable integer mix vs FLOOR(r_s * P), a pure function of
+    (id, salt): retries, partitionings, and engines all agree
+    row-for-row.
+
+    The compared value is the SQUARED mix, (h*h) mod P — not h: the
+    linear mix is a Weyl sequence, and strata whose ids follow an
+    arithmetic pattern (every deterministic generator's do) land
+    systematically above or below a high threshold (measured: three
+    strata kept 100% at a 0.93 target). One nonlinear step
+    de-correlates it (the round-6 JL sign lesson), stays pure BIGINT
+    (h < P ~ 1e9, h^2 < 2^63), and is identical in any engine.
+
+    Plan shape: one map-combinable stratum count (tiny), broadcast
+    back over the scan, filter at the scan stage — no shuffle of the
+    corpus, no RNG state, no Sample node."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    ratio = F.col("_n_min").cast("double") / F.col("_n").cast("double")
+    r = ratio
+    for _ in range(int(half_powers)):
+        r = F.sqrt(r)
+    thr = counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        F.floor(r * PORTABLE_PRIME).cast("long").alias("_thr"),
+    )
+    h = portable_hash(id_col, salt)
+    h2 = F.pmod(h * h, F.lit(PORTABLE_PRIME))
+    return df.join(F.broadcast(thr), strata_col).filter(
+        h2 < F.col("_thr")
+    ).drop("_thr")

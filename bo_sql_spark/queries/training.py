@@ -428,3 +428,49 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("weight_permille")
         )
     )
+
+
+_TEMP_SALT = 11
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), mn AS (
+        SELECT MIN(n) AS n_min FROM c
+    ), thr AS (
+        SELECT lang,
+               CAST(FLOOR(SQRT(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+                          * {PORTABLE_PRIME}) AS BIGINT) AS t
+        FROM c, mn
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE (({portable_hash_sql('d.doc_id', _TEMP_SALT)}
+            * {portable_hash_sql('d.doc_id', _TEMP_SALT)}) % {PORTABLE_PRIME}
+           + {PORTABLE_PRIME}) % {PORTABLE_PRIME} < thr.t
+    """,
+    doc="Temperature-reweighted language mixing (operators/sampling.py:"
+    "temperature_mix_sample; Conneau & Lample 2019's p_l ~ n_l^alpha "
+    "at alpha=1/2): per-language keep rates r_l = sqrt(n_min/n_l) are "
+    "derived IN-ENGINE from the corpus counts — the smallest language "
+    "keeps everything, dominant ones downsample toward the tempered "
+    "distribution — and membership is the portable integer mix vs "
+    "FLOOR(r_l * P). The exponent is restricted to sqrt on purpose: "
+    "IEEE specifies sqrt and division as correctly rounded, so both "
+    "engines compute the identical threshold double (pow() has no "
+    "such guarantee and would flake the hash at the last ulp). The "
+    "compared value is the SQUARED mix mod P — the linear mix is a "
+    "Weyl sequence and biased strata kept 100% at a 0.93 target "
+    "before the nonlinear step (the round-6 JL sign lesson). Plan: "
+    "tiny map-combinable count agg broadcast back over the scan; the "
+    "corpus itself never shuffles.",
+    tags=("pipeline", "training", "sampling"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    return SA.temperature_mix_sample(
+        docs, "lang", "doc_id", half_powers=1, salt=_TEMP_SALT
+    ).select("doc_id", "lang")

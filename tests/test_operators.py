@@ -1157,3 +1157,40 @@ def test_lsh_salted_pairs_equal_unsalted(spark):
         for r in D.minhash_dedup_pairs(docs, threshold=0.5, salt_r=4).collect()
     }
     assert p0 == p1
+
+
+def test_temperature_mix_sample_rates_and_determinism(spark):
+    """Temperature mixing: the smallest stratum is kept in FULL, each
+    larger stratum's keep rate tracks (n_min/n_s)^(1/2) (the squared
+    portable mix is uniform enough to land within a few sigma — the
+    unsquared Weyl mix measurably was not), and membership is a pure
+    function of the id: any repartitioning yields the identical set."""
+    import math
+
+    from bo_sql_spark.operators.sampling import temperature_mix_sample
+
+    sizes = {"a": 64, "b": 256, "c": 1024}
+    rows = []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i * 37 + 11, s))  # arithmetic id pattern on purpose
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mix_sample(df, "lang", "doc_id", half_powers=1).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["a"]) == 64  # smallest stratum: rate 1
+    for s in ("b", "c"):
+        n = sizes[s]
+        want = n * math.sqrt(64 / n)
+        sigma = math.sqrt(want * (1 - math.sqrt(64 / n))) + 1
+        assert abs(len(by[s]) - want) <= 4 * sigma, (s, len(by[s]), want)
+    again = {
+        r["doc_id"]
+        for r in temperature_mix_sample(
+            df.repartition(13), "lang", "doc_id", half_powers=1
+        ).collect()
+    }
+    assert again == {r["doc_id"] for r in kept}
