@@ -271,6 +271,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     salt_r: int = 0,
+    salt_hot_threshold: int = 64,
 ) -> DataFrame:
     """Full near-dup pipeline: signature -> LSH candidates -> exact verify.
 
@@ -294,7 +295,13 @@ def minhash_dedup_pairs(
     )
     if salt_r > 0:
         cands = lsh_band_pairs_salted(
-            with_sig, id_col, "minhash", bands, n_hashes // bands, salt_r=salt_r
+            with_sig,
+            id_col,
+            "minhash",
+            bands,
+            n_hashes // bands,
+            salt_r=salt_r,
+            hot_threshold=salt_hot_threshold,
         )
     else:
         cands = lsh_band_pairs(with_sig, id_col, "minhash", bands, n_hashes // bands)

@@ -74,6 +74,33 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_pairs_salted",
+    oracle=None,  # xxhash64 signatures are Spark-specific; pair-set
+    # equality with dedup_minhash_pairs is unit-proven
+    # (tests/test_operators.py::test_lsh_salted_pairs_equal_unsalted)
+    doc="The hot-bucket-salted form of dedup_minhash_pairs "
+    "(operators/dedup.py:lsh_band_pairs_salted): LSH buckets over "
+    "hot_threshold=4 members spread their quadratic pair output over "
+    "an r^2 grid of salted cells (deterministic per-id salt + "
+    "(cell_i, cell_j) join keys) while cold buckets keep the plain "
+    "single-shuffle self-join — byte-identical pairs, no straggler "
+    "task when a viral template concentrates a bucket. Exists because "
+    "AQE's input-byte skew split measurably CANNOT fire on this shape "
+    "(the hot bucket's join input is KBs; the blow-up is the output "
+    "inside one reduce task — SCALE.md round-7 skew table). The low "
+    "threshold here routes the corpus' natural near-dup clusters "
+    "through the hot path so BOTH paths execute and lint in this "
+    "registered plan.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_minhash_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return D.minhash_dedup_pairs(
+        t["documents"], threshold=0.5, salt_r=4, salt_hot_threshold=4
+    ).select("id_a", "id_b", F.round("jacc", 6).alias("jacc"))
+
+
+@register(
     "dedup_incremental_minhash",
     oracle=None,  # xxhash64 signatures are Spark-specific; exact twin below
     doc="Incremental near-dup: the corpus (doc_id < 400) is indexed "
