@@ -306,13 +306,16 @@ def test_winnowed_spans_shuffles_docs_once_then_fingerprints(spark, sf_dir):
     """The production span-dedup plan: exactly ONE doc-granular
     repartition (1x corpus) feeds the per-position explode, the
     sliding min + per-doc dedup ride that partitioning with no further
-    exchange (the per-position rows NEVER shuffle), only sampled
-    fingerprint rows reach the groupBy(h), and the dup set comes back
-    as a broadcast."""
+    exchange (the per-position rows NEVER shuffle), and only sampled
+    fingerprint rows shuffle again (by h for the cross-doc window
+    flag, by doc_id for the stats). No join anywhere — the dup flag is
+    a window min/max, so the corpus pipeline executes ONCE (the
+    joined-back dup-set form re-executed it per consumer, 3.2x slower
+    at 10x)."""
     df = _df(spark, sf_dir, "dedup_duplicate_spans_winnowed")
     text = explain_str(df, "simple")
     # the only shuffles: docs by doc_id (REPARTITION_BY_COL) and
-    # fingerprints by h — never a shuffle keyed by pos
+    # fingerprints by h / doc_id — never a shuffle keyed by pos
     import re
 
     parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", text)
@@ -320,7 +323,6 @@ def test_winnowed_spans_shuffles_docs_once_then_fingerprints(spark, sf_dir):
     assert all("pos" not in p for p in parts), parts
     keyed = {p.split("#")[0].strip() for p in parts}
     assert keyed <= {"doc_id", "h"}, parts
-    # per-doc dedup of selected positions is a partition-local
-    # aggregate (no exchange between the Window and the final agg)
-    assert "BroadcastHashJoin" in text, text
-    assert "SortMergeJoin" not in text, text
+    assert "Join" not in text, text  # single pipeline execution
+    # one FileScan: the dup-set join form scanned the corpus twice
+    assert text.count("Scan parquet") == 1, text
