@@ -4330,21 +4330,26 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "pos", F.md5(F.col("norm").substr(F.col("pos"), F.lit(L))).alias("h")
     )
-    dup = (
-        w.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
+    # cross-doc flag = min(doc) != max(doc) over an h-window (==
+    # COUNT(DISTINCT doc) > 1), not a dup-set aggregate joined back:
+    # the join form consumed `w` twice and re-executed the whole
+    # scan->explode->hash pipeline per consumer — measured 3.3x slower
+    # at a 10x corpus (same lesson as the winnowed variant; see
+    # operators/dedup.py:duplicate_span_stats_winnowed)
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("h")
+    flagged = w.select(
+        "doc_id",
+        "pos",
+        (F.min("doc_id").over(wd) != F.max("doc_id").over(wd)).alias("_dup"),
     )
     return (
-        w.join(dup.withColumn("_dup", F.lit(1)), "h", "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_windows"),
-            F.min(F.when(F.col("_dup").isNotNull(), F.col("pos"))).alias(
-                "first_dup_pos"
-            ),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_windows"),
+            F.min(F.when(F.col("_dup"), F.col("pos"))).alias("first_dup_pos"),
         )
         .select(
             "doc_id",
