@@ -373,10 +373,15 @@ def connected_components(
     Driver loop with a convergence check; ``max_iter`` bounds rounds
     (log2(longest path) + ~3 suffices with doubling).
     """
+    # localCheckpoint the edge list: it is consumed EVERY round (plus
+    # the label init), and its lineage is the caller's whole
+    # candidate-pair pipeline (an LSH/Jaccard self-join) — without the
+    # cut that pipeline re-executes once per round per consumer.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -716,7 +721,14 @@ def semantic_dedup(
     """
     from bo_sql_spark.operators.similarity import ivf_assign
 
-    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    # localCheckpoint: `assigned` feeds THREE consumers (both sides of
+    # the pairwise self-join + the final anti-join), and the broadcast-
+    # centroid argmin lives in the scan stage with no exchange for
+    # Spark to reuse — without the cut it is genuinely computed 3x
+    # (the O(n*k) term that dominates at production centroid counts).
+    assigned = ivf_assign(
+        emb, centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     dups = _pairwise_dup_ids(
         _with_norms(assigned, id_col, vec_col), threshold, id_col, vec_col
     )
@@ -757,7 +769,12 @@ def semantic_dedup_incremental(
     b = (
         batch_assigned
         if batch_assigned is not None
-        else ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
+        # checkpoint for the same reason as semantic_dedup: the batch
+        # assignment feeds the corpus cross-check, both sides of the
+        # internal pairwise self-join, AND the final anti-join
+        else ivf_assign(
+            batch, centroids, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
     )
     bn = _with_norms(b, id_col, vec_col)
     cn = corpus_assigned.select(
