@@ -51,6 +51,7 @@ HEADLINE = [
 PIPELINE = [
     "dedup_survivors",
     "dedup_semantic",
+    "dedup_duplicate_spans_winnowed",
     "similarity_ivf_multiprobe",
     "similarity_ivf_served",
     "similarity_ivf_batch_served",
@@ -90,6 +91,7 @@ STREAMING_SOURCE = {"dedup_semantic_stream_ingest": "embeddings.parquet"}
 # no driver-side Arrow transfer) — benching collect() on 600k rows would
 # measure serialization, not the engine.
 LARGE_OUTPUT = {
+    "dedup_duplicate_spans_winnowed",
     "scan_project",
     "filter_predicate",
     "expr_arithmetic",
