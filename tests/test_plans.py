@@ -326,3 +326,17 @@ def test_winnowed_spans_shuffles_docs_once_then_fingerprints(spark, sf_dir):
     assert "Join" not in text, text  # single pipeline execution
     # one FileScan: the dup-set join form scanned the corpus twice
     assert text.count("Scan parquet") == 1, text
+
+
+def test_opq_rotation_stays_in_scan_stage(spark, sf_dir):
+    """The OPQ rotation must be a pure expression over the scan — a
+    single nested Literal matrix applied by higher-order functions:
+    no Python stage, no extra exchange versus the unrotated trained-PQ
+    plan (the rotate is free of shuffle by construction)."""
+    rot_df = _df(spark, sf_dir, "similarity_opq_adc")
+    base_df = _df(spark, sf_dir, "similarity_pq_trained256")
+    rot_text = explain_str(rot_df, "simple")
+    assert "BatchEvalPython" not in rot_text
+    assert rot_text.count("Exchange") == explain_str(base_df, "simple").count(
+        "Exchange"
+    )

@@ -450,3 +450,49 @@ def test_opq_rotation_recall_gain():
     VA = V * w
     r_plain, r_rot = recall(VA), recall(VA @ R.T)
     assert r_rot >= r_plain + 0.1, (r_plain, r_rot)
+
+
+def test_opq_adc_engine_recall_floor(spark, sf_dir):
+    """Quality gate for the REGISTERED OPQ path (not the NumPy
+    mirror): rotate with the engine operator, train/encode ks=256 with
+    the engine's one-Lloyd-step pipeline, and assert recall@10 vs
+    exact L2 in the ROTATED space holds the same >= 0.35 floor as the
+    unrotated twin (orthogonality preserves the truth set, so the
+    floor is directly comparable). Catches a broken rotation literal,
+    a mis-scaled fixed-point apply, or degenerate rotated codebooks
+    that would still hash-match a symbolic oracle."""
+    import numpy as np
+
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators import similarity as S
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rot = S.rotate_embeddings(emb, S.seeded_rotation_micro())
+    m, dsub, ks, k = 8, 8, 256, 10
+    cb0 = S.pq_codebooks_from_seeds(rot, m=m, dsub=dsub, ks=ks)
+    cb1 = S.pq_train_step(rot, cb0, m=m, dsub=dsub).select("sub", "code", "c_vec")
+    codes_df = S.pq_encode(rot, cb1, m=m, dsub=dsub)
+
+    rows = sorted(rot.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    idx = {v: i for i, v in enumerate(ids)}
+    cb = np.zeros((m, ks, dsub))
+    for r in cb1.collect():
+        cb[r["sub"], r["code"]] = r["c_vec"]
+    codes = np.zeros((len(ids), m), dtype=np.int64)
+    for r in codes_df.collect():
+        codes[idx[r["vec_id"]]] = r["codes"]
+
+    recalls = []
+    for qi in range(25):
+        lut = np.stack(
+            [((cb[s] - V[qi, s * dsub:(s + 1) * dsub]) ** 2).sum(1) for s in range(m)]
+        )
+        adc = lut[np.arange(m)[None, :], codes].sum(1)
+        got = set([i for i in np.argsort(adc, kind="stable") if i != qi][:k])
+        d2 = ((V - V[qi]) ** 2).sum(1)
+        want = set([i for i in np.argsort(d2, kind="stable") if i != qi][:k])
+        recalls.append(len(got & want) / k)
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.35, f"rotated recall@10 {mean_recall:.3f} below floor"
