@@ -725,3 +725,88 @@ def test_fp_struct_min_tiebreak_agrees(ctx, mod, key, scale):
     got = sorted(tuple(r) for r in spark.sql(s_sql).collect())
     want = sorted(tuple(r) for r in con.execute(d_sql).fetchall())
     assert got == want, (got, want)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_md5_prefix_bigint_hash_agrees(ctx, texts):
+    """Family 6 — the winnowed span-dedup hash: the first 15 hex
+    digits of md5 as BIGINT (Spark conv(substr(md5)) vs DuckDB
+    ('0x'||substr(md5))::BIGINT) must agree byte-for-byte on
+    arbitrary strings including empty and non-ASCII — this 60-bit
+    value drives BOTH the winnow selection and the dup grouping, so
+    one divergent bit flips which positions are fingerprinted."""
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    spark, con = ctx
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i",
+            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        ).collect()
+    }
+    tbl = pa.table(
+        {
+            "i": pa.array([i for i, _ in rows], type=pa.int64()),
+            "s": pa.array([t for _, t in rows], type=pa.string()),
+        }
+    )
+    con.register("fuzz_md5", tbl)
+    want = dict(
+        con.execute(
+            "SELECT i, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FROM fuzz_md5"
+        ).fetchall()
+    )
+    con.unregister("fuzz_md5")
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_min=st.integers(min_value=1, max_value=10**9),
+    n=st.integers(min_value=1, max_value=10**12),
+    halves=st.integers(min_value=1, max_value=3),
+)
+def test_fp_sqrt_rate_threshold_agrees(ctx, n_min, n, halves):
+    """Family 7 — the temperature-mix threshold chain:
+    FLOOR(sqrt^h(n_min/n) * P) must agree exactly for arbitrary
+    stratum counts. sqrt and division are IEEE-correctly-rounded (the
+    reason the operator restricts exponents to sqrt chains); this
+    fuzzes that the full double excursion re-lands on the same BIGINT
+    in both engines at every half-power depth."""
+    spark, con = ctx
+    if n < n_min:
+        n_min, n = n, n_min
+    expr = f"CAST({n_min} AS DOUBLE) / CAST({n} AS DOUBLE)"
+    for _ in range(halves):
+        expr = f"SQRT({expr})"
+    sql = f"SELECT CAST(FLOOR({expr} * 1000000007) AS BIGINT) AS t"
+    got = spark.sql(sql).first()["t"]
+    want = con.execute(sql).fetchone()[0]
+    assert got == want, (n_min, n, halves, got, want)
