@@ -1276,3 +1276,69 @@ def rotate_embeddings(
     )
     rotated = F.transform(y, lambda e: e.cast("double") / F.lit(1e12))
     return emb.select(F.col(id_col), rotated.alias(vec_col))
+
+
+def knn_graph(
+    emb: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide approximate k-NN GRAPH: every vector's top-k cosine
+    neighbors within its IVF cell — (id, neighbor_id, rank, cos_sim).
+    The artifact semantic clustering, graph-based dedup, and
+    label-propagation pipelines start from (SemDeDup's own published
+    pipeline builds exactly this per-cluster neighbor structure).
+
+    Scale shape is the SemDeDup one: broadcast-centroid argmin
+    assignment (one scan, checkpointed — BOTH join sides consume it
+    and the argmin has no exchange for Spark to reuse), then a
+    self-join keyed ON the cell so the O(n^2) pair space shrinks to
+    O(n^2 / cells) and no pair ever crosses cells; per-id top-k is a
+    rank window that plans WindowGroupLimit, trimming to ~k rows per
+    id BELOW the shuffle (pinned). Cluster count is the published
+    lever: scale cells with the corpus and |cell| stays bounded. The
+    1-probe restriction (neighbors only within the own cell) is the
+    standard recall trade — the exact twin for quality measurement is
+    cosine_topk per query; multiprobe variants widen the join key the
+    same way ivf_topk_multiprobe does.
+
+    Determinism: ranking orders by (cos DESC, neighbor id); cosine is
+    the bitwise-portable dot/sqrt chain every similarity oracle uses.
+    """
+    from pyspark.sql.window import Window
+
+    from bo_sql_spark.functions import dot, l2_norm
+
+    assigned = ivf_assign(
+        emb, centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    an = assigned.select(
+        "cell", F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
+    )
+    other = an.select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v2"),
+        F.col("_n").alias("_n2"),
+    )
+    sim = dot(F.col(vec_col), F.col("_v2")) / (F.col("_n") * F.col("_n2"))
+    pairs = (
+        an.join(other, "cell")
+        .filter(F.col(id_col) != F.col("neighbor_id"))
+        .select(id_col, "neighbor_id", sim.alias("_sim"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            id_col,
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("_sim", 6).alias("cos_sim"),
+        )
+    )

@@ -2877,6 +2877,54 @@ def _opq_oracle() -> str:
 
 
 @register(
+    "similarity_knn_graph",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id < 16
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), av AS (
+        SELECT a.vec_id, a.cell, ve.v FROM assigned a JOIN vecs ve USING (vec_id)
+    ), pairs AS (
+        SELECT x.vec_id, y.vec_id AS neighbor_id,
+               list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+        FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    )
+    SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, ROUND(sim, 6) AS cos_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM pairs
+    ) WHERE rnk <= 5
+    """,
+    doc="Corpus-wide approximate k-NN GRAPH (operators/similarity.py:"
+    "knn_graph): every vector's top-5 cosine neighbors within its IVF "
+    "cell — the artifact semantic clustering, graph dedup, and "
+    "label-propagation pipelines start from (SemDeDup's published "
+    "pipeline builds exactly this per-cluster neighbor structure). "
+    "Same scale shape as dedup_semantic: checkpointed broadcast-argmin "
+    "assignment (both join sides consume it), self-join keyed ON the "
+    "cell (pair space O(n^2/cells), nothing crosses cells), and the "
+    "per-id rank window plans WindowGroupLimit so ~k rows per id "
+    "survive below the shuffle (pinned). Cluster count is the "
+    "published lever; the 1-probe own-cell restriction is the standard "
+    "recall trade with cosine_topk as the exact per-query twin.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    return S.knn_graph(emb, cents, k=5)
+
+
+@register(
     "similarity_opq_adc",
     oracle=_opq_oracle(),
     doc="OPQ-style rotation before trained PQ (operators/similarity.py:"

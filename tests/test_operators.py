@@ -1194,3 +1194,44 @@ def test_temperature_mix_sample_rates_and_determinism(spark):
         ).collect()
     }
     assert again == {r["doc_id"] for r in kept}
+
+
+def test_knn_graph_matches_per_query_topk_within_cell(spark, sf_dir):
+    """Exact-twin property: a vector's graph neighbors must equal
+    cosine_topk over its own cell's members (same ranking, same
+    rounded scores) — the graph is the batched form of the per-query
+    scan, not a different metric."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    g = S.knn_graph(emb, cents, k=5)
+    rows = g.filter(F.col("vec_id").isin([3, 17, 42])).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_sim"])
+        )
+    assigned = S.ivf_assign(emb, cents)
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in assigned.filter(F.col("vec_id").isin([3, 17, 42])).collect()
+    }
+    for qid, nbrs in by_id.items():
+        nbrs.sort()
+        cell_members = assigned.filter(
+            (F.col("cell") == cell_of[qid]) & (F.col("vec_id") != qid)
+        ).select("vec_id", "embedding")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        want = [
+            (i + 1, r["vec_id"], r["cos_sim"])
+            for i, r in enumerate(
+                S.cosine_topk(cell_members, qvec, k=5).collect()
+            )
+        ]
+        assert nbrs == want, (qid, nbrs, want)

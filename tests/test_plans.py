@@ -340,3 +340,13 @@ def test_opq_rotation_stays_in_scan_stage(spark, sf_dir):
     assert rot_text.count("Exchange") == explain_str(base_df, "simple").count(
         "Exchange"
     )
+
+
+def test_knn_graph_trims_below_shuffle_no_cartesian(spark, sf_dir):
+    """The corpus k-NN graph must join on the cell key only (no
+    cartesian), and the per-id top-k must plan WindowGroupLimit so ~k
+    rows per vector survive below the final shuffle."""
+    df = _df(spark, sf_dir, "similarity_knn_graph")
+    text = explain_str(df, "simple")
+    assert "WindowGroupLimit" in text, text
+    assert "CartesianProduct" not in text, text
