@@ -2925,6 +2925,103 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_knn_clusters",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), aug AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(v, (x, i) ->
+                   x * (CAST(1 AS DOUBLE)
+                        + CAST(0.0002 AS DOUBLE) * ((i - 1 + vec_id) % 5)))
+        FROM base WHERE vec_id % 7 = 0
+    ), cents AS (
+        SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM aug CROSS JOIN cents GROUP BY vec_id
+    ), av AS (
+        SELECT a.vec_id, a.cell, ve.v FROM assigned a JOIN aug ve USING (vec_id)
+    ), pairs AS (
+        SELECT x.vec_id, y.vec_id AS neighbor_id,
+               list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+        FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    ), knn AS (
+        SELECT vec_id, neighbor_id, ROUND(sim, 6) AS cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM pairs
+        ) WHERE rnk <= 5
+    ), edges AS (
+        SELECT vec_id AS src, neighbor_id AS dst FROM knn WHERE cos_sim >= 0.95
+        UNION
+        SELECT neighbor_id, vec_id FROM knn WHERE cos_sim >= 0.95
+    ), reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        ) SELECT * FROM r
+    ), canon AS (
+        SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT g.vec_id, COALESCE(c.cluster_id, g.vec_id) AS cluster_id
+    FROM (SELECT vec_id FROM aug) g
+    LEFT JOIN canon c ON g.vec_id = c.node
+    """,
+    doc="Semantic CLUSTERING from the k-NN graph (knn_graph -> "
+    "threshold -> connected_components): edges are graph neighbors "
+    "with cosine >= 0.95, components collapse by pointer-doubling "
+    "min-label propagation, and every vector gets a cluster id "
+    "(singletons keep their own) — the cluster artifact "
+    "diversity-sampling and stratified-split pipelines consume, and "
+    "the graph-native sibling of dedup_clusters (which clusters LSH "
+    "text pairs the same way). Planted near-copies (the dedup_semantic "
+    "construction, replayed closed-form by the oracle including the "
+    "recursive-CTE closure) make the clusters non-trivial on the "
+    "random fixture. Scale: knn edges are O(k*n) tiny rows, CC "
+    "shuffles only the edge list, O(log diameter) rounds.",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def similarity_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.0002) * ((i + F.col("vec_id")) % 5).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    aug = emb.unionAll(planted)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    g = S.knn_graph(aug, cents, k=5)
+    edges = g.filter(F.col("cos_sim") >= 0.95).select(
+        F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    canon = D.connected_components(edges)
+    return (
+        aug.select("vec_id")
+        .join(canon, aug.vec_id == canon.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+
+
+@register(
     "similarity_opq_adc",
     oracle=_opq_oracle(),
     doc="OPQ-style rotation before trained PQ (operators/similarity.py:"

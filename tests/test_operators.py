@@ -1235,3 +1235,21 @@ def test_knn_graph_matches_per_query_topk_within_cell(spark, sf_dir):
             )
         ]
         assert nbrs == want, (qid, nbrs, want)
+
+
+def test_knn_clusters_pull_planted_copies_together(spark, sf_dir):
+    """The graph-clustering composition: planted near-copies must land
+    in their original's cluster (min-id canonical), every other vector
+    stays a singleton, and no cluster mixes two different originals."""
+    from bo_sql_spark.queries import load_all
+
+    reg = load_all()
+    rows = reg["similarity_knn_clusters"].builder(spark, sf_dir).collect()
+    by = {r["vec_id"]: r["cluster_id"] for r in rows}
+    planted = [v for v in by if v >= 100000]
+    assert planted
+    for v in planted:
+        assert by[v] == v - 100000, (v, by[v])  # copy joins its original
+    for v, c in by.items():
+        if v < 100000 and v % 7 != 0:
+            assert c == v  # untouched vectors stay singletons
