@@ -828,27 +828,31 @@ def semantic_dedup_stream_ingest(
     partially-written current-batch dir is never consulted.
     ``batch_id=None`` keeps the plain append behavior for one-shot
     batch callers that manage their own paths (NOT retry-safe; do not
-    use from a streaming sink)."""
-    import os
+    use from a streaming sink).
 
+    Store discovery goes through the Hadoop FileSystem API
+    (``_hadoop_ls``), NOT os.listdir: the store lives wherever the
+    checkpoint does (HDFS/S3/local), and a posix listdir on a
+    non-local URI silently sees nothing — every batch would treat
+    itself as the first and emit wrong survivors with no error."""
     from bo_sql_spark.operators.similarity import ivf_assign
 
     b_assigned = ivf_assign(
         batch, centroids, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
+    entries = _hadoop_ls(spark, store_path)
     if batch_id is None:
         prior_dirs = (
             [store_path]
-            if os.path.exists(store_path)
-            and any(not f.startswith((".", "_")) for f in os.listdir(store_path))
+            if any(not name.startswith((".", "_")) for name, _ in entries)
             else []
         )
     else:
         prior_dirs = [
-            os.path.join(store_path, d)
-            for d in (os.listdir(store_path) if os.path.exists(store_path) else [])
-            if d.startswith("ingest_batch=")
-            and int(d.split("=", 1)[1]) < batch_id
+            path
+            for name, path in entries
+            if name.startswith("ingest_batch=")
+            and int(name.split("=", 1)[1]) < batch_id
         ]
     if prior_dirs:
         corpus_assigned = spark.read.parquet(*prior_dirs)
@@ -874,11 +878,28 @@ def semantic_dedup_stream_ingest(
     else:
         scoped = f"ingest_batch={int(batch_id)}"
         surv.write.mode("overwrite").parquet(
-            os.path.join(survivors_path, scoped)
+            f"{survivors_path.rstrip('/')}/{scoped}"
         )
         b_assigned.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(store_path, scoped)
+            f"{store_path.rstrip('/')}/{scoped}"
         )
+
+
+def _hadoop_ls(spark, path: str) -> list[tuple[str, str]]:
+    """(name, full_path) for each direct child of ``path``, via the JVM
+    Hadoop FileSystem resolved FROM the path itself — so file://,
+    hdfs:// and s3a:// stores all list correctly (a posix os.listdir
+    only sees the local FS and silently returns nothing elsewhere).
+    Missing path => empty list, same as an empty store."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return [
+        (st.getPath().getName(), st.getPath().toString())
+        for st in fs.listStatus(hpath)
+    ]
 
 
 def winnow_fingerprints(

@@ -129,6 +129,67 @@ def deterministic_shuffle(df: DataFrame, id_col: str, salt: int = 0) -> DataFram
     return df.orderBy(portable_hash(id_col, salt), F.col(id_col))
 
 
+def contiguous_shard(h_col: Column, n_shards: int) -> Column:
+    """Shard id that is CONTIGUOUS in hash order: h DIV ceil(P/n_shards).
+    Rows sorted by (shard, h, id) are in exactly the global (h, id)
+    order — the property that lets a global window decompose into
+    per-shard windows plus broadcast shard offsets. Hash-mod sharding
+    (pmod) does NOT have it. Shard sizes are near-equal because the
+    mix is near-uniform on [0, P)."""
+    block = (PORTABLE_PRIME + n_shards - 1) // n_shards
+    return (h_col.cast("long") / F.lit(block)).cast("long")
+
+
+def _shard_offsets(staged: DataFrame, value_expr, n_shards: int) -> DataFrame:
+    """(shard, _off) where _off = sum of ``value_expr`` over all EARLIER
+    shards. n_shards rows total: the cumulative window here runs over
+    the aggregated per-shard totals (bounded by n_shards, a constant),
+    not over data rows — the post-aggregation global window the plan
+    lint whitelists."""
+    from pyspark.sql import Window
+
+    totals = staged.groupBy("_shard").agg(
+        F.sum(value_expr).cast("long").alias("_tot")
+    )
+    wo = (
+        Window.orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return totals.select(
+        "_shard",
+        F.coalesce(F.sum("_tot").over(wo), F.lit(0)).cast("long").alias("_off"),
+    )
+
+
+def deterministic_shuffle_positions(
+    df: DataFrame, id_col: str, salt: int = 0, n_shards: int = 32
+) -> DataFrame:
+    """``deterministic_shuffle`` with the global 1-based position
+    materialized — WITHOUT a single-task global window. The order key
+    is the portable hash, so bucketing by its high range
+    (``contiguous_shard``) gives shards that are contiguous runs of the
+    global order: pos = (#rows in earlier shards) + row_number within
+    the shard. Two passes over the (id)-projected scan — one for the
+    per-shard window, one map-combinable count for the 32-row offsets
+    table (broadcast back) — and no task ever holds more than
+    ~corpus/n_shards rows. Output is independent of n_shards (pinned
+    by a unit test), so the knob is free to scale with the cluster.
+    Emits (pos BIGINT, <id_col>)."""
+    from pyspark.sql import Window
+
+    h = portable_hash(id_col, salt)
+    staged = df.select(
+        F.col(id_col), h.alias("_h")
+    ).withColumn("_shard", contiguous_shard(F.col("_h"), n_shards))
+    w = Window.partitionBy("_shard").orderBy("_h", id_col)
+    local = staged.withColumn("_local", F.row_number().over(w).cast("long"))
+    offsets = _shard_offsets(staged, F.lit(1), n_shards)
+    return local.join(F.broadcast(offsets), "_shard").select(
+        (F.col("_off") + F.col("_local")).cast("long").alias("pos"),
+        id_col,
+    )
+
+
 def pack_sequences_sharded(
     docs: DataFrame,
     id_col: str,
@@ -172,6 +233,7 @@ def pack_sequences(
     n_tokens_col: str,
     budget: int,
     salt: int = 0,
+    n_shards: int = 32,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: shuffle docs deterministically,
     lay their tokens end-to-end, cut every ``budget`` tokens.
@@ -181,26 +243,40 @@ def pack_sequences(
     continue into the next sequence — exactly what concat-then-chunk
     LLM pretraining pipelines do, no padding waste).
 
-    The token start offset is an UNBOUNDED PRECEDING running sum over
-    the shuffled order: one global sort + one window pass. At 100 TB
-    run it per deterministic shard (add a shard column to the window
-    partition) so no single partition holds the corpus.
+    The GLOBAL running-sum layout is computed without a single-task
+    window: ``contiguous_shard`` buckets are contiguous runs of the
+    (hash, id) order, so a doc's global token start = (token total of
+    earlier shards, from a 32-row broadcast offsets table) + its
+    running sum INSIDE its shard. The per-shard window holds at most
+    ~corpus/n_shards rows; the offsets pass is a map-combinable sum.
+    The result is bit-identical for any n_shards (unit-pinned), so the
+    single global-window formulation remains the oracle's spelling
+    while the engine never materializes the corpus on one task.
+    ``pack_sequences_sharded`` is the variant that namespaces ids per
+    shard and skips the offsets pass entirely.
     """
     from pyspark.sql import Window
 
-    h = portable_hash(id_col, salt).alias("_h")
+    h = portable_hash(id_col, salt)
+    staged = docs.select(
+        F.col(id_col), F.col(n_tokens_col), h.alias("_h")
+    ).withColumn("_shard", contiguous_shard(F.col("_h"), n_shards))
     w = (
-        Window.orderBy("_h", id_col)
+        Window.partitionBy("_shard")
+        .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = (F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)).alias("_start")
-    out = docs.select(F.col(id_col), F.col(n_tokens_col), h).select(
-        id_col, n_tokens_col, start
+    local_start = F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)
+    offsets = _shard_offsets(staged, F.col(n_tokens_col), n_shards)
+    laid = (
+        staged.withColumn("_lstart", local_start)
+        .join(F.broadcast(offsets), "_shard")
+        .withColumn("_start", (F.col("_off") + F.col("_lstart")).cast("long"))
     )
-    return out.select(
+    return laid.select(
         id_col,
         F.col(n_tokens_col).cast("long").alias("n_tokens"),
-        (F.col("_start") / budget).cast("long").alias("seq_id"),
+        F.expr(f"_start DIV {int(budget)}").alias("seq_id"),
         F.pmod(F.col("_start"), F.lit(budget)).cast("long").alias("seq_offset"),
     )
 

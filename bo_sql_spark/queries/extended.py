@@ -341,18 +341,42 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTL_ACC = 10_000_000  # >> any test-SF row count => GK sketch is EXACT
+
+
 @register(
     "percentile_approx",
-    oracle=None,  # approximate quantile sketch, engine-specific
-    doc="approx_percentile via QuantileSummaries sketch — mergeable "
-    "across partitions, O(1) memory at any scale. Rows-only check.",
+    oracle="""
+    WITH s AS (
+        SELECT l_extendedprice AS x,
+               row_number() OVER (ORDER BY l_extendedprice) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM lineitem
+    )
+    SELECT max(CASE WHEN rnk = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+                    THEN x END) AS p50,
+           max(CASE WHEN rnk = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT))
+                    THEN x END) AS p95
+    FROM s
+    """,
+    doc="approx_percentile via the GK QuantileSummaries sketch — "
+    "mergeable across partitions, O(accuracy) memory at any scale. "
+    "Registered with accuracy >> n so the sketch DEGENERATES to the "
+    "exact discrete percentile (it keeps every sample; targetError "
+    "= n/accuracy < 0.5 pins the query to rank ceil(q*n), measured "
+    "identical at sf0.001/0.01/0.1) and the oracle can replay the "
+    "selection as an explicit rank pick. With accuracy <= n the "
+    "returned element is sketch-specific and no cross-engine oracle "
+    "exists (that regime is what approx_count_distinct documents). "
+    "At 100 TB use the default accuracy=10000: bounded-memory "
+    "mergeable summaries are the point of the operator.",
     tags=("extended", "aggregate", "approx"),
 )
 def percentile_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return t["lineitem"].agg(
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.95).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.5, _PCTL_ACC).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, _PCTL_ACC).alias("p95"),
     )
 
 

@@ -129,20 +129,19 @@ _SHUF_SALT = 5
            doc_id
     FROM documents
     """,
-    doc="Reproducible global shuffle: ORDER BY hash(id) — Spark "
-    "executes it as a range-partitioned sort (sampled bounds => "
-    "near-equal output files), and the same salt reproduces the exact "
-    "permutation anywhere. Emitted as (pos, doc_id) so the oracle "
-    "checks the PERMUTATION itself, not just the membership.",
+    doc="Reproducible global shuffle with materialized positions: the "
+    "permutation is ORDER BY hash(id), and pos comes from per-shard "
+    "row_numbers plus broadcast shard offsets (contiguous hash-range "
+    "shards — operators/sampling.py:deterministic_shuffle_positions), "
+    "NOT a single-task global window: no task ever holds more than "
+    "~corpus/32. Emitted as (pos, doc_id) so the oracle checks the "
+    "PERMUTATION itself, not just the membership.",
     tags=("pipeline", "training", "sampling"),
 )
 def shuffle_deterministic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     t = _t(spark, sf_dir)
-    w = Window.orderBy(SA.portable_hash("doc_id", _SHUF_SALT), F.col("doc_id"))
-    return t["documents"].select(
-        F.row_number().over(w).cast("long").alias("pos"), "doc_id"
+    return SA.deterministic_shuffle_positions(
+        t["documents"], "doc_id", salt=_SHUF_SALT
     )
 
 
@@ -314,9 +313,10 @@ _PACK_SALT = 9
     doc="Concat-and-chunk sequence packing at a 2048-token budget: "
     "shuffle docs deterministically, lay tokens end-to-end, cut every "
     "2048 — the zero-padding packing LLM pretraining uses (docs "
-    "straddle boundaries by design). One sort + one running-sum "
-    "window; at 100 TB partition the window by a deterministic shard "
-    "of the hash so no task holds the corpus.",
+    "straddle boundaries by design). The GLOBAL layout (the oracle's "
+    "single running-sum window) executes as 32 contiguous hash-range "
+    "shard windows + a broadcast shard-offset table — bit-identical "
+    "output, no single-task window (sampling.py:pack_sequences).",
     tags=("pipeline", "training"),
 )
 def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:

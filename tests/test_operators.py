@@ -1253,3 +1253,52 @@ def test_knn_clusters_pull_planted_copies_together(spark, sf_dir):
     for v, c in by.items():
         if v < 100000 and v % 7 != 0:
             assert c == v  # untouched vectors stay singletons
+
+
+def test_sharded_positions_match_global_order_any_shard_count(spark):
+    """deterministic_shuffle_positions: contiguous hash-range shards +
+    broadcast offsets must reproduce the exact global (hash, id) order
+    positions for ANY n_shards (1 shard == the naive global window),
+    1-based and gap-free."""
+    from bo_sql_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    ref = [
+        r["doc_id"]
+        for r in SA.deterministic_shuffle(df, "doc_id", salt=5).collect()
+    ]
+    for n_shards in (1, 3, 32):
+        got = SA.deterministic_shuffle_positions(
+            df, "doc_id", salt=5, n_shards=n_shards
+        ).collect()
+        assert sorted(r["pos"] for r in got) == list(range(1, 501))
+        by_pos = [r["doc_id"] for r in sorted(got, key=lambda r: r["pos"])]
+        assert by_pos == ref, n_shards
+
+
+def test_pack_sequences_global_layout_shard_invariant(spark):
+    """pack_sequences computes the GLOBAL concat-and-chunk layout; the
+    sharded execution must be bit-identical for any n_shards, and the
+    layout must be gapless (starts = running sum of n_tokens)."""
+    from bo_sql_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 23) for i in range(300)], "doc_id long, nt long"
+    )
+    outs = []
+    for n_shards in (1, 4, 32):
+        rows = sorted(
+            SA.pack_sequences(
+                df, "doc_id", "nt", budget=64, salt=9, n_shards=n_shards
+            ).collect(),
+            key=lambda r: (r["seq_id"], r["seq_offset"]),
+        )
+        outs.append([tuple(r) for r in rows])
+    assert outs[0] == outs[1] == outs[2]
+    # gapless: global starts are consecutive running sums
+    starts = [r[2] * 64 + r[3] for r in outs[0]]
+    sizes = [r[1] for r in outs[0]]
+    acc = 0
+    for s, n in zip(starts, sizes):
+        assert s == acc
+        acc += n

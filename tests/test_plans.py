@@ -183,6 +183,26 @@ def test_packing_window_is_partitioned(spark, sf_dir, name):
     assert "windowspecdefinition(shard" in text, text
 
 
+@pytest.mark.parametrize(
+    "name", ["shuffle_deterministic_order", "pack_sequences_2048"]
+)
+def test_global_order_ops_use_contiguous_shard_windows(spark, sf_dir, name):
+    """The global-position emitters (shuffle positions, global packing)
+    must decompose their window over contiguous hash-range shards: the
+    DATA window partitions by _shard, the offsets table broadcasts, and
+    the only no-partition window runs over the per-shard aggregate
+    (n_shards rows, constant)."""
+    from tools_plan_lint import global_windows
+
+    df = _df(spark, sf_dir, name)
+    text = explain_str(df, "extended")
+    assert "windowspecdefinition(_shard" in text, text
+    assert "BroadcastHashJoin" in text, text
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every global window in the plan sits above an aggregate
+    assert all(agg_below for _, agg_below in global_windows(plan)), plan
+
+
 def test_tfidf_topk_plan(spark, sf_dir):
     """tf-idf: vocabulary-grain df must broadcast back onto tf (no
     sort-merge join of two exploded sides) and the per-doc top-3 must
@@ -350,3 +370,34 @@ def test_knn_graph_trims_below_shuffle_no_cartesian(spark, sf_dir):
     text = explain_str(df, "simple")
     assert "WindowGroupLimit" in text, text
     assert "CartesianProduct" not in text, text
+
+
+def test_plan_lint_catches_unpartitioned_window(spark):
+    """Seeded regression for the lint rule: a raw global window over
+    non-aggregated data must FLAG; a partitioned window and a global
+    window over an aggregate (bounded input) must not."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tools_plan_lint import lint_plan
+
+    df = spark.range(1000).withColumn("g", F.col("id") % 5)
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    flags = lint_plan(plan(bad))
+    assert any("no-partition Window" in f for f in flags), flags
+
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert lint_plan(plan(good)) == []
+
+    post_agg = (
+        df.groupBy("g")
+        .agg(F.sum("id").alias("s"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("g")))
+    )
+    assert lint_plan(plan(post_agg)) == []

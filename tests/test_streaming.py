@@ -284,3 +284,24 @@ def test_semantic_stream_ingest_retry_is_idempotent(spark, tmp_path):
     store_rows = spark.read.parquet(store).select("vec_id").collect()
     sids = [r["vec_id"] for r in store_rows]
     assert len(sids) == len(set(sids)) == 45
+
+
+def test_hadoop_ls_lists_store_through_fs_api(spark, tmp_path):
+    """Store discovery must go through the Hadoop FileSystem API so
+    non-local stores (hdfs://, s3a://) list correctly: verify it sees
+    batch-scoped dirs both as a bare posix path and as an explicit
+    file:// URI, and returns [] for a missing store."""
+    from bo_sql_spark.operators.dedup import _hadoop_ls
+
+    store = tmp_path / "store"
+    (store / "ingest_batch=0").mkdir(parents=True)
+    (store / "ingest_batch=1").mkdir()
+    (store / "_SUCCESS").write_text("")
+
+    for root in (str(store), f"file://{store}"):
+        names = sorted(name for name, _ in _hadoop_ls(spark, root))
+        assert names == ["_SUCCESS", "ingest_batch=0", "ingest_batch=1"], root
+        paths = dict(_hadoop_ls(spark, root))
+        # full paths must be readable URIs/paths for spark.read
+        assert paths["ingest_batch=1"].endswith("ingest_batch=1")
+    assert _hadoop_ls(spark, str(tmp_path / "missing")) == []
