@@ -935,52 +935,52 @@ def winnow_fingerprints(
     bit-for-bit to any engine with md5 (DuckDB oracle included),
     unlike xxhash64. Ties in the sliding min break by position
     (struct-min over (h, pos)), so selection is deterministic.
-    """
-    from pyspark.sql.window import Window
 
+    The whole winnow — window hashing AND sliding min — runs as ONE
+    per-doc array expression (a doc's position array fits in its row):
+    hash array via transform(sequence(...)), window minima via
+    array_min over W-slices, winners deduped with array_distinct
+    INSIDE the doc's own array. No explode of position rows, no
+    repartition, no aggregate, no WindowExec: the operator is a pure
+    codegen map and the corpus text never shuffles at all — only the
+    ~2/(w+1)-sampled fingerprint rows exist after the explode.
+    (The earlier per-position WindowExec form sorted every position
+    row per doc; a block-decomposed two-pass variant was tried and
+    measured SLOWER than the window — ObjectHashAggregate
+    collect_list + per-block array allocation swamped the saved
+    comparisons. This map form wins because it deletes the machinery,
+    not just the sort.) Memory: transient O(len(text)) structs per
+    row — fine for KB..MB documents; truly huge blobs should chunk
+    upstream first.
+    """
     from bo_sql_spark.functions import normalize_text
 
     L, W = int(span_len), int(winnow_w)
-    d = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(id_col, normalize_text(F.col(text_col)).alias("_norm"))
-        .repartition(F.col(id_col))
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, normalize_text(F.col(text_col)).alias("_norm")
     )
     nw = F.greatest(F.length("_norm") - L + 1, F.lit(1))
-    w = d.select(
-        id_col,
-        nw.alias("n_windows"),
-        F.explode(F.sequence(F.lit(1), nw)).alias("pos"),
-        "_norm",
-    ).select(
-        id_col,
-        "n_windows",
-        "pos",
-        F.conv(
-            F.substring(F.md5(F.col("_norm").substr(F.col("pos"), F.lit(L))), 1, 15),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+    # per-position (h, pos) structs, then the sliding min over each
+    # kept start's W-slice; ties break by pos via struct order (h, pos)
+    hashes = (
+        f"transform(sequence(1, greatest(length(_norm) - {L} + 1, 1)),"
+        f" p -> struct(CAST(conv(substring(md5(substring(_norm, p, {L})),"
+        f" 1, 15), 16, 10) AS BIGINT) AS h, p AS pos))"
     )
-    frame = (
-        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, W - 1)
+    winners = F.expr(
+        f"""array_distinct(transform(
+            sequence(1, greatest(size(_hs) - {W} + 1, 1)),
+            i -> array_min(slice(_hs, i, {W}))))"""
     )
     return (
-        w.withColumn("_m", F.min(F.struct("h", "pos")).over(frame))
-        .filter(F.col("pos") <= F.greatest(F.col("n_windows") - W + 1, F.lit(1)))
+        d.select(id_col, nw.alias("n_windows"), F.expr(hashes).alias("_hs"))
+        .select(id_col, "n_windows", F.explode(winners).alias("_m"))
         .select(
             id_col,
             "n_windows",
             F.col("_m.pos").alias("pos"),
             F.col("_m.h").alias("h"),
         )
-        # same pos can win several overlapping winnow windows; (id,pos)
-        # determines h so this is deterministic — and it rides the
-        # existing hashpartitioning(id) with NO extra exchange
-        # (partition-local aggregate; pinned in tests/test_plans.py)
-        .dropDuplicates([id_col, "pos"])
     )
 
 

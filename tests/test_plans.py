@@ -322,27 +322,27 @@ def test_fixed_k_sample_trims_below_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in text, text
 
 
-def test_winnowed_spans_shuffles_docs_once_then_fingerprints(spark, sf_dir):
-    """The production span-dedup plan: exactly ONE doc-granular
-    repartition (1x corpus) feeds the per-position explode, the
-    sliding min + per-doc dedup ride that partitioning with no further
-    exchange (the per-position rows NEVER shuffle), and only sampled
-    fingerprint rows shuffle again (by h for the cross-doc window
-    flag, by doc_id for the stats). No join anywhere — the dup flag is
-    a window min/max, so the corpus pipeline executes ONCE (the
-    joined-back dup-set form re-executed it per consumer, 3.2x slower
-    at 10x)."""
+def test_winnowed_spans_never_shuffle_text(spark, sf_dir):
+    """The production span-dedup plan: the winnow itself is a PURE MAP
+    (per-doc array expression — no repartition, no WindowExec, no
+    aggregate before fingerprints), so corpus text appears in ZERO
+    exchanges; only the ~2/(w+1)-sampled fingerprint rows shuffle
+    (by h for the cross-doc window flag, by doc_id for the stats). No
+    join anywhere — the dup flag is a window min/max, so the corpus
+    pipeline executes ONCE (the joined-back dup-set form re-executed
+    it per consumer, 3.2x slower at 10x)."""
     df = _df(spark, sf_dir, "dedup_duplicate_spans_winnowed")
     text = explain_str(df, "simple")
-    # the only shuffles: docs by doc_id (REPARTITION_BY_COL) and
-    # fingerprints by h / doc_id — never a shuffle keyed by pos
     import re
 
     parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", text)
     assert parts, text
-    assert all("pos" not in p for p in parts), parts
+    # fingerprint-row shuffles only: keyed by h / doc_id, never by pos,
+    # and the text / _norm column never enters an exchange
+    assert all("pos" not in p and "norm" not in p and "text" not in p for p in parts), parts
     keyed = {p.split("#")[0].strip() for p in parts}
     assert keyed <= {"doc_id", "h"}, parts
+    assert "REPARTITION_BY_COL" not in text, text  # winnow is map-only
     assert "Join" not in text, text  # single pipeline execution
     # one FileScan: the dup-set join form scanned the corpus twice
     assert text.count("Scan parquet") == 1, text
