@@ -855,7 +855,18 @@ def semantic_dedup_stream_ingest(
             and int(name.split("=", 1)[1]) < batch_id
         ]
     if prior_dirs:
-        corpus_assigned = spark.read.parquet(*prior_dirs)
+        # basePath is REQUIRED once two+ batch-scoped dirs exist: each
+        # holds its own cell=... partition tree and without a declared
+        # common root Spark's partition discovery raises
+        # CONFLICTING_DIRECTORY_STRUCTURES (first reachable at batch 2
+        # — a >= 3-batch drain is unit-pinned). With basePath, both
+        # ingest_batch and cell come back as partition columns; the
+        # batch scoping is bookkeeping, not data, so drop it.
+        corpus_assigned = (
+            spark.read.option("basePath", store_path)
+            .parquet(*prior_dirs)
+            .drop("ingest_batch")
+        )
         surv = semantic_dedup_incremental(
             corpus_assigned,
             batch,

@@ -156,10 +156,15 @@ def test_events_stream_empty_dir_falls_back_to_raw_schema(spark, tmp_path):
 
 
 def test_semantic_stream_ingest_multibatch_equals_batch(spark, tmp_path):
-    """Two microbatches (ids in arrival order, the second containing
+    """FOUR microbatches (ids in arrival order; the last containing
     near-copies of first-batch vectors) must drain to exactly the
     survivor set of ONE batch SemDeDup over all rows — store
-    precedence across batches == min-id-wins globally."""
+    precedence across batches == min-id-wins globally. Four batches
+    matter: from batch 2 on, the store read spans MULTIPLE
+    ingest_batch dirs, each with its own cell=... partition tree —
+    the read needs an explicit basePath or Spark raises
+    CONFLICTING_DIRECTORY_STRUCTURES (regression found by the r8
+    batch-count sweep; a 2-batch drain never reads 2+ dirs)."""
     import os
     import time
 
@@ -175,25 +180,24 @@ def test_semantic_stream_ingest_multibatch_equals_batch(spark, tmp_path):
     all_vecs = [
         (i, [float(x) for x in rng.standard_normal(16)]) for i in range(120)
     ]
-    first = all_vecs[:60]
-    # second batch: fresh vectors + near-copies of batch-1 vectors
-    second = all_vecs[60:] + [
-        (1000 + i, [x * 1.0002 for x in v]) for i, v in first[:10]
-    ]
+    first = all_vecs[:30]
+    batches = [first, all_vecs[30:60], all_vecs[60:90]]
+    # last batch: fresh vectors + near-copies of batch-1 vectors
+    batches.append(
+        all_vecs[90:] + [(1000 + i, [x * 1.0002 for x in v]) for i, v in first[:10]]
+    )
     schema = "vec_id long, embedding array<double>"
     land = str(tmp_path / "land")
     os.makedirs(land)
-    spark.createDataFrame(first, schema).coalesce(1).write.parquet(
-        str(tmp_path / "f1")
-    )
-    spark.createDataFrame(second, schema).coalesce(1).write.parquet(
-        str(tmp_path / "f2")
-    )
+    for j, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"f{j}")
+        )
     import glob
     import shutil
 
-    for j, src in enumerate(("f1", "f2")):
-        part = glob.glob(str(tmp_path / src / "part-*.parquet"))[0]
+    for j in range(len(batches)):
+        part = glob.glob(str(tmp_path / f"f{j}" / "part-*.parquet"))[0]
         dst = os.path.join(land, f"batch{j}.parquet")
         shutil.copy(part, dst)
         os.utime(dst, (time.time() + j * 10, time.time() + j * 10))
@@ -233,7 +237,9 @@ def test_semantic_stream_ingest_multibatch_equals_batch(spark, tmp_path):
         (r["vec_id"], r["cell"])
         for r in spark.read.parquet(surv_path).collect()
     }
-    everything = spark.createDataFrame(first + second, schema)
+    everything = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
     batch = {
         (r["vec_id"], r["cell"])
         for r in semantic_dedup(everything, cents_df, threshold=0.95).collect()
