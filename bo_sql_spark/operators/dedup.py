@@ -1046,3 +1046,65 @@ def duplicate_span_stats_winnowed(
             F.col("first_dup_pos").cast("long"),
         )
     )
+
+
+def dedup_lines_global(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """C4-style global line-level dedup (Raffel et al. 2020: C4 drops
+    any three-sentence span that occurs more than once in the corpus;
+    Penedo et al. 2023 RefinedWeb does it per line): every document is
+    cut into fixed ``chunk_tokens``-token chunks (the fixture corpus
+    has no sentence/line boundaries, so fixed chunks stand in for
+    them), and each distinct chunk KEEPS only its first occurrence in
+    corpus order (min (doc_id, chunk_no)) — boilerplate repeated
+    across pages (headers, footers, license blocks) disappears from
+    every copy but the first. Emits per doc: n_chunks, n_kept, and the
+    kept text reassembled in chunk order (what the cleaned corpus
+    ships).
+
+    Scale shape: chunk rows shuffle ONCE keyed by the chunk text (the
+    first-occurrence window), survivors shuffle back by doc for the
+    ordered rebuild — ~2x corpus bytes total, the standard cost of
+    this step (unlike intra-doc dedup there is no broadcastable side:
+    the dup set IS corpus-sized). The keep rule is a row_number over
+    (chunk)(doc, pos) — deterministic, engine-portable, no hashing
+    needed since the chunk text itself is the key both engines group
+    on. Singleton chunks (almost all) pass the window untouched;
+    viral chunks concentrate in one task each — bounded by corpus
+    frequency of ONE chunk, the same hot-key profile as the LSH
+    band buckets (salt the same way if a chunk goes truly viral).
+    """
+    from pyspark.sql.window import Window
+
+    from bo_sql_spark.functions import tokens
+
+    K = int(chunk_tokens)
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, tokens(F.col(text_col)).alias("_tok")
+    )
+    chunks = d.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(_tok) - 1) DIV {K}),"
+                f" c -> struct(c AS c, array_join(slice(_tok, c * {K} + 1, {K}), ' ') AS chunk))"
+            )
+        ).alias("_e"),
+    ).select(id_col, F.col("_e.c").alias("c"), F.col("_e.chunk").alias("chunk"))
+    w = Window.partitionBy("chunk").orderBy(id_col, "c")
+    flagged = chunks.withColumn("_keep", F.row_number().over(w) == 1)
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN _keep THEN struct(c, chunk) END)), x -> x.chunk), ' ')"
+            ),
+            F.lit(""),
+        ).alias("text_kept"),
+    )

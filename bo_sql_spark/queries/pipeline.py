@@ -342,6 +342,126 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINES_K = 8
+
+
+@register(
+    "dedup_lines_global",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents WHERE text IS NOT NULL
+    ), chunks AS (
+        SELECT doc_id,
+               unnest(range((len(tok) - 1) // {_LINES_K} + 1)) AS c,
+               tok
+        FROM toks
+    ), cut AS (
+        SELECT doc_id, c,
+               array_to_string(tok[c * {_LINES_K} + 1 : c * {_LINES_K} + {_LINES_K}], ' ') AS chunk
+        FROM chunks
+    ), flagged AS (
+        SELECT doc_id, c, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, c) = 1 AS keep
+        FROM cut
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY c), '') AS text_kept
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="C4-style GLOBAL line-level dedup (operators/dedup.py:"
+    "dedup_lines_global; Raffel et al. 2020 drop any thrice-sentence "
+    "span occurring >1x in the corpus, RefinedWeb does it per line): "
+    "docs cut into fixed 8-token chunks (the fixture has no "
+    "sentence/line boundaries), each distinct chunk keeps only its "
+    "first corpus occurrence (min (doc_id, pos)), docs reassembled "
+    "from survivors — cross-page boilerplate disappears from every "
+    "copy but the first. Chunk rows shuffle once keyed by the chunk "
+    "text (no broadcastable side exists: the dup set is corpus-sized) "
+    "+ once back by doc for the ordered rebuild — ~2x corpus, the "
+    "standard cost of this step. The oracle replays chunking, the "
+    "first-occurrence window, and the rebuild verbatim.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_lines_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return D.dedup_lines_global(t["documents"], chunk_tokens=_LINES_K)
+
+
+_LEAK_SPLIT_SALT = 7
+_LEAK_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _leak_h() -> str:
+    from bo_sql_spark.operators.sampling import portable_hash_sql
+
+    return portable_hash_sql("cluster_id", _LEAK_SPLIT_SALT)
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.4
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        ) SELECT * FROM r
+    ), canon AS (
+        SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+    ), assigned AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(canon.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+        LEFT JOIN canon ON d.doc_id = canon.node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_leak_h()} < {int(0.8 * 1_000_000_007)} THEN 'train'
+                WHEN {_leak_h()} < {int(0.9 * 1_000_000_007)} THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: assignment hashes the "
+    "near-dup CLUSTER id (dedup_clusters' connected components), not "
+    "the doc id, so every member of a duplicate cluster lands in the "
+    "same split — the standard guard against near-duplicate train/test "
+    "leakage (the hash_split docstring's promised composition, now "
+    "graded end-to-end). Singletons hash their own id; the oracle "
+    "replays components via a recursive CTE and the identical portable "
+    "integer mix on cluster_id.",
+    tags=("pipeline", "dedup", "training", "sampling", "iterative"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import sampling as SA
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 150).select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    canon = D.connected_components(pairs)
+    assigned = docs.join(canon, docs.doc_id == canon.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return SA.hash_split(
+        assigned, "cluster_id", _LEAK_W, salt=_LEAK_SPLIT_SALT
+    ).select("doc_id", "cluster_id", "split")
+
+
 # -------------------------------------------------------- similarity
 @register(
     "similarity_topk",

@@ -1302,3 +1302,47 @@ def test_pack_sequences_global_layout_shard_invariant(spark):
     for s, n in zip(starts, sizes):
         assert s == acc
         acc += n
+
+
+def test_dedup_lines_global_removes_boilerplate_keeps_first(spark):
+    """C4-style global chunk dedup: a boilerplate chunk shared by many
+    docs survives ONLY in the lowest (doc_id, pos) occurrence; unique
+    content is untouched; a doc of pure boilerplate empties out."""
+    boiler = "one two three four five six seven eight"  # exactly K=8 tokens
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + " unique2 text2 here2 now2 more2 words2 fill2 pad2"),
+        (3, boiler),  # pure boilerplate, later doc -> fully removed
+        (4, "totally distinct content with eight different words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in D.dedup_lines_global(docs, chunk_tokens=8).collect()
+    }
+    assert got[1]["n_chunks"] == 2 and got[1]["n_kept"] == 2  # first owner
+    assert got[1]["text_kept"] == rows[0][1]
+    assert got[2]["n_kept"] == 1  # boiler chunk stripped
+    assert got[2]["text_kept"] == "unique2 text2 here2 now2 more2 words2 fill2 pad2"
+    assert got[3]["n_kept"] == 0 and got[3]["text_kept"] == ""
+    assert got[4]["n_kept"] == 1 and got[4]["text_kept"] == rows[3][1]
+
+
+def test_split_leakage_safe_clusters_share_split(spark, sf_dir):
+    """Every member of a near-dup cluster must land in the SAME split
+    (the whole point of hashing the cluster id, not the doc id)."""
+    from bo_sql_spark.queries import load_all
+
+    rows = load_all()["split_leakage_safe"].builder(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    multi = 0
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    for cid, splits in by_cluster.items():
+        assert len(splits) == 1, (cid, splits)
+    multi = sum(
+        1
+        for cid in by_cluster
+        if sum(1 for r in rows if r["cluster_id"] == cid) > 1
+    )
+    assert multi > 0  # the fixture really has multi-doc clusters
