@@ -4053,6 +4053,63 @@ def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_sql() -> str:
+    from bo_sql_spark.operators.layout import zorder_code_sql
+
+    return zorder_code_sql("l_partkey % 1024", "l_suppkey % 1024", bits=10)
+
+
+@register(
+    "zorder_locality",
+    oracle=f"""
+    WITH coded AS (
+        SELECT {_zorder_sql()} AS z,
+               CAST(l_partkey % 1024 AS BIGINT) AS x,
+               CAST(l_suppkey % 1024 AS BIGINT) AS y
+        FROM lineitem
+    )
+    SELECT CAST(z >> 12 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+           CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+    FROM coded GROUP BY bucket
+    """,
+    doc="Z-order (Morton) layout code (operators/layout.py:zorder_code "
+    "— the OPTIMIZE ZORDER BY primitive of lakehouse engines): "
+    "interleave the bits of two bucketed keys so that sorting by the "
+    "code clusters BOTH dimensions at once. The query groups lineitem "
+    "by the code's top 8 bits (= the row groups a z-sorted write "
+    "would produce) and emits each bucket's (x, y) spans: every "
+    "bucket is a rectangle of at most 64x64 in key space — the "
+    "locality that lets min/max row-group stats skip on EITHER "
+    "predicate column, proven with real parquet footers in "
+    "tests/test_layout.py and measured in SCALE.md. Pure BIGINT "
+    "shifts/masks, replayed verbatim by the oracle.",
+    tags=("pipeline", "layout"),
+)
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.layout import zorder_code
+
+    li = _t(spark, sf_dir)["lineitem"]
+    z = zorder_code(
+        F.pmod(F.col("l_partkey"), F.lit(1024)),
+        F.pmod(F.col("l_suppkey"), F.lit(1024)),
+        bits=10,
+    )
+    coded = li.select(
+        z.alias("z"),
+        F.pmod(F.col("l_partkey"), F.lit(1024)).cast("long").alias("x"),
+        F.pmod(F.col("l_suppkey"), F.lit(1024)).cast("long").alias("y"),
+    )
+    return coded.groupBy(
+        F.shiftright(F.col("z"), 12).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("x") - F.min("x")).cast("long").alias("x_span"),
+        (F.max("y") - F.min("y")).cast("long").alias("y_span"),
+    )
+
+
 @register(
     "similarity_ivfsq_served",
     oracle="""
