@@ -137,3 +137,121 @@ def recount_candidates(
         .filter(F.col("cnt") * ratio_denom >= F.col("_total"))
         .select(key_col, F.col("cnt").cast("long").alias("cnt"))
     )
+
+
+# --------------------------------------------------- Count-Min sketch
+def count_min_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a key
+    column's frequencies: a (depth x width) counter grid where row r
+    increments bucket h_r(key). Returns the grid as (r, bucket, cnt)
+    rows — depth*width rows total, independent of corpus size.
+
+    The 100 TB properties: building it is ONE map-combinable groupBy
+    over (r, bucket) int pairs (every partition pre-aggregates its own
+    grid, the shuffle carries at most depth*width rows per task), and
+    two grids MERGE by cell-wise addition — the sketch of a union is
+    the sum of the sketches, so per-day / per-shard grids roll up for
+    free. Memory is O(depth*width) regardless of distinct keys — the
+    regime where exact groupBy(key) would shuffle a corpus-sized key
+    space.
+
+    Unlike the HLL/GK sketches, the CM grid is fully DETERMINISTIC
+    given the hash family: h_r(key) = first 15 hex digits of
+    md5('<r>:'||key) mod width — bit-portable to any engine with md5,
+    so the DuckDB oracle replays the ENTIRE grid, not a rows-only
+    check. (Estimates from the grid are approximate; the grid itself
+    is exact.)"""
+    rows = F.array(*[F.lit(r) for r in range(int(depth))])
+    keyed = df.select(F.col(key_col).cast("string").alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    return (
+        keyed.select(
+            F.explode(rows).alias("r"),
+            "_k",
+        )
+        .select(
+            "r",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("_k"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(width)),
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("r").cast("long"),
+            F.col("bucket").cast("long"),
+            F.col("cnt").cast("long"),
+        )
+    )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+) -> DataFrame:
+    """Point-query the CM sketch for the corpus's ``top_k`` most
+    frequent keys and emit (key, exact, cm_estimate): estimate =
+    min over rows r of grid[r][h_r(key)], which can only OVERCOUNT
+    (collisions add, never subtract) — `cm_estimate >= exact` is the
+    CMS guarantee, asserted by the oracle for every emitted row.
+    The probe join is a broadcast of top_k*depth cells onto the
+    depth*width grid."""
+    grid = count_min_table(df, key_col, depth, width)
+    exact = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), F.col("key"))
+        .limit(int(top_k))
+    )
+    probes = exact.select(
+        "key",
+        "exact",
+        F.explode(F.array(*[F.lit(r) for r in range(int(depth))])).alias("r"),
+    ).select(
+        "key",
+        "exact",
+        "r",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("key"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(width)),
+        ).alias("bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(grid, ["r", "bucket"])
+        .groupBy("key", "exact")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "key",
+            F.col("exact").cast("long"),
+            F.col("cm_estimate").cast("long"),
+        )
+    )

@@ -4053,6 +4053,165 @@ def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_D, _CM_W, _CM_TOPK = 4, 256, 20
+_CM_TOK = (
+    "SELECT unnest(string_split(trim(regexp_replace(lower(text), "
+    "'\\s+', ' ', 'g')), ' ')) AS k FROM documents WHERE text IS NOT NULL"
+)
+_CM_BUCKET = (
+    "CAST(CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15))"
+    f" AS BIGINT) % {_CM_W} AS BIGINT)"
+)
+
+
+@register(
+    "sketch_count_min_grid",
+    oracle=f"""
+    WITH tok AS ({_CM_TOK}),
+    cells AS (
+        SELECT r, {_CM_BUCKET} AS bucket
+        FROM tok CROSS JOIN (SELECT unnest(range({_CM_D})) AS r) rr
+    )
+    SELECT CAST(r AS BIGINT) AS r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY r, bucket
+    """,
+    doc="Count-Min sketch grid (operators/heavy_hitters.py:"
+    "count_min_table; Cormode & Muthukrishnan 2005) over the corpus "
+    "token stream: a 4x256 counter grid — O(d*w) memory regardless of "
+    "distinct-key count, built by ONE map-combinable groupBy over "
+    "(r, bucket) int pairs (each partition pre-aggregates its own "
+    "grid; the shuffle carries <= d*w rows per task), and grids MERGE "
+    "by cellwise addition (sketch of a union == sum of sketches — the "
+    "per-shard rollup story). Unlike HLL/GK this sketch is fully "
+    "DETERMINISTIC given its hash family (md5-prefix mod w, "
+    "bit-portable), so the oracle replays the ENTIRE grid. Completes "
+    "the sketch suite: MG heavy hitters (exact-recount), GK quantiles, "
+    "HLL NDV, CM frequencies.",
+    tags=("pipeline", "sketch", "aggregate"),
+)
+def sketch_count_min_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import tokens
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("k"))
+    return HH.count_min_table(toks, "k", depth=_CM_D, width=_CM_W)
+
+
+@register(
+    "sketch_count_min_estimates",
+    oracle=f"""
+    WITH tok AS ({_CM_TOK}),
+    exact AS (
+        SELECT k AS key, CAST(COUNT(*) AS BIGINT) AS exact
+        FROM tok GROUP BY k ORDER BY exact DESC, key LIMIT {_CM_TOPK}
+    ),
+    cells AS (
+        SELECT r, {_CM_BUCKET} AS bucket
+        FROM tok CROSS JOIN (SELECT unnest(range({_CM_D})) AS r) rr
+    ),
+    grid AS (
+        SELECT r, bucket, COUNT(*) AS cnt FROM cells GROUP BY r, bucket
+    ),
+    probes AS (
+        SELECT key, exact, r,
+               CAST(CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || key), 1, 15))
+                    AS BIGINT) % {_CM_W} AS BIGINT) AS bucket
+        FROM exact CROSS JOIN (SELECT unnest(range({_CM_D})) AS r) rr
+    )
+    SELECT key, exact, CAST(MIN(cnt) AS BIGINT) AS cm_estimate
+    FROM probes JOIN grid USING (r, bucket)
+    GROUP BY key, exact
+    """,
+    doc="Count-Min point queries vs ground truth: the corpus's top-20 "
+    "tokens probed against the 4x256 grid — estimate = min over rows "
+    "of grid[r][h_r(key)], which can only OVERCOUNT (collisions add, "
+    "never subtract), so cm_estimate >= exact row-for-row is the CMS "
+    "guarantee and the oracle checks the estimates exactly (the grid "
+    "is deterministic; only its ERROR is probabilistic). Probe side "
+    "is 80 broadcast cells onto the 1024-row grid.",
+    tags=("pipeline", "sketch", "aggregate"),
+)
+def sketch_count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import tokens
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("k"))
+    return HH.count_min_estimates(
+        toks, "k", depth=_CM_D, width=_CM_W, top_k=_CM_TOPK
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+    ), new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+        FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ) GROUP BY status
+    """,
+    doc="Corpus snapshot diff — the dataset-versioning primitive every "
+    "recurring crawl/training-data refresh needs: FULL OUTER join of "
+    "two snapshot id sets on doc_id comparing content hashes -> "
+    "added / removed / changed / unchanged with per-status counts and "
+    "id ranges. Content comparison is md5 over the text, so megabyte "
+    "docs join as fixed-width rows; the join shuffles each snapshot "
+    "once by id (or rides for free if both snapshots are bucketed by "
+    "id — sources/bucketed.py). Fixture snapshots: old = doc_id%10!=0, "
+    "new = doc_id%7!=0 with every doc_id%5==0 text edited.",
+    tags=("pipeline", "dedup"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
 def _zorder_sql() -> str:
     from bo_sql_spark.operators.layout import zorder_code_sql
 

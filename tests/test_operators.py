@@ -1346,3 +1346,59 @@ def test_split_leakage_safe_clusters_share_split(spark, sf_dir):
         if sum(1 for r in rows if r["cluster_id"] == cid) > 1
     )
     assert multi > 0  # the fixture really has multi-doc clusters
+
+
+def test_count_min_grid_merges_and_overcounts_only(spark):
+    """CMS invariants: (a) the grid is layout-independent (1 vs 8
+    partitions), (b) sketch of a union == cellwise sum of sketches,
+    (c) point estimates can only OVERCOUNT the exact frequency."""
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    a = spark.createDataFrame(rows[:1500], "k string")
+    b = spark.createDataFrame(rows[1500:], "k string")
+    both = spark.createDataFrame(rows, "k string")
+
+    def grid_map(df, parts):
+        g = HH.count_min_table(df.repartition(parts), "k", depth=4, width=64)
+        return {(r["r"], r["bucket"]): r["cnt"] for r in g.collect()}
+
+    assert grid_map(both, 1) == grid_map(both, 8)  # layout-independent
+    ga, gb, gu = grid_map(a, 4), grid_map(b, 4), grid_map(both, 4)
+    summed: dict = {}
+    for g in (ga, gb):
+        for cell, c in g.items():
+            summed[cell] = summed.get(cell, 0) + c
+    assert summed == gu  # mergeable: union == cellwise sum
+
+    est = HH.count_min_estimates(both, "k", depth=4, width=64, top_k=10)
+    for r in est.collect():
+        assert r["cm_estimate"] >= r["exact"], r
+    hot = {r["key"]: r for r in est.collect()}["hot"]
+    assert hot["exact"] == 500
+
+
+def test_corpus_snapshot_diff_statuses(spark, sf_dir):
+    """Planted snapshot rules must classify exactly: removed = old-only
+    (id%7==0 minus id%10==0), added = new-only, changed = shared ids
+    with id%5==0 (text edited in the new snapshot)."""
+    from bo_sql_spark.queries import load_all
+
+    docs = load_all()["corpus_snapshot_diff"].builder(spark, sf_dir)
+    got = {r["status"]: r["n_docs"] for r in docs.collect()}
+    import duckdb
+
+    ids = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        .fetchall()
+    ]
+    old = {i for i in ids if i % 10 != 0}
+    new = {i for i in ids if i % 7 != 0}
+    assert got.get("removed", 0) == len(old - new)
+    assert got.get("added", 0) == len(new - old)
+    assert got.get("changed", 0) == sum(1 for i in old & new if i % 5 == 0)
+    assert got.get("unchanged", 0) == sum(1 for i in old & new if i % 5 != 0)
