@@ -948,21 +948,27 @@ def winnow_fingerprints(
     (struct-min over (h, pos)), so selection is deterministic.
 
     The whole winnow — window hashing AND sliding min — runs as ONE
-    per-doc array expression (a doc's position array fits in its row):
-    hash array via transform(sequence(...)), window minima via
-    array_min over W-slices, winners deduped with array_distinct
-    INSIDE the doc's own array. No explode of position rows, no
-    repartition, no aggregate, no WindowExec: the operator is a pure
-    codegen map and the corpus text never shuffles at all — only the
+    per-doc array-expression chain (a doc's position array fits in its
+    row): hash array via transform(sequence(...)), window minima via a
+    SPARSE-TABLE DOUBLING chain (m_k[i] = least(m_{k-1}[i],
+    m_{k-1}[i + 2^{k-1}]), log2(W) transform passes, two lookups per
+    element — no per-window slice allocation; the final level folds
+    into the winners transform as least(m_L[i], m_L[i + W - 2^L])),
+    winners deduped with array_distinct INSIDE the doc's own array.
+    try_element_at past the array end yields NULL and least() skips
+    NULLs, which reproduces the truncated trailing windows of the old
+    rowsBetween(0, W-1) frame exactly. No explode of position rows,
+    no repartition, no aggregate, no WindowExec: the operator is a
+    pure map and the corpus text never shuffles at all — only the
     ~2/(w+1)-sampled fingerprint rows exist after the explode.
-    (The earlier per-position WindowExec form sorted every position
-    row per doc; a block-decomposed two-pass variant was tried and
-    measured SLOWER than the window — ObjectHashAggregate
-    collect_list + per-block array allocation swamped the saved
-    comparisons. This map form wins because it deletes the machinery,
-    not just the sort.) Memory: transient O(len(text)) structs per
-    row — fine for KB..MB documents; truly huge blobs should chunk
-    upstream first.
+    (Measured at sf0.1: per-window array_min(slice(...)) 4.9s,
+    doubling 4.0s fingerprints-only — HOF lambdas are interpreted, so
+    lambda-invocation count, not comparison count, is the cost; the
+    earlier per-position WindowExec form was faster at 1x but sorts
+    and shuffles the whole corpus — see SCALE.md. A block-decomposed
+    collect_list variant measured slower than both.) Memory:
+    transient O(len(text)) structs per row — fine for KB..MB
+    documents; truly huge blobs should chunk upstream first.
     """
     from bo_sql_spark.functions import normalize_text
 
@@ -971,21 +977,35 @@ def winnow_fingerprints(
         id_col, normalize_text(F.col(text_col)).alias("_norm")
     )
     nw = F.greatest(F.length("_norm") - L + 1, F.lit(1))
-    # per-position (h, pos) structs, then the sliding min over each
-    # kept start's W-slice; ties break by pos via struct order (h, pos)
+    # per-position (h, pos) structs; ties break by pos via struct order
     hashes = (
         f"transform(sequence(1, greatest(length(_norm) - {L} + 1, 1)),"
         f" p -> struct(CAST(conv(substring(md5(substring(_norm, p, {L})),"
         f" 1, 15), 16, 10) AS BIGINT) AS h, p AS pos))"
     )
+    staged = d.select(id_col, nw.alias("n_windows"), F.expr(hashes).alias("m0"))
+    # doubling levels until two span-sized ranges cover a W-window
+    # (2*span >= W); m_k[i] = min over [i, i+2^k-1]
+    level, span = 0, 1
+    while span * 2 < W:
+        staged = staged.withColumn(
+            f"m{level + 1}",
+            F.expr(
+                f"transform(sequence(1, size(m0)), i ->"
+                f" least(try_element_at(m{level}, i),"
+                f" try_element_at(m{level}, i + {span})))"
+            ),
+        )
+        level += 1
+        span *= 2
     winners = F.expr(
         f"""array_distinct(transform(
-            sequence(1, greatest(size(_hs) - {W} + 1, 1)),
-            i -> array_min(slice(_hs, i, {W}))))"""
+            sequence(1, greatest(size(m0) - {W} + 1, 1)),
+            i -> least(try_element_at(m{level}, i),
+                       try_element_at(m{level}, i + {W - span}))))"""
     )
     return (
-        d.select(id_col, nw.alias("n_windows"), F.expr(hashes).alias("_hs"))
-        .select(id_col, "n_windows", F.explode(winners).alias("_m"))
+        staged.select(id_col, "n_windows", F.explode(winners).alias("_m"))
         .select(
             id_col,
             "n_windows",
