@@ -4144,6 +4144,71 @@ def sketch_count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_count_min",
+    oracle=f"""
+    WITH tok AS ({_CM_TOK}),
+    cells AS (
+        SELECT r, {_CM_BUCKET} AS bucket
+        FROM tok CROSS JOIN (SELECT unnest(range({_CM_D})) AS r) rr
+    )
+    SELECT CAST(r AS BIGINT) AS r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY r, bucket
+    """,
+    doc="STREAMING Count-Min (foreachBatch): each microbatch's 4x256 "
+    "grid appends to a store and the drained store SUMS cellwise into "
+    "the corpus grid — byte-identical to the batch sketch "
+    "(sketch_count_min_grid's oracle verbatim), because sketch of a "
+    "union == sum of sketches. That mergeability is the whole "
+    "operational story: per-microbatch (or per-day, per-shard) grids "
+    "of d*w BIGINTs roll up with a groupBy, so frequency monitoring "
+    "over an unbounded stream costs O(d*w) state and zero rescans — "
+    "the streaming member of the sketch family beside "
+    "stream_heavy_hitters' sketch-then-exact-recount shape.",
+    tags=("pipeline", "streaming", "sketch"),
+)
+def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.functions import tokens
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    docs = _t(spark, sf_dir)["documents"]
+    root = tempfile.mkdtemp(prefix="bosql_cm_stream_")
+    store = os.path.join(root, "grids")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        toks = batch_df.filter(F.col("text").isNotNull()).select(
+            F.explode(tokens(F.col("text"))).alias("k")
+        )
+        HH.count_min_table(toks, "k", depth=_CM_D, width=_CM_W).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(store)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+@register(
     "corpus_snapshot_diff",
     oracle="""
     WITH old AS (

@@ -810,3 +810,116 @@ def test_fp_sqrt_rate_threshold_agrees(ctx, n_min, n, halves):
     got = spark.sql(sql).first()["t"]
     want = con.execute(sql).fetchone()[0]
     assert got == want, (n_min, n, halves, got, want)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**10 - 1),
+            st.integers(min_value=0, max_value=2**10 - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    bits=st.integers(min_value=1, max_value=16),
+)
+def test_zorder_code_agrees_across_engines(ctx, pts, bits):
+    """Family 7 — the Morton interleave: Spark's shiftleft/shiftright
+    column chain and the SQL text the zorder_locality oracle embeds
+    must agree bit-for-bit for any (x, y) and any bits<=16, and match
+    a direct Python bit-interleave reference."""
+    import duckdb
+
+    from bo_sql_spark.operators.layout import zorder_code, zorder_code_sql
+
+    spark, _ = ctx
+    mask = (1 << bits) - 1
+    df = spark.createDataFrame([(x, y) for x, y in pts], "x long, y long")
+    got = [
+        r["z"]
+        for r in df.select(zorder_code("x", "y", bits=bits).alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    con = duckdb.connect()
+    expr = zorder_code_sql("x", "y", bits=bits)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} FROM (SELECT unnest(?) AS x, unnest(?) AS y)",
+            [[p[0] for p in pts], [p[1] for p in pts]],
+        ).fetchall()
+    )
+    assert got == want
+
+    def py_z(x, y):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == sorted(py_z(x & mask, y & mask) for x, y in pts)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abc:0 _")), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    width=st.sampled_from([16, 64, 256, 1024]),
+)
+def test_count_min_bucket_hash_agrees_across_engines(ctx, keys, width):
+    """Family 8 — the CM sketch's bucket hash (md5-prefix BIGINT mod
+    width, keyed '<r>:<key>'): Spark's conv() chain and the DuckDB
+    '0x'||substr cast the oracle uses must place every (r, key) in the
+    same bucket — including keys containing the ':' separator itself."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    spark, _ = ctx
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    rows = df.select(
+        "k",
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(r)), F.col("k"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            ).alias(f"b{r}")
+            for r in range(4)
+        ],
+    ).collect()
+    got = {(r["k"], i): r[f"b{i}"] for r in rows for i in range(4)}
+    con = duckdb.connect()
+    want = {}
+    for r in range(4):
+        for k, b in con.execute(
+            "SELECT k, CAST(CAST(('0x' || substr(md5(CAST(? AS VARCHAR) || ':' || k), 1, 15))"
+            f" AS BIGINT) % {width} AS BIGINT) FROM (SELECT unnest(?) AS k)",
+            [r, keys],
+        ).fetchall():
+            want[(k, r)] = b
+    # duplicate keys collapse in dicts identically on both sides
+    assert {(k, r): v for (k, r), v in got.items()} == want
