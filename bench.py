@@ -64,6 +64,8 @@ PIPELINE = [
     "training_pipeline_e2e",
     "text_bpe_train",
     "text_heavy_hitters",
+    "dedup_lines_global",
+    "sketch_count_min_grid",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.

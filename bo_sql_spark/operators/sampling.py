@@ -373,3 +373,74 @@ def temperature_mix_sample(
     return df.join(F.broadcast(thr), strata_col).filter(
         h2 < F.col("_thr")
     ).drop("_thr")
+
+
+def epoch_upsample_budget(
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Epoch-aware UPSAMPLING to a token budget: small sources REPEAT
+    (epoch 0, 1, 2, ...) until each source has contributed ``budget``
+    tokens — the data-repetition recipe for high-quality/low-volume
+    sources (Muennighoff et al. 2023 quantify how many epochs repeated
+    data stays worth training on; the mixing step needs the repetition
+    made explicit). Emits (source, epoch, doc_id, n_tokens,
+    cum_tokens): docs cycle in deterministic hash order, epoch after
+    epoch, and the first doc that crosses the budget line is the last
+    one in (same gap-free cut rule as take_token_budget, which is the
+    single-epoch downsampling sibling).
+
+    In-engine and deterministic end to end: per-source token totals
+    (tiny map-combinable agg) broadcast back to compute each source's
+    epoch count ceil(budget / total); epochs materialize as an
+    explode over sequence(0, n_epochs-1) — the corpus scans ONCE and
+    only rows that can reach the budget line replicate. The running
+    cut is one window partitioned by source ordered by (epoch, hash,
+    id). A source with more tokens than the budget never replicates
+    (n_epochs = 1) and degenerates to take_token_budget exactly.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash(id_col, salt)
+    totals = df.groupBy(part_col).agg(
+        F.sum(F.col(n_tokens_col).cast("long")).alias("_tot")
+    )
+    epochs = totals.select(
+        part_col,
+        F.expr(f"CAST(({int(budget)} + _tot - 1) DIV _tot AS INT)").alias(
+            "_n_epochs"
+        ),
+    )
+    staged = (
+        df.join(F.broadcast(epochs), part_col)
+        .select(
+            part_col,
+            F.col(id_col),
+            F.col(n_tokens_col).cast("long").alias("_nt"),
+            h.alias("_h"),
+            F.explode(F.sequence(F.lit(0), F.col("_n_epochs") - 1)).alias(
+                "epoch"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("epoch", "_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("_nt").over(w)
+    return (
+        staged.withColumn("cum_tokens", cum.cast("long"))
+        .filter((F.col("cum_tokens") - F.col("_nt")) < budget)
+        .select(
+            part_col,
+            F.col("epoch").cast("long"),
+            id_col,
+            F.col("_nt").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )

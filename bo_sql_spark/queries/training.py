@@ -378,6 +378,62 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_BUDGET = 1000
+_EPOCH_SALT = 17
+
+
+@register(
+    "mixture_epoch_upsample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), tot AS (
+        SELECT source, SUM(n_tokens) AS tot FROM toks GROUP BY source
+    ), ep AS (
+        SELECT source, CAST(({_EPOCH_BUDGET} + tot - 1) // tot AS INT) AS n_epochs FROM tot
+    ), staged AS (
+        SELECT t.source, t.doc_id, t.n_tokens,
+               unnest(range(e.n_epochs)) AS epoch,
+               {portable_hash_sql('t.doc_id', _EPOCH_SALT)} AS h
+        FROM toks t JOIN ep e USING (source)
+    ), laid AS (
+        SELECT source, epoch, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY epoch, h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM staged
+    )
+    SELECT source, CAST(epoch AS BIGINT) AS epoch, doc_id, n_tokens,
+           cum AS cum_tokens
+    FROM laid WHERE cum - n_tokens < {_EPOCH_BUDGET}
+    """,
+    doc="Epoch-aware UPSAMPLING to a per-source token budget "
+    "(operators/sampling.py:epoch_upsample_budget; Muennighoff et al. "
+    "2023's data-repetition regime made explicit): small sources "
+    "REPEAT — epoch 0, 1, 2, ... in deterministic hash order — until "
+    "each source contributes 1000 tokens, with the same gap-free "
+    "first-crossing cut as mixture_token_budget (its single-epoch "
+    "downsampling sibling). Epoch counts ceil(budget/total) come from "
+    "a tiny broadcast agg; the corpus scans once and only "
+    "budget-reachable rows replicate; the cut is one window "
+    "partitioned by source. Oracle replays totals, epoch explode, "
+    "and the running cut verbatim.",
+    tags=("pipeline", "training", "sampling"),
+)
+def mixture_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import tokens
+
+    docs = _t(spark, sf_dir)["documents"].select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return SA.epoch_upsample_budget(
+        docs, "source", "doc_id", "n_toks",
+        budget=_EPOCH_BUDGET, salt=_EPOCH_SALT,
+    )
+
+
 _QW_SALT = 23
 
 

@@ -1402,3 +1402,29 @@ def test_corpus_snapshot_diff_statuses(spark, sf_dir):
     assert got.get("added", 0) == len(new - old)
     assert got.get("changed", 0) == sum(1 for i in old & new if i % 5 == 0)
     assert got.get("unchanged", 0) == sum(1 for i in old & new if i % 5 != 0)
+
+
+def test_epoch_upsample_budget_repeats_small_sources(spark):
+    """A tiny source must repeat across epochs until its budget is
+    hit; a big source must get exactly one (trimmed) epoch; the cut is
+    gap-free (first crossing doc included, nothing after)."""
+    from bo_sql_spark.operators.sampling import epoch_upsample_budget
+
+    rows = [("small", i, 10) for i in range(3)] + [
+        ("big", 100 + i, 50) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, nt long")
+    out = epoch_upsample_budget(df, "source", "doc_id", "nt", budget=100, salt=1)
+    got = out.collect()
+    small = sorted(
+        (r["epoch"], r["doc_id"]) for r in got if r["source"] == "small"
+    )
+    # 3 docs x 10 tokens = 30/epoch; budget 100 -> epochs 0..3, cut in 3
+    assert {e for e, _ in small} == {0, 1, 2, 3}
+    assert sum(1 for e, _ in small if e < 3) == 9  # full epochs complete
+    big = [r for r in got if r["source"] == "big"]
+    assert {r["epoch"] for r in big} == {0}
+    assert len(big) == 2  # 50+50 crosses 100 at the second doc
+    for src in ("small", "big"):
+        cums = sorted(r["cum_tokens"] for r in got if r["source"] == src)
+        assert cums[-1] >= 100  # budget actually reached
