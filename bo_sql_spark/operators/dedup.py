@@ -977,35 +977,83 @@ def winnow_fingerprints(
         id_col, normalize_text(F.col(text_col)).alias("_norm")
     )
     nw = F.greatest(F.length("_norm") - L + 1, F.lit(1))
-    # per-position (h, pos) structs; ties break by pos via struct order
-    hashes = (
-        f"transform(sequence(1, greatest(length(_norm) - {L} + 1, 1)),"
-        f" p -> struct(CAST(conv(substring(md5(substring(_norm, p, {L})),"
-        f" 1, 15), 16, 10) AS BIGINT) AS h, p AS pos))"
+    # per-position (h, pos) structs; ties break by pos via struct
+    # order. TWO window-text strategies, chosen per ROW by doc length
+    # (CASE is lazy — only the taken branch evaluates):
+    # - short docs: substring(_norm, p, L). UTF8String.substring
+    #   scans from the string start to find the p-th codepoint, so
+    #   per-position hashing is O(n^2) in doc length — fine under a
+    #   few KB (and ~20% faster than the array form there: no char
+    #   array, no per-window join), catastrophic beyond it (92s of a
+    #   200KB doc's 110s wall, measured).
+    # - long docs: slice() over a char ARRAY (split once, O(1)
+    #   element access, let-bound so it materializes once per row)
+    #   + array_join + md5 => O(n*L) total; the 200KB stress doc
+    #   drops to ~2s.
+    hash_struct = (
+        "struct(CAST(conv(substring(md5({win}), 1, 15), 16, 10)"
+        " AS BIGINT) AS h, p AS pos)"
     )
-    staged = d.select(id_col, nw.alias("n_windows"), F.expr(hashes).alias("m0"))
+    seq = f"sequence(1, greatest(length(_norm) - {L} + 1, 1))"
+    hashes_sub = (
+        f"transform({seq}, p -> "
+        + hash_struct.format(win=f"substring(_norm, p, {L})")
+        + ")"
+    )
+    hashes_arr = (
+        f"element_at(transform(array(split(_norm, '')), cs ->"
+        f" transform({seq}, p -> "
+        + hash_struct.format(win=f"array_join(slice(cs, p, {L}), '')")
+        + ")), 1)"
+    )
+    hashes = (
+        f"CASE WHEN length(_norm) < 4096 THEN {hashes_sub}"
+        f" ELSE {hashes_arr} END"
+    )
     # doubling levels until two span-sized ranges cover a W-window
-    # (2*span >= W); m_k[i] = min over [i, i+2^k-1]
+    # (2*span >= W); level k holds m_k[i] = min over [i, i+2^k-1].
+    # Two long-doc pitfalls are engineered around here, both found by
+    # the 200KB stress test (tests/test_operators.py):
+    # 1. Every intermediate array is bound as a LAMBDA VALUE — the
+    #    aggregate() accumulator for the levels, and array-wrap
+    #    `transform(array(X), v -> ...)` let-bindings for the final
+    #    level and the winner array — never as a projected column
+    #    referenced inside a later lambda, where inlining would
+    #    recompute the whole lower array per element (O(n^2)).
+    # 2. Winner dedup is RUN-LENGTH (keep i=1 or winner != previous),
+    #    not array_distinct: a winner's validity interval [pos-W+1,
+    #    pos] is contiguous so runs ARE the global duplicates, and
+    #    array_distinct on struct arrays is brute-force O(n^2) in
+    #    Spark (the 200KB doc took ~5 min through it; seconds now).
     level, span = 0, 1
     while span * 2 < W:
-        staged = staged.withColumn(
-            f"m{level + 1}",
-            F.expr(
-                f"transform(sequence(1, size(m0)), i ->"
-                f" least(try_element_at(m{level}, i),"
-                f" try_element_at(m{level}, i + {span})))"
-            ),
-        )
         level += 1
         span *= 2
+    fold = (
+        f"aggregate(sequence(1, {level}), {hashes},"
+        " (acc, k) -> transform(sequence(1, size(acc)),"
+        " i -> least(try_element_at(acc, i),"
+        " try_element_at(acc, i + shiftleft(1, k - 1)))))"
+        if level > 0
+        else hashes
+    )
     winners = F.expr(
-        f"""array_distinct(transform(
-            sequence(1, greatest(size(m0) - {W} + 1, 1)),
-            i -> least(try_element_at(m{level}, i),
-                       try_element_at(m{level}, i + {W - span}))))"""
+        f"""element_at(transform(array({fold}), mL ->
+            element_at(transform(array(
+                transform(sequence(1, greatest(size(mL) - {W} + 1, 1)),
+                          i -> least(try_element_at(mL, i),
+                                     try_element_at(mL, i + {W - span})))
+              ), wa ->
+                filter(transform(sequence(1, size(wa)), i ->
+                    CASE WHEN i = 1 THEN element_at(wa, i)
+                         WHEN NOT (element_at(wa, i) = element_at(wa, i - 1))
+                         THEN element_at(wa, i) END),
+                  x -> x IS NOT NULL)
+            ), 1)
+        ), 1)"""
     )
     return (
-        staged.select(id_col, "n_windows", F.explode(winners).alias("_m"))
+        d.select(id_col, nw.alias("n_windows"), F.explode(winners).alias("_m"))
         .select(
             id_col,
             "n_windows",

@@ -1428,3 +1428,38 @@ def test_epoch_upsample_budget_repeats_small_sources(spark):
     for src in ("small", "big"):
         cums = sorted(r["cum_tokens"] for r in got if r["source"] == src)
         assert cums[-1] >= 100  # budget actually reached
+
+
+def test_winnow_long_document_stress(spark):
+    """The pure-map winnow holds per-row arrays of O(len) structs; the
+    docstring promises KB..MB documents are fine — pin it: a 200KB doc
+    (plus small controls) winnows without failure, at the expected
+    2/(w+1) density, and every fingerprint is a real window hash."""
+    import hashlib
+
+    base = "the quick brown fox jumps over the lazy dog "
+    long_text = (base * 4546)[:200_000]
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "short doc two"), (3, base)],
+        "doc_id long, text string",
+    )
+    out = D.winnow_fingerprints(docs).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_windows = 200_000 - 40 + 1
+    dens = len(by_doc[1]) / n_windows
+    # periodic text drives density below the 2/(w+1) random-text
+    # expectation (repeated windows share winners); bound loosely
+    assert 0.001 < dens < 0.3, dens
+    # spot-check: each selected fingerprint is the real md5-prefix of
+    # its window
+    norm = " ".join(long_text.lower().split())
+    for r in by_doc[1][:5]:
+        want = int(
+            hashlib.md5(norm[r["pos"] - 1 : r["pos"] - 1 + 40].encode()).hexdigest()[
+                :15
+            ],
+            16,
+        )
+        assert r["h"] == want, (r["pos"], r["h"], want)
