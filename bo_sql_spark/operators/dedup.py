@@ -913,6 +913,39 @@ def _hadoop_ls(spark, path: str) -> list[tuple[str, str]]:
     ]
 
 
+def adaptive_window_hashes(L: int, hash_struct_fmt: str) -> str:
+    """SQL expression: array of per-position window hashes over a
+    ``_norm`` string column — ``hash_struct_fmt`` is formatted with
+    ``{win}`` = the L-char window text at 1-based position p.
+
+    TWO window-text strategies, chosen per ROW by doc length (CASE is
+    lazy — only the taken branch evaluates):
+    - short docs: substring(_norm, p, L). UTF8String.substring scans
+      from the string start to find the p-th codepoint, so
+      per-position hashing is O(n^2) in doc length — fine under a few
+      KB (and ~20% faster than the array form there: no char array,
+      no per-window join), catastrophic beyond it (92s of a 200KB
+      doc's 110s wall, measured).
+    - long docs: slice() over a char ARRAY (split once, O(1) element
+      access, let-bound via the array-wrap idiom so it materializes
+      once per row) + array_join => O(n*L) total; the 200KB stress
+      doc drops to ~2s.
+    Shared by the winnowed sampler and the exact stride-1 twin."""
+    seq = f"sequence(1, greatest(length(_norm) - {L} + 1, 1))"
+    sub = (
+        f"transform({seq}, p -> "
+        + hash_struct_fmt.format(win=f"substring(_norm, p, {L})")
+        + ")"
+    )
+    arr = (
+        f"element_at(transform(array(split(_norm, '')), cs ->"
+        f" transform({seq}, p -> "
+        + hash_struct_fmt.format(win=f"array_join(slice(cs, p, {L}), '')")
+        + ")), 1)"
+    )
+    return f"CASE WHEN length(_norm) < 4096 THEN {sub} ELSE {arr} END"
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -954,7 +987,10 @@ def winnow_fingerprints(
     m_{k-1}[i + 2^{k-1}]), log2(W) transform passes, two lookups per
     element — no per-window slice allocation; the final level folds
     into the winners transform as least(m_L[i], m_L[i + W - 2^L])),
-    winners deduped with array_distinct INSIDE the doc's own array.
+    winners deduped by RUN-LENGTH inside the doc's own array (a
+    winner's validity interval is contiguous, so adjacent-run dedup
+    IS global dedup — and array_distinct on struct arrays is
+    brute-force O(n^2) in Spark, measured ~5min on one 200KB doc).
     try_element_at past the array end yields NULL and least() skips
     NULLs, which reproduces the truncated trailing windows of the old
     rowsBetween(0, W-1) frame exactly. No explode of position rows,
@@ -978,37 +1014,12 @@ def winnow_fingerprints(
     )
     nw = F.greatest(F.length("_norm") - L + 1, F.lit(1))
     # per-position (h, pos) structs; ties break by pos via struct
-    # order. TWO window-text strategies, chosen per ROW by doc length
-    # (CASE is lazy — only the taken branch evaluates):
-    # - short docs: substring(_norm, p, L). UTF8String.substring
-    #   scans from the string start to find the p-th codepoint, so
-    #   per-position hashing is O(n^2) in doc length — fine under a
-    #   few KB (and ~20% faster than the array form there: no char
-    #   array, no per-window join), catastrophic beyond it (92s of a
-    #   200KB doc's 110s wall, measured).
-    # - long docs: slice() over a char ARRAY (split once, O(1)
-    #   element access, let-bound so it materializes once per row)
-    #   + array_join + md5 => O(n*L) total; the 200KB stress doc
-    #   drops to ~2s.
-    hash_struct = (
+    # order; length-adaptive window extraction (see
+    # adaptive_window_hashes for the substring O(n^2) trap)
+    hashes = adaptive_window_hashes(
+        L,
         "struct(CAST(conv(substring(md5({win}), 1, 15), 16, 10)"
-        " AS BIGINT) AS h, p AS pos)"
-    )
-    seq = f"sequence(1, greatest(length(_norm) - {L} + 1, 1))"
-    hashes_sub = (
-        f"transform({seq}, p -> "
-        + hash_struct.format(win=f"substring(_norm, p, {L})")
-        + ")"
-    )
-    hashes_arr = (
-        f"element_at(transform(array(split(_norm, '')), cs ->"
-        f" transform({seq}, p -> "
-        + hash_struct.format(win=f"array_join(slice(cs, p, {L}), '')")
-        + ")), 1)"
-    )
-    hashes = (
-        f"CASE WHEN length(_norm) < 4096 THEN {hashes_sub}"
-        f" ELSE {hashes_arr} END"
+        " AS BIGINT) AS h, p AS pos)",
     )
     # doubling levels until two span-sized ranges cover a W-window
     # (2*span >= W); level k holds m_k[i] = min over [i, i+2^k-1].

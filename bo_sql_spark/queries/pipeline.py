@@ -4863,18 +4863,19 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's GREATEST ignores NULLs (row would survive) — a measured
     # cross-engine divergence this filter removes from the equation.
     d = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", normalize_text(F.col("text")).alias("norm")
+        "doc_id", normalize_text(F.col("text")).alias("_norm")
     )
+    # length-adaptive in-array window hashing shared with the winnowed
+    # sampler (operators/dedup.py:adaptive_window_hashes): substring's
+    # per-call codepoint scan makes per-position hashing O(n^2) on
+    # long docs; h stays the FULL md5 string the oracle replays
     w = d.select(
         "doc_id",
         F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.length("norm") - L + 1, F.lit(1))
-            )
-        ).alias("pos"),
-        "norm",
+            F.expr(D.adaptive_window_hashes(L, "struct({win} AS w, p AS pos)"))
+        ).alias("_m"),
     ).select(
-        "doc_id", "pos", F.md5(F.col("norm").substr(F.col("pos"), F.lit(L))).alias("h")
+        "doc_id", F.col("_m.pos").alias("pos"), F.md5(F.col("_m.w")).alias("h")
     )
     # cross-doc flag = min(doc) != max(doc) over an h-window (==
     # COUNT(DISTINCT doc) > 1), not a dup-set aggregate joined back:
