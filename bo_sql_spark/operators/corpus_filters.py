@@ -194,24 +194,42 @@ def chunk_documents(
     packing primitive): starts at 1, 1+stride, ... while <= length;
     the final chunk may be shorter. NULL/empty documents yield no
     chunks. Explode fans out ~len/stride rows per doc — inherent to
-    chunking; everything stays codegen (sequence + substring)."""
+    chunking. Chunks are cut IN-ARRAY before the explode with the
+    length-adaptive extraction (operators/dedup.py:
+    adaptive_window_hashes rationale): substring(_text, start, size)
+    per exploded row re-scans the string from the start (O(n^2) on
+    long docs) AND carries the whole text into every chunk row;
+    the in-array form carries only each chunk's own bytes."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
     text = F.col(text_col)
-    starts = F.when(
-        F.length(text) > 0,
-        F.sequence(F.lit(1), F.length(text), F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
+    starts = f"sequence(1, length(_text), {int(stride)})"
+    cut_sub = (
+        f"transform({starts}, s -> struct(s AS start,"
+        f" substring(_text, s, {int(size)}) AS txt))"
+    )
+    cut_arr = (
+        f"element_at(transform(array(split(_text, '')), cs ->"
+        f" transform({starts}, s -> struct(s AS start,"
+        f" array_join(slice(cs, s, {int(size)}), '') AS txt))), 1)"
+    )
+    chunks = (
+        f"CASE WHEN _text IS NULL OR length(_text) = 0"
+        f" THEN CAST(array() AS array<struct<start:int,txt:string>>)"
+        f" WHEN length(_text) < 4096 THEN {cut_sub}"
+        f" ELSE {cut_arr} END"
+    )
     out = docs.select(
         F.col(id_col),
         text.alias("_text"),
-        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    ).select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("chunk_idx", "_c"),
     )
-    chunk = F.substring(F.col("_text"), F.col("chunk_start"), size)
     return out.select(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.col("chunk_start").cast("long").alias("chunk_start"),
-        chunk.alias("chunk_text"),
-        F.length(chunk).cast("long").alias("chunk_len"),
+        F.col("_c.start").cast("long").alias("chunk_start"),
+        F.col("_c.txt").alias("chunk_text"),
+        F.length("_c.txt").cast("long").alias("chunk_len"),
     )

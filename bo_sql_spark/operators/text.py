@@ -120,22 +120,24 @@ def fingerprint(
 ) -> DataFrame:
     """Winnowing-style fingerprint: min/max md5 over all ``window``-char
     substrings of the normalized text (two extremes of the hash set —
-    a compact, shift-tolerant signature). Sub-doc parallel via explode."""
+    a compact, shift-tolerant signature). A pure per-doc map: the
+    window hashes build in-array (length-adaptive extraction — see
+    operators/dedup.py:adaptive_window_hashes for the substring
+    O(n^2)-on-long-docs trap) and min/max are array reductions over
+    the let-bound hash array; no explode, no aggregate, no shuffle."""
+    from bo_sql_spark.operators.dedup import adaptive_window_hashes
+
     norm = normalize_text(F.col(text_col))
-    base = docs.select(F.col(id_col), norm.alias("norm"))
-    positions = base.select(
-        id_col,
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("norm") - window + 1, F.lit(1)))
-        ).alias("pos"),
-        "norm",
+    base = docs.select(F.col(id_col), norm.alias("_norm"))
+    hashes = adaptive_window_hashes(window, "md5({win})")
+    # inline(array(struct)) expands both fields from ONE evaluation of
+    # the hash array (two field references could inline the whole
+    # expression twice per row)
+    fp = (
+        f"inline(array(element_at(transform(array({hashes}), hs ->"
+        f" struct(array_min(hs) AS fp_min, array_max(hs) AS fp_max)), 1)))"
     )
-    hashed = positions.select(
-        id_col, F.md5(F.col("norm").substr(F.col("pos"), F.lit(window))).alias("h")
-    )
-    return hashed.groupBy(id_col).agg(
-        F.min("h").alias("fp_min"), F.max("h").alias("fp_max")
-    )
+    return base.select(id_col, F.expr(fp))
 
 
 # Fixed literal weights for the quality classifier stub: a real run
