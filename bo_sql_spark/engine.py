@@ -12,7 +12,9 @@ Reference surface parity (reference src/cli/main.cpp):
                                 logical tree; we print Catalyst's plan,
                                 which is the honest equivalent). MODE is
                                 COST (statistics-annotated) | EXTENDED |
-                                CODEGEN | SIMPLE | FORMATTED (default)
+                                CODEGEN | SIMPLE | FORMATTED (default) |
+                                ANALYZE (execute; show the FINAL AQE
+                                plan + rows + wall time)
   SET FORMAT markdown|csv    -> output format          (main.cpp:245-264)
   EXIT / QUIT                -> leave REPL
 
@@ -41,7 +43,7 @@ _SET_FORMAT_RE = re.compile(
     r"^\s*SET\s+FORMAT\s+(markdown|csv)\s*;?\s*$", re.IGNORECASE
 )
 _EXPLAIN_RE = re.compile(
-    r"^\s*EXPLAIN(?:\s+(COST|EXTENDED|CODEGEN|FORMATTED|SIMPLE))?\s+(.*)$",
+    r"^\s*EXPLAIN(?:\s+(COST|EXTENDED|CODEGEN|FORMATTED|SIMPLE|ANALYZE))?\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -82,11 +84,34 @@ class Engine:
         with Catalyst's statistics (sizeInBytes, rowCount when ANALYZE
         or AQE has them), so plan-size regressions are visible from the
         same REPL verb reference users know (main.cpp:209-228)."""
+        if mode == "analyze":
+            return self.explain_analyze(query)
         return self.sql(query)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 mode
             )
         )
+
+    def explain_analyze(self, query: str) -> str:
+        """EXPLAIN ANALYZE: EXECUTE the query, then print the plan that
+        actually ran — with AQE this is the FINAL plan
+        (isFinalPlan=true: runtime-chosen join strategies, coalesced
+        partitions, skew splits), which the un-executed EXPLAIN can
+        only guess at — plus the row count and wall time. The
+        DuckDB/Postgres REPL verb, absent in the reference (its
+        EXPLAIN prints the pre-execution logical tree only)."""
+        import time
+
+        df = self.sql(query)
+        t0 = time.perf_counter()
+        n = len(df.collect())
+        wall_ms = (time.perf_counter() - t0) * 1000
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        return f"{plan}\nrows: {n}\nwall: {wall_ms:.1f} ms"
 
     def format_result(self, df: DataFrame) -> str:
         return FORMATTERS[self.output_format](df)

@@ -152,3 +152,14 @@ def test_stdin_empty_does_not_register(spark, monkeypatch, capsys):
     rc = main(["--sql", "SHOW TABLES"])
     assert rc == 0
     assert "table" not in capsys.readouterr().out.splitlines()
+
+
+def test_explain_analyze_executes_and_reports(engine):
+    out = engine.execute(
+        "EXPLAIN ANALYZE SELECT l_returnflag, COUNT(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    # executed => AQE finalized the plan and runtime stats are real
+    assert "isFinalPlan=true" in out, out
+    assert "rows: 3" in out, out
+    assert "wall:" in out and "ms" in out, out
