@@ -55,6 +55,10 @@ run_test "stdin CSV pipe" \
 run_test "stdin CSV aggregate" \
   "cat $TEST_CSV | $ENGINE --sql 'SELECT COUNT(*) AS n FROM table' --output-format csv 2>/dev/null" "^3$"
 
+# 10: EXPLAIN ANALYZE executes and reports the final AQE plan + stats
+run_test "EXPLAIN ANALYZE" \
+  "$ENGINE $TEST_CSV --sql 'EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM table' 2>/dev/null" "rows: 1"
+
 rm -f "$TEST_CSV"
 echo "smoke: $pass passed, $fail failed"
 [ "$fail" -eq 0 ]
