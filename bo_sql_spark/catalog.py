@@ -57,6 +57,43 @@ def _purge_stopped_sessions() -> None:
             del _registered[s]
 
 
+def _ship_package_to_workers(spark: SparkSession) -> None:
+    """Make ``bo_sql_spark`` importable on Python WORKERS regardless of
+    how the driver found it. mapInPandas/pandas_udf closures reference
+    module-level functions (WAV/PNG codecs, MG summaries); cloudpickle
+    serializes those BY REFERENCE, so the worker must `import
+    bo_sql_spark...` itself — and workers inherit neither the driver's
+    sys.path edits nor post-JVM-start os.environ changes (the JVM
+    captured its env at launch). addPyFile is the mechanism that works
+    everywhere (local threads, real executors): zip the package once
+    per session and ship it; workers prepend the zip to their
+    sys.path. ~100KB, once."""
+    if getattr(spark, "_bosql_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import bo_sql_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(bo_sql_spark.__file__))
+    fd, zpath = tempfile.mkstemp(prefix="bo_sql_spark_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "bo_sql_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._bosql_pkg_shipped = True
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every parquet table in ``sf_dir`` as a temp view.
 
@@ -70,6 +107,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cached = _registered.get(spark)
     if cached is not None and cached[0] == sf_dir:
         return cached[1]
+    _ship_package_to_workers(spark)
     # events.parquet uses TIMESTAMP(NANOS), unrepresentable in Spark; read
     # the raw int64 nanos (runtime conf — the caller's session may not have
     # it, e.g. the driver's own plain SparkSession) and fix up below.

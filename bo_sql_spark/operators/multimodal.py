@@ -361,6 +361,51 @@ def decode_wav_stats(
     return media_df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
 
 
+WAV_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("n", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def decode_wav_energy_windows(
+    media_df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Distributed WAV decode -> fixed-size energy windows: the
+    voice-activity-detection / segmentation plumbing of an audio
+    pipeline (real VAD swaps the energy rule for a model; the
+    decode -> window -> score -> threshold dataflow is identical).
+    Emits one row per ``window``-sample frame: (doc_id, win_idx, n,
+    energy = sum(|s|) BIGINT, peak = max(|s|)); the final frame may be
+    ragged. Arrow-batched mapInPandas over the binary column — the
+    sanctioned Python boundary — with integer outputs so any engine
+    can replay the arithmetic from the deterministic fixture
+    waveform."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "win_idx", "n", "energy", "peak")}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                _, samples = wav_decode_pcm16(blob)
+                for w in range(0, len(samples), window):
+                    frame = samples[w : w + window]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w // window)
+                    out["n"].append(len(frame))
+                    out["energy"].append(sum(abs(s) for s in frame))
+                    out["peak"].append(max(abs(s) for s in frame))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=WAV_WINDOW_SCHEMA)
+
+
 def make_png_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL (stdlib-encoded) grayscale PNG to each doc.
 

@@ -2100,6 +2100,44 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_wav_stats(blobs)
 
 
+_VAD_WIN = 8
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT doc_id, unnest(range(0, n_chars % 256 + 16)) AS i
+        FROM documents
+    ), s AS (
+        SELECT doc_id, i,
+               (doc_id * 31 + i * 17) % 65536 - 32768 AS samp
+        FROM s0
+    )
+    SELECT doc_id,
+           CAST(i // {_VAD_WIN} AS BIGINT) AS win_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ABS(samp)) AS BIGINT) AS energy,
+           CAST(MAX(ABS(samp)) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, i // {_VAD_WIN}
+    """,
+    doc="Audio energy-window segmentation (operators/multimodal.py:"
+    "decode_wav_energy_windows): decode every clip's REAL PCM16 WAV "
+    "and emit per-8-sample frames (win_idx, n, energy=sum|s|, "
+    "peak=max|s|) — the decode -> window -> score dataflow of VAD / "
+    "silence trimming / segment extraction; a model-based scorer "
+    "drops into the same Arrow-batched mapInPandas slot. Integer "
+    "outputs let the oracle regenerate every frame from the fixture's "
+    "closed-form waveform, so the container walk, 16-bit decode, and "
+    "framing are all jointly hash-gated.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_wav_blob_df(t["documents"])
+    return M.decode_wav_energy_windows(blobs, window=_VAD_WIN)
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+\d{1,3}-\d{3}-\d{3}-\d{4}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
