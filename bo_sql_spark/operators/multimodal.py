@@ -406,6 +406,46 @@ def decode_wav_energy_windows(
     return media_df.mapInPandas(run, schema=WAV_WINDOW_SCHEMA)
 
 
+def dhash_bits(width: int, height: int, pixels) -> int:
+    """Difference hash of a grayscale image (the classic perceptual
+    hash): nearest-neighbor sample an 8x8 grid (8 rows, 8 cols), emit
+    bit r*7+c = 1 iff sample(r,c) < sample(r,c+1) — 56 bits, gradient
+    signs survive rescaling/re-encoding/brightness shifts, so
+    near-identical images land within a few bits. Integer-exact and
+    closed-form (floor grid mapping), so any engine replays it."""
+    h = 0
+    for r in range(8):
+        row = (r * height) // 8
+        for c in range(7):
+            a = pixels[row * width + (c * width) // 8]
+            b = pixels[row * width + ((c + 1) * width) // 8]
+            if a < b:
+                h |= 1 << (r * 7 + c)
+    return h
+
+
+def decode_png_dhash(
+    media_df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Distributed PNG decode -> 56-bit dHash per image: the IMAGE
+    near-duplicate signature (re-encoded/resized copies of a picture
+    collide within a few bits; band the hash like SimHash to generate
+    candidate pairs at corpus scale — same (band, h) bucket join as
+    the text LSH family). Arrow-batched mapInPandas decode, integer
+    output any engine can replay from deterministic pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "dhash": []}
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                w, h, px = png_decode_gray(blob)
+                out["doc_id"].append(doc_id)
+                out["dhash"].append(dhash_bits(w, h, px))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema="doc_id long, dhash long")
+
+
 def make_png_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL (stdlib-encoded) grayscale PNG to each doc.
 

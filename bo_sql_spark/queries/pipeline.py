@@ -2100,6 +2100,49 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_wav_stats(blobs)
 
 
+@register(
+    "multimodal_image_dhash",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               n_chars % 64 + 1 AS w,
+               doc_id % 48 + 1  AS h
+        FROM documents
+    ), rc AS (
+        SELECT doc_id, w, h, r.r, c.c
+        FROM g,
+             (SELECT unnest(range(8)) AS r) r,
+             (SELECT unnest(range(7)) AS c) c
+    ), bits AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id + ((r * h) // 8) * w + (c * w) // 8) % 256
+                       < (doc_id + ((r * h) // 8) * w + ((c + 1) * w) // 8) % 256
+                    THEN CAST(1 AS BIGINT) << (r * 7 + c)
+                    ELSE 0 END AS bit
+        FROM rc
+    )
+    SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS dhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="Image perceptual hash (operators/multimodal.py:decode_png_dhash "
+    "+ dhash_bits): decode every doc's REAL grayscale PNG and compute "
+    "the classic 56-bit difference hash — nearest-neighbor 8x8 grid, "
+    "bit = sign of the horizontal gradient — the IMAGE near-duplicate "
+    "signature (re-encoded/rescaled copies collide within a few bits; "
+    "band like SimHash for corpus-scale candidate pairs — planted "
+    "near-copy semantics pinned in tests/test_operators.py since the "
+    "fixture's synthetic gradients would make pair counts "
+    "degenerate). Integer-exact floor-grid sampling, so the oracle "
+    "replays every bit from the closed-form pixels; the decode is the "
+    "same hash-gated stdlib codec as multimodal_decode_png.",
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_png_blob_df(t["documents"])
+    return M.decode_png_dhash(blobs)
+
+
 _VAD_WIN = 8
 
 

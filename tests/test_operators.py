@@ -1463,3 +1463,46 @@ def test_winnow_long_document_stress(spark):
             16,
         )
         assert r["h"] == want, (r["pos"], r["h"], want)
+
+
+def test_png_dhash_near_duplicates_collide(spark):
+    """dHash semantics on PLANTED images (the fixture's synthetic
+    gradients can't test this): a brightness-shifted and a
+    lightly-noised copy of a random image stay within a few bits of
+    the original; an independent random image lands far away; and a
+    RESCALED copy (the resize invariance dHash exists for) matches
+    closely despite different dimensions."""
+    import random
+
+    from bo_sql_spark.operators.multimodal import (
+        decode_png_dhash,
+        png_encode_gray,
+    )
+
+    rng = random.Random(7)
+    w, h = 64, 48
+    base = [rng.randrange(256) for _ in range(w * h)]
+    bright = [min(255, p + 20) for p in base]
+    noisy = [
+        min(255, max(0, p + rng.choice((-2, -1, 0, 1, 2)))) for p in base
+    ]
+    other = [rng.randrange(256) for _ in range(w * h)]
+    # nearest-neighbor 2x downscale = the same samples dHash reads
+    half = [base[(2 * r) * w + 2 * c] for r in range(h // 2) for c in range(w // 2)]
+    rows = [
+        (1, png_encode_gray(w, h, bytes(base))),
+        (2, png_encode_gray(w, h, bytes(bright))),
+        (3, png_encode_gray(w, h, bytes(noisy))),
+        (4, png_encode_gray(w, h, bytes(other))),
+        (5, png_encode_gray(w // 2, h // 2, bytes(half))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r["dhash"] for r in decode_png_dhash(df).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(got[1], got[2]) <= 6, ham(got[1], got[2])   # brightness shift
+    assert ham(got[1], got[3]) <= 10, ham(got[1], got[3])  # light noise
+    assert ham(got[1], got[5]) <= 6, ham(got[1], got[5])   # 2x rescale
+    assert ham(got[1], got[4]) >= 15, ham(got[1], got[4])  # unrelated
