@@ -446,6 +446,67 @@ def decode_png_dhash(
     return media_df.mapInPandas(run, schema="doc_id long, dhash long")
 
 
+def dhash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate-and-verify image near-dup pairs from 56-bit dHashes:
+    band the hash into ``bands`` 14-bit slices and self-join per
+    (band, slice) bucket. Pigeonhole guarantee: a pair with hamming
+    distance < ``bands`` differs in fewer bits than there are bands,
+    so at least one band is IDENTICAL and the pair is a candidate —
+    bands=4 guarantees recall 1.0 up to hamming 3; pairs out to
+    ``max_hamming`` are caught when their differing bits cluster into
+    few bands (the standard banding recall trade, same S-curve family
+    as MinHash LSH; raise bands for a stronger guarantee at more
+    candidate volume). Candidates verify EXACTLY with
+    bit_count(xor) <= max_hamming, so no false positives — banding
+    only affects recall. Shuffle unit: (band, 14-bit slice) buckets of
+    tiny (id, hash) rows; never an all-pairs join."""
+    nbits = 56
+    per = nbits // int(bands)
+    b = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftright(F.col(hash_col), k * per)
+                    .bitwiseAND(F.lit((1 << per) - 1))
+                    .alias("slice"),
+                )
+                for k in range(int(bands))
+            ]
+        )
+    ).alias("bh")
+    stacked = hashes.select(
+        F.col(id_col), F.col(hash_col), b
+    ).select(
+        id_col, hash_col, F.col("bh.band").alias("band"), F.col("bh.slice").alias("slice")
+    )
+    a, c = stacked.alias("a"), stacked.alias("b")
+    ham = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= int(max_hamming))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming").cast("long"),
+        )
+        .distinct()
+    )
+
+
 def make_png_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL (stdlib-encoded) grayscale PNG to each doc.
 

@@ -1506,3 +1506,45 @@ def test_png_dhash_near_duplicates_collide(spark):
     assert ham(got[1], got[3]) <= 10, ham(got[1], got[3])  # light noise
     assert ham(got[1], got[5]) <= 6, ham(got[1], got[5])   # 2x rescale
     assert ham(got[1], got[4]) >= 15, ham(got[1], got[4])  # unrelated
+
+
+def test_dhash_band_pairs_find_planted_near_dups(spark):
+    """Banded dHash pairing: planted near-copies (small hamming) must
+    surface as verified pairs with correct distances; unrelated images
+    must not; and pigeonhole recall holds (hamming < bands pairs are
+    always caught)."""
+    import random
+
+    from bo_sql_spark.operators.multimodal import (
+        decode_png_dhash,
+        dhash_near_pairs,
+        png_encode_gray,
+    )
+
+    rng = random.Random(11)
+    w, h = 64, 48
+
+    def img():
+        return [rng.randrange(256) for _ in range(w * h)]
+
+    base = img()
+    bright = [min(255, p + 20) for p in base]
+    rows = [(1, png_encode_gray(w, h, bytes(base))),
+            (2, png_encode_gray(w, h, bytes(bright)))]
+    rows += [(10 + i, png_encode_gray(w, h, bytes(img()))) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    hashes = decode_png_dhash(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_pairs(hashes, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6, pairs
+    assert all({a, b} == {1, 2} for a, b in pairs), pairs  # no false pairs
+    # pigeonhole: plant an exactly-3-bit variant — must ALWAYS be found
+    h1 = {r["doc_id"]: r["dhash"] for r in hashes.collect()}[1]
+    three = h1 ^ 0b10000000000000000010000000001  # 3 bits, spread out
+    manual = spark.createDataFrame(
+        [(1, h1), (99, three)], "doc_id long, dhash long"
+    )
+    got = dhash_near_pairs(manual, max_hamming=6).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 99, 3)]
