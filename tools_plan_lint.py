@@ -19,7 +19,13 @@ inside windows and fused top-ks, so a naive check would be all false
 positives.)
 
 The hand-written pins in tests/test_plans.py assert the POSITIVE shape
-of ~30 queries; this lint asserts the NEGATIVE space over all of them.
+of ~30 queries; this lint asserts the NEGATIVE space over all of them,
+and additionally diffs every query's plan SIGNATURE (exchange / SMJ /
+cartesian / Python / global-window counts) against the committed
+PLAN_BASELINE.json — an accidental extra shuffle anywhere in the
+registry flags without a per-query pin. Refresh intentionally with
+`python tools_plan_lint.py --write-baseline` after reviewing IMPROVED/
+NEW lines.
 Builders with side effects (index materialization, stream drains)
 execute during build — that is the same cost the rehearsal pays.
 
@@ -33,7 +39,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _pos[0] if _pos else "/root/testdata/sf0.001"
 
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 _WINDOW_RE = re.compile(r"(?<![A-Za-z])Window(?:Exec)? \[")
@@ -120,10 +127,33 @@ def lint_plan(plan: str) -> list[str]:
     return found
 
 
+def plan_signature(plan: str) -> dict[str, int]:
+    """Shuffle/join/Python operator counts — the plan-shape regression
+    signature diffed against the committed PLAN_BASELINE.json. An
+    Exchange or SortMergeJoin appearing where none was before is an
+    accidental extra shuffle ANYWHERE in the registry, caught without
+    a hand-written pin per query."""
+    return {
+        "exchanges": plan.count("Exchange "),
+        "smj": plan.count("SortMergeJoin"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "py": plan.count("Python"),
+        "global_windows": len(global_windows(plan)),
+    }
+
+
+BASELINE_PATH = "/root/repo/PLAN_BASELINE.json"
+
+
 def main() -> None:
+    import json
+
     from pyspark.sql import SparkSession
 
     from bo_sql_spark.queries import load_all
+
+    write_baseline = "--write-baseline" in sys.argv
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -133,6 +163,7 @@ def main() -> None:
     )
     flags: dict[str, list[str]] = {}
     whitelisted = 0
+    sigs: dict[str, dict[str, int]] = {}
     for name, spec in sorted(load_all().items()):
         try:
             df = spec.builder(spark, SF)
@@ -140,12 +171,40 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - registration gates
             flags.setdefault(name, []).append(f"BUILD-ERROR {type(exc).__name__}")
             continue
+        sigs[name] = plan_signature(plan)
         for f in lint_plan(plan):
             flags.setdefault(name, []).append(f)
         for line, agg_below in global_windows(plan):
             if agg_below:
                 whitelisted += 1
                 print(f"INFO {name}: post-aggregation global window (bounded): {line[:100]}")
+    if write_baseline:
+        with open(BASELINE_PATH, "w") as fh:
+            json.dump(sigs, fh, indent=1, sort_keys=True)
+        print(f"baseline written: {len(sigs)} signatures")
+    else:
+        try:
+            with open(BASELINE_PATH) as fh:
+                base = json.load(fh)
+        except FileNotFoundError:
+            base = {}
+            print("NOTE: no PLAN_BASELINE.json — run with --write-baseline")
+        for name, sig in sigs.items():
+            b = base.get(name)
+            if b is None:
+                print(f"NEW {name}: {sig} (not in baseline)")
+                continue
+            for k, v in sig.items():
+                if v > b.get(k, 0) and k != "bhj":
+                    flags.setdefault(name, []).append(
+                        f"plan regression: {k} {b.get(k, 0)} -> {v}"
+                    )
+            for k in ("exchanges", "smj"):
+                if sig[k] < b.get(k, 0):
+                    print(
+                        f"IMPROVED {name}: {k} {b[k]} -> {sig[k]} "
+                        f"(refresh baseline)"
+                    )
     if flags:
         for name, fs in sorted(flags.items()):
             print(f"FLAG {name}: {', '.join(fs)}")
