@@ -401,3 +401,27 @@ def test_plan_lint_catches_unpartitioned_window(spark):
         .withColumn("rn", F.row_number().over(Window.orderBy("g")))
     )
     assert lint_plan(plan(post_agg)) == []
+
+
+def test_plan_baseline_diff_catches_seeded_regression():
+    """The PLAN_BASELINE guard: a grown exchange count flags, a grown
+    broadcast-join count does not (broadcasts usually replace worse
+    strategies), a shrunk count is an improvement note, an unknown
+    query is a NEW note."""
+    from tools_plan_lint import diff_signatures
+
+    base = {
+        "q1": {"exchanges": 1, "smj": 0, "bhj": 1, "cartesian": 0,
+               "py": 0, "global_windows": 0},
+        "q2": {"exchanges": 2, "smj": 1, "bhj": 0, "cartesian": 0,
+               "py": 0, "global_windows": 0},
+    }
+    sigs = {
+        "q1": {**base["q1"], "exchanges": 2},       # regression
+        "q2": {**base["q2"], "smj": 0, "bhj": 1},   # improvement + bhj ok
+        "q3": base["q1"],                            # new
+    }
+    flags, notes = diff_signatures(sigs, base)
+    assert list(flags) == ["q1"] and "exchanges 1 -> 2" in flags["q1"][0]
+    assert any(n.startswith("IMPROVED q2: smj") for n in notes)
+    assert any(n.startswith("NEW q3") for n in notes)

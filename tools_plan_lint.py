@@ -146,6 +146,33 @@ def plan_signature(plan: str) -> dict[str, int]:
 BASELINE_PATH = "/root/repo/PLAN_BASELINE.json"
 
 
+def diff_signatures(
+    sigs: dict[str, dict[str, int]], base: dict[str, dict[str, int]]
+) -> tuple[dict[str, list[str]], list[str]]:
+    """(regressions, notes) from comparing current plan signatures to
+    the committed baseline: any count growing (except broadcast joins,
+    which often replace worse strategies) is a regression; shrinking
+    exchange/SMJ counts are improvements to fold into the baseline."""
+    flags: dict[str, list[str]] = {}
+    notes: list[str] = []
+    for name, sig in sigs.items():
+        b = base.get(name)
+        if b is None:
+            notes.append(f"NEW {name}: {sig} (not in baseline)")
+            continue
+        for k, v in sig.items():
+            if v > b.get(k, 0) and k != "bhj":
+                flags.setdefault(name, []).append(
+                    f"plan regression: {k} {b.get(k, 0)} -> {v}"
+                )
+        for k in ("exchanges", "smj"):
+            if sig[k] < b.get(k, 0):
+                notes.append(
+                    f"IMPROVED {name}: {k} {b[k]} -> {sig[k]} (refresh baseline)"
+                )
+    return flags, notes
+
+
 def main() -> None:
     import json
 
@@ -189,22 +216,11 @@ def main() -> None:
         except FileNotFoundError:
             base = {}
             print("NOTE: no PLAN_BASELINE.json — run with --write-baseline")
-        for name, sig in sigs.items():
-            b = base.get(name)
-            if b is None:
-                print(f"NEW {name}: {sig} (not in baseline)")
-                continue
-            for k, v in sig.items():
-                if v > b.get(k, 0) and k != "bhj":
-                    flags.setdefault(name, []).append(
-                        f"plan regression: {k} {b.get(k, 0)} -> {v}"
-                    )
-            for k in ("exchanges", "smj"):
-                if sig[k] < b.get(k, 0):
-                    print(
-                        f"IMPROVED {name}: {k} {b[k]} -> {sig[k]} "
-                        f"(refresh baseline)"
-                    )
+        reg, notes = diff_signatures(sigs, base)
+        for name, fs in reg.items():
+            flags.setdefault(name, []).extend(fs)
+        for note in notes:
+            print(note)
     if flags:
         for name, fs in sorted(flags.items()):
             print(f"FLAG {name}: {', '.join(fs)}")
