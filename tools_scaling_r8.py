@@ -297,6 +297,79 @@ def stream_ingest_batches(spark):
     )
 
 
+def new_ops_scaling(spark, app):
+    """1x/10x rows for the round-8 additions: C4 line dedup (shuffle
+    ~2x corpus by design), Count-Min grid (shuffle BOUNDED by d*w per
+    task — near-constant rows at any corpus size), snapshot diff
+    (id-join, linear)."""
+    from bo_sql_spark.functions import tokens
+    from bo_sql_spark.operators import heavy_hitters as HH
+    from bo_sql_spark.operators.dedup import dedup_lines_global
+
+    docs1 = spark.read.parquet(os.path.join(BASE, "documents.parquet")).select(
+        "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    parts = [docs1]
+    for r in range(1, 10):
+        parts.append(
+            docs1.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\S+)", f"$1r{r}").alias("text"),
+            )
+        )
+    docs10 = parts[0]
+    for p in parts[1:]:
+        docs10 = docs10.unionAll(p)
+    docs10 = docs10.localCheckpoint(eager=True)
+
+    def lines(d):
+        return lambda: dedup_lines_global(d, chunk_tokens=8)
+
+    def cm(d):
+        return lambda: HH.count_min_table(
+            d.filter(F.col("text").isNotNull()).select(
+                F.explode(tokens(F.col("text"))).alias("k")
+            ),
+            "k",
+            depth=4,
+            width=256,
+        )
+
+    def diff(d):
+        old = d.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id", F.md5("text").alias("h")
+        )
+        new = d.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id", F.md5("text").alias("h")
+        )
+        o, n = old.alias("o"), new.alias("n")
+        j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+        st = (
+            F.when(F.col("o.doc_id").isNull(), "added")
+            .when(F.col("n.doc_id").isNull(), "removed")
+            .when(F.col("o.h") != F.col("n.h"), "changed")
+            .otherwise("unchanged")
+        )
+        return lambda: j.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            st.alias("status"),
+        ).groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    for label, f1, f10 in (
+        ("lines_global", lines(docs1), lines(docs10)),
+        ("count_min_grid", cm(docs1), cm(docs10)),
+        ("snapshot_diff", diff(docs1), diff(docs10)),
+    ):
+        w1, s1 = measure(spark, app, f"{label} 1x", f1)
+        w10, s10 = measure(spark, app, f"{label} 10x", f10)
+        print(
+            f"SUMMARY {label}: wall 1x {w1:.2f}s -> 10x {w10:.2f}s "
+            f"(exp {math.log(max(w10, 1e-9) / w1, 10):.2f}); shuffle "
+            f"{s1/1e6:.2f}MB -> {s10/1e6:.2f}MB "
+            f"(exp {math.log(max(s10, 1) / max(s1, 1), 10):.2f})"
+        )
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[32]")
