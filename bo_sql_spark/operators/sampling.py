@@ -288,6 +288,7 @@ def take_token_budget(
     n_tokens_col: str,
     budget: int,
     salt: int = 0,
+    n_shards: int = 16,
 ) -> DataFrame:
     """Data-mixture sampling: per ``part_col`` group (e.g. source),
     take documents in deterministic hash order until the group's token
@@ -296,28 +297,52 @@ def take_token_budget(
 
     A doc is kept iff the running total BEFORE it is under budget, so
     every group takes the first doc that crosses the line and nothing
-    after (deterministic, gap-free). One window partitioned by group:
-    no global sort, no task holds more than one group's docs — at
-    100 TB partition counts follow the number of sources, and heavily
-    skewed sources shard the same way pack_sequences_sharded does.
+    after (deterministic, gap-free). The per-source running sum
+    decomposes over contiguous hash-range shards exactly like
+    pack_sequences (per-(source, shard) windows + a broadcast
+    sources x n_shards cumulative-offset table), so a DOMINANT source
+    — 50 TB of web in a 100 TB corpus — never lands on one task; the
+    output is bit-identical for any n_shards (the naive single window
+    is the n_shards=1 special case; shard-invariance unit-pinned).
     """
     from pyspark.sql import Window
 
     h = portable_hash(id_col, salt)
+    staged = df.select(
+        F.col(part_col),
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("_nt"),
+        h.alias("_h"),
+    ).withColumn("_shard", contiguous_shard(F.col("_h"), n_shards))
     w = (
-        Window.partitionBy(part_col)
-        .orderBy(h, F.col(id_col))
+        Window.partitionBy(part_col, "_shard")
+        .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(n_tokens_col).over(w).alias("cum_tokens")
-    staged = df.select(part_col, id_col, F.col(n_tokens_col).cast("long"), cum)
-    return staged.filter(
-        (F.col("cum_tokens") - F.col(n_tokens_col)) < budget
-    ).select(
+    totals = staged.groupBy(part_col, "_shard").agg(
+        F.sum("_nt").alias("_tot")
+    )
+    wo = (
+        Window.partitionBy(part_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
         part_col,
-        id_col,
-        F.col(n_tokens_col).alias("n_tokens"),
-        F.col("cum_tokens").cast("long"),
+        "_shard",
+        F.coalesce(F.sum("_tot").over(wo), F.lit(0)).cast("long").alias("_off"),
+    )
+    cum = (F.sum("_nt").over(w) + F.col("_off")).cast("long")
+    return (
+        staged.join(F.broadcast(offsets), [part_col, "_shard"])
+        .withColumn("cum_tokens", cum)
+        .filter((F.col("cum_tokens") - F.col("_nt")) < budget)
+        .select(
+            part_col,
+            id_col,
+            F.col("_nt").alias("n_tokens"),
+            "cum_tokens",
+        )
     )
 
 
@@ -399,9 +424,14 @@ def epoch_upsample_budget(
     epoch count ceil(budget / total); epochs materialize as an
     explode over sequence(0, n_epochs-1) — the corpus scans ONCE and
     only rows that can reach the budget line replicate. The running
-    cut is one window partitioned by source ordered by (epoch, hash,
-    id). A source with more tokens than the budget never replicates
-    (n_epochs = 1) and degenerates to take_token_budget exactly.
+    cut decomposes over contiguous shards like take_token_budget: the
+    per-source order is (epoch, hash, id), and the combined shard
+    epoch * n_shards + contiguous_shard(hash) is contiguous in that
+    order, so per-(source, shard) windows + a broadcast cumulative
+    offsets table reproduce the global running sum bit-for-bit at any
+    n_shards — a dominant source never lands on one task. A source
+    with more tokens than the budget never replicates (n_epochs = 1)
+    and degenerates to take_token_budget exactly.
     """
     from pyspark.sql import Window
 
@@ -415,6 +445,7 @@ def epoch_upsample_budget(
             "_n_epochs"
         ),
     )
+    n_shards = 16
     staged = (
         df.join(F.broadcast(epochs), part_col)
         .select(
@@ -426,15 +457,34 @@ def epoch_upsample_budget(
                 "epoch"
             ),
         )
+        .withColumn(
+            "_shard",
+            (F.col("epoch").cast("long") * n_shards)
+            + contiguous_shard(F.col("_h"), n_shards),
+        )
     )
     w = (
-        Window.partitionBy(part_col)
-        .orderBy("epoch", "_h", id_col)
+        Window.partitionBy(part_col, "_shard")
+        .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("_nt").over(w)
+    totals_sh = staged.groupBy(part_col, "_shard").agg(
+        F.sum("_nt").alias("_tot")
+    )
+    wo = (
+        Window.partitionBy(part_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals_sh.select(
+        part_col,
+        "_shard",
+        F.coalesce(F.sum("_tot").over(wo), F.lit(0)).cast("long").alias("_off"),
+    )
+    cum = (F.sum("_nt").over(w) + F.col("_off")).cast("long")
     return (
-        staged.withColumn("cum_tokens", cum.cast("long"))
+        staged.join(F.broadcast(offsets), [part_col, "_shard"])
+        .withColumn("cum_tokens", cum)
         .filter((F.col("cum_tokens") - F.col("_nt")) < budget)
         .select(
             part_col,

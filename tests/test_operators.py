@@ -1548,3 +1548,33 @@ def test_dhash_band_pairs_find_planted_near_dups(spark):
     )
     got = dhash_near_pairs(manual, max_hamming=6).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 99, 3)]
+
+
+def test_take_token_budget_shard_invariant(spark):
+    """The sharded per-source running cut must be bit-identical for
+    any n_shards (1 == the naive single window), including the skewed
+    case where one source dominates."""
+    from bo_sql_spark.operators.sampling import take_token_budget
+
+    rows = [("big", i, 7) for i in range(400)] + [
+        ("small", 1000 + i, 5) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, nt long")
+    outs = []
+    for n_shards in (1, 4, 16):
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in take_token_budget(
+                    df, "source", "doc_id", "nt", budget=100, salt=3,
+                    n_shards=n_shards,
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    by_src = {}
+    for src, _id, nt, cum in outs[0]:
+        by_src.setdefault(src, []).append(cum)
+    # gap-free: the last kept doc crosses the line, nothing after
+    assert max(by_src["big"]) >= 100 and len(by_src["big"]) <= 16
+    assert len(by_src["small"]) == 10  # under budget: all kept
