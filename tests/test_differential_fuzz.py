@@ -923,3 +923,49 @@ def test_count_min_bucket_hash_agrees_across_engines(ctx, keys, width):
             want[(k, r)] = b
     # duplicate keys collapse in dicts identically on both sides
     assert {(k, r): v for (k, r), v in got.items()} == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    budget=st.integers(min_value=1, max_value=400),
+    salt=st.integers(min_value=0, max_value=100),
+    n_shards=st.sampled_from([2, 3, 16]),
+)
+def test_sharded_budget_cut_equals_naive_window(ctx, rows, budget, salt, n_shards):
+    """Family 9 — the contiguous-shard running-sum decomposition:
+    take_token_budget at any n_shards must equal the naive single
+    per-source window (n_shards=1) row-for-row, for arbitrary ids,
+    budgets, and salts (shard boundaries land mid-source at random)."""
+    from bo_sql_spark.operators.sampling import take_token_budget
+
+    spark, _ = ctx
+    df = spark.createDataFrame(rows, "source string, doc_id long, nt long")
+    naive = sorted(
+        tuple(r)
+        for r in take_token_budget(
+            df, "source", "doc_id", "nt", budget=budget, salt=salt, n_shards=1
+        ).collect()
+    )
+    sharded = sorted(
+        tuple(r)
+        for r in take_token_budget(
+            df, "source", "doc_id", "nt", budget=budget, salt=salt,
+            n_shards=n_shards,
+        ).collect()
+    )
+    assert naive == sharded
