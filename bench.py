@@ -66,6 +66,7 @@ PIPELINE = [
     "text_heavy_hitters",
     "dedup_lines_global",
     "sketch_count_min_grid",
+    "sketch_hll_distinct",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.

@@ -255,3 +255,94 @@ def count_min_estimates(
             F.col("cm_estimate").cast("long"),
         )
     )
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
+    """Portable HyperLogLog registers (Flajolet et al. 2007) over a
+    key column: (bucket, register) rows, one per NONEMPTY bucket of
+    m = 2^p, register = max over the bucket's keys of the leading-zero
+    rank of a 32-bit hash word. O(m) output regardless of distinct
+    count, built by ONE map-combinable groupBy (each partition
+    pre-maxes its own registers; the shuffle carries <= m rows/task).
+
+    Registers MERGE by cellwise MAX — HLL of a union is the max of
+    the registers, even for OVERLAPPING shards — which is the 100 TB
+    rollup story: per-day/per-shard register tables union into a
+    global NDV without re-scanning.
+
+    Unlike Spark's approx_count_distinct (HLL++, engine-private
+    sketch), every bit here is portable arithmetic: the hash is the
+    md5-prefix BIGINT (low p bits -> bucket, next 32 bits -> rank
+    word; rho = 33 - bit_length(word) via conv-to-binary + ltrim,
+    identical in DuckDB as bin() + ltrim), so an oracle replays the
+    ENTIRE register table and the estimate — the sketch is
+    approximate, its computation is exact. p must keep p+32 <= 60
+    (the md5-prefix width); alpha below needs m >= 128."""
+    if not (7 <= int(p) <= 28):
+        raise ValueError("p must be in [7, 28]")
+    m = 1 << int(p)
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keyed = df.filter(F.col(key_col).isNotNull()).select(h.alias("_h"))
+    rho = F.lit(33) - F.length(
+        F.expr(f"ltrim('0', conv((_h DIV {m}) % 4294967296, 10, 2))")
+    )
+    return (
+        keyed.select(F.pmod(F.col("_h"), F.lit(m)).alias("bucket"), rho.alias("_rho"))
+        .groupBy("bucket")
+        .agg(F.max("_rho").alias("register"))
+        .select(F.col("bucket").cast("long"), F.col("register").cast("long"))
+    )
+
+
+def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Fold an hll_registers table into the one-row summary
+    (m, n_nonempty, sum_scaled, hll_estimate).
+
+    All-integer estimator: sum_scaled = sum over ALL m buckets of
+    2^(33 - register) (empty buckets contribute 2^33; max m * 2^33 =
+    2^(p+33) fits BIGINT for p <= 28), and the estimate is one
+    integral divide of the CONSTANT alpha_m * m^2 * 2^33 — scaled to
+    micros and precomputed as a decimal literal, so both engines
+    divide the same two integers; no float ever enters. Raw-regime
+    estimator only (n >= 2.5m): the standard small-range linear-
+    counting correction needs ln(), whose last-ulp varies across
+    libm implementations — consumers with small n apply it from the
+    emitted n_nonempty instead (V = m - n_nonempty)."""
+    m = 1 << int(p)
+    alpha_u = round(0.7213 / (1 + 1.079 / m) * 1e6)  # micros; m >= 128
+    numer = alpha_u * m * m * (1 << 33)
+    return (
+        registers.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("_ne"),
+            F.coalesce(
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - register)")),
+                F.lit(0),
+            ).alias("_t0"),
+        )
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            F.col("_ne").cast("long").alias("n_nonempty"),
+            (F.col("_t0") + (F.lit(m) - F.col("_ne")) * F.lit(1 << 33))
+            .cast("long")
+            .alias("sum_scaled"),
+        )
+        .select(
+            "m",
+            "n_nonempty",
+            "sum_scaled",
+            F.expr(
+                f"CAST(CAST('{numer}' AS DECIMAL(38,0))"
+                " DIV (sum_scaled * 1000000) AS BIGINT)"
+            ).alias("hll_estimate"),
+        )
+    )
+
+
+def hll_distinct(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
+    """One-scan approximate NDV: hll_registers |> hll_summary.
+    Expected relative error 1.04/sqrt(2^p) (~4.6% at p=9) in the raw
+    regime n >= 2.5 * 2^p."""
+    return hll_summary(hll_registers(df, key_col, p), p)

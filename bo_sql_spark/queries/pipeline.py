@@ -4289,6 +4289,172 @@ def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA_U = round(0.7213 / (1 + 1.079 / _HLL_M) * 1e6)  # 719783
+_HLL_NUMER = _HLL_ALPHA_U * _HLL_M * _HLL_M * (1 << 33)
+_HLL_HASH = (
+    "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+_HLL_REG = f"""
+        SELECT h % {_HLL_M} AS bucket,
+               MAX(33 - length(ltrim(bin((h // {_HLL_M}) % 4294967296),
+                                     '0'))) AS M
+        FROM keyed GROUP BY h % {_HLL_M}
+"""
+_HLL_SUM = f"""
+        SELECT COUNT(*) AS ne,
+               SUM(CAST(1 AS BIGINT) << (33 - M))
+                   + ({_HLL_M} - COUNT(*)) * 8589934592 AS t
+        FROM reg
+"""
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT {_HLL_HASH} AS h
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+    ), reg AS ({_HLL_REG}
+    ), s AS ({_HLL_SUM}
+    ), e AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS ex
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+    )
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           CAST(ne AS BIGINT) AS n_nonempty,
+           CAST(t AS BIGINT) AS sum_scaled,
+           CAST(CAST('{_HLL_NUMER}' AS HUGEINT) // (t * 1000000)
+                AS BIGINT) AS hll_estimate,
+           CAST(ex AS BIGINT) AS exact_distinct,
+           CAST(abs(CAST('{_HLL_NUMER}' AS HUGEINT) // (t * 1000000) - ex)
+                * 1000 // ex AS BIGINT) AS err_permille
+    FROM s, e
+    """,
+    doc="Portable HyperLogLog NDV (operators/heavy_hitters.py:"
+    "hll_distinct; Flajolet et al. 2007) over lineitem.l_orderkey, "
+    "m=512 registers: ONE map-combinable groupBy on the md5-prefix "
+    "hash's low 9 bits (partials pre-max per partition; <= m rows "
+    "per task shuffle) — O(m) memory at any distinct count, where "
+    "exact countDistinct shuffles the key space. Every bit is "
+    "portable arithmetic (bucket = low bits, rho via conv-to-binary "
+    "bit length, all-integer estimator with the alpha*m^2*2^33 "
+    "constant as a decimal literal, one integral divide), so unlike "
+    "approx_count_distinct (HLL++, engine-private, rows-only panel "
+    "row) the oracle replays the REGISTERS AND THE ESTIMATE exactly "
+    "— the sketch is approximate, its computation is exact. The "
+    "exact_distinct / err_permille columns are demo certification "
+    "(3.2% here, expected 1.04/sqrt(512) = 4.6%); production runs "
+    "the sketch INSTEAD of the exact scan.",
+    tags=("pipeline", "sketch", "aggregate"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    li = _t(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey").isNotNull())
+    est = HH.hll_distinct(li, "l_orderkey", p=_HLL_P)
+    exact = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        "m",
+        "n_nonempty",
+        "sum_scaled",
+        "hll_estimate",
+        "exact_distinct",
+        F.expr(
+            "abs(hll_estimate - exact_distinct) * 1000 DIV exact_distinct"
+        ).alias("err_permille"),
+    )
+
+
+@register(
+    "sketch_hll_merge",
+    oracle=f"""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber % 2 AS shard
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+    ), hashed AS (
+        SELECT shard,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM src
+    ), sreg AS (
+        SELECT shard, h % {_HLL_M} AS bucket,
+               MAX(33 - length(ltrim(bin((h // {_HLL_M}) % 4294967296),
+                                     '0'))) AS M
+        FROM hashed GROUP BY shard, h % {_HLL_M}
+    ), reg AS (
+        SELECT bucket, MAX(M) AS M FROM sreg GROUP BY bucket
+    ), s AS ({_HLL_SUM}
+    ), keyed AS (
+        SELECT h FROM hashed
+    ), dreg AS (
+        SELECT h % {_HLL_M} AS bucket,
+               MAX(33 - length(ltrim(bin((h // {_HLL_M}) % 4294967296),
+                                     '0'))) AS M
+        FROM keyed GROUP BY h % {_HLL_M}
+    ), ds AS (
+        SELECT COUNT(*) AS ne,
+               SUM(CAST(1 AS BIGINT) << (33 - M))
+                   + ({_HLL_M} - COUNT(*)) * 8589934592 AS t
+        FROM dreg
+    )
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           CAST(s.ne AS BIGINT) AS n_nonempty,
+           CAST(s.t AS BIGINT) AS sum_scaled,
+           CAST(CAST('{_HLL_NUMER}' AS HUGEINT) // (s.t * 1000000)
+                AS BIGINT) AS hll_estimate,
+           CAST(CAST('{_HLL_NUMER}' AS HUGEINT) // (ds.t * 1000000)
+                AS BIGINT) AS direct_estimate,
+           CAST(CASE WHEN s.t = ds.t THEN 1 ELSE 0 END AS BIGINT)
+               AS merged_equals_direct
+    FROM s, ds
+    """,
+    doc="HLL register MERGE (cellwise MAX) proven equal to the "
+    "direct sketch, in one query: lineitem split into two "
+    "OVERLAPPING shards by l_linenumber parity (same orderkeys "
+    "appear in both — union semantics, not disjoint partitioning), "
+    "per-shard register tables max-merged, then summarized. "
+    "sum_scaled of the merge equals the direct build's (flag "
+    "asserted 1 by the oracle), because max of maxes is max — the "
+    "per-day/per-shard NDV rollup story: register tables of m "
+    "BIGINTs union with a groupBy-max instead of rescanning 100 TB. "
+    "Mirrors stream_count_min's sum-mergeable grid with the "
+    "max-mergeable member of the sketch family.",
+    tags=("pipeline", "sketch", "aggregate"),
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    li = _t(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey").isNotNull())
+    s0 = li.filter(F.col("l_linenumber") % 2 == 0)
+    s1 = li.filter(F.col("l_linenumber") % 2 == 1)
+    merged = (
+        HH.hll_registers(s0, "l_orderkey", p=_HLL_P)
+        .unionByName(HH.hll_registers(s1, "l_orderkey", p=_HLL_P))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    msum = HH.hll_summary(merged, p=_HLL_P)
+    dsum = HH.hll_distinct(li, "l_orderkey", p=_HLL_P).select(
+        F.col("hll_estimate").alias("direct_estimate"),
+        F.col("sum_scaled").alias("_direct_sum"),
+    )
+    return msum.crossJoin(dsum).select(
+        "m",
+        "n_nonempty",
+        "sum_scaled",
+        "hll_estimate",
+        "direct_estimate",
+        (F.col("sum_scaled") == F.col("_direct_sum"))
+        .cast("long")
+        .alias("merged_equals_direct"),
+    )
+
+
 @register(
     "corpus_snapshot_diff",
     oracle="""

@@ -1578,3 +1578,57 @@ def test_take_token_budget_shard_invariant(spark):
     # gap-free: the last kept doc crosses the line, nothing after
     assert max(by_src["big"]) >= 100 and len(by_src["big"]) <= 16
     assert len(by_src["small"]) == 10  # under budget: all kept
+
+
+def test_hll_registers_merge_and_estimate_accuracy(spark):
+    """HLL invariants: (a) registers are layout-independent (1 vs 8
+    partitions), (b) max-merge of OVERLAPPING shard registers equals
+    the direct build (union semantics), (c) the all-integer estimate
+    lands within 3 sigma (1.04/sqrt(m)) of the true distinct count in
+    the raw regime, (d) p outside [7, 28] is rejected."""
+    import pytest
+
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    n = 10_000
+    rows = [(f"key-{i}",) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string")
+
+    def reg_map(d, parts):
+        r = HH.hll_registers(d.repartition(parts), "k", p=9)
+        return {(x["bucket"]): x["register"] for x in r.collect()}
+
+    direct = reg_map(df, 1)
+    assert direct == reg_map(df, 8)  # layout-independent
+
+    # overlapping shards: first 7k and last 6k rows share 3k keys
+    a = spark.createDataFrame(rows[:7000], "k string")
+    b = spark.createDataFrame(rows[4000:], "k string")
+    ra, rb = reg_map(a, 4), reg_map(b, 4)
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == direct  # max-merge == direct, even overlapping
+
+    est = HH.hll_distinct(df, "k", p=9).collect()[0]
+    assert est["m"] == 512
+    sigma = 1.04 / 512**0.5
+    assert abs(est["hll_estimate"] - n) / n < 3 * sigma, est
+
+    with pytest.raises(ValueError):
+        HH.hll_registers(df, "k", p=5)
+
+
+def test_hll_summary_empty_input_is_raw_floor(spark):
+    """Empty input: every bucket empty, sum_scaled = m * 2^33, and the
+    raw estimator returns its floor (~0.72m = 368 for m=512) — the
+    documented raw-regime behavior; small-n consumers apply linear
+    counting from n_nonempty, which the summary emits for that
+    purpose (V = m - n_nonempty)."""
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    df = spark.createDataFrame([], "k string")
+    row = HH.hll_distinct(df, "k", p=9).collect()[0]
+    assert row["n_nonempty"] == 0
+    assert row["sum_scaled"] == 512 * (1 << 33)
+    assert row["hll_estimate"] == 368
