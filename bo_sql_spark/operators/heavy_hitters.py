@@ -278,21 +278,41 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
     ENTIRE register table and the estimate — the sketch is
     approximate, its computation is exact. p must keep p+32 <= 60
     (the md5-prefix width); alpha below needs m >= 128."""
+    return hll_registers_by(df, key_col, [], p)
+
+
+def hll_registers_by(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """Per-group hll_registers: (group_cols..., bucket, register) —
+    the GROUP BY form of the sketch (NDV per source/day/language in
+    one pass). Same single map-combinable groupBy; the shuffle
+    carries <= m rows per (task, group)."""
     if not (7 <= int(p) <= 28):
         raise ValueError("p must be in [7, 28]")
     m = 1 << int(p)
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    keyed = df.filter(F.col(key_col).isNotNull()).select(h.alias("_h"))
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        *group_cols, h.alias("_h")
+    )
     rho = F.lit(33) - F.length(
         F.expr(f"ltrim('0', conv((_h DIV {m}) % 4294967296, 10, 2))")
     )
     return (
-        keyed.select(F.pmod(F.col("_h"), F.lit(m)).alias("bucket"), rho.alias("_rho"))
-        .groupBy("bucket")
+        keyed.select(
+            *group_cols,
+            F.pmod(F.col("_h"), F.lit(m)).alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("_rho").alias("register"))
-        .select(F.col("bucket").cast("long"), F.col("register").cast("long"))
+        .select(
+            *group_cols,
+            F.col("bucket").cast("long"),
+            F.col("register").cast("long"),
+        )
     )
 
 
@@ -310,11 +330,21 @@ def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
     counting correction needs ln(), whose last-ulp varies across
     libm implementations — consumers with small n apply it from the
     emitted n_nonempty instead (V = m - n_nonempty)."""
+    return hll_summary_by(registers, [], p)
+
+
+def hll_summary_by(
+    registers: DataFrame, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """Per-group hll_summary over an hll_registers_by table:
+    (group_cols..., m, n_nonempty, sum_scaled, hll_estimate). A group
+    with no register rows simply doesn't appear (same semantics as
+    GROUP BY over an empty group)."""
     m = 1 << int(p)
     alpha_u = round(0.7213 / (1 + 1.079 / m) * 1e6)  # micros; m >= 128
     numer = alpha_u * m * m * (1 << 33)
     return (
-        registers.groupBy()
+        registers.groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("_ne"),
             F.coalesce(
@@ -323,6 +353,7 @@ def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
             ).alias("_t0"),
         )
         .select(
+            *group_cols,
             F.lit(m).cast("long").alias("m"),
             F.col("_ne").cast("long").alias("n_nonempty"),
             (F.col("_t0") + (F.lit(m) - F.col("_ne")) * F.lit(1 << 33))
@@ -330,6 +361,7 @@ def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
             .alias("sum_scaled"),
         )
         .select(
+            *group_cols,
             "m",
             "n_nonempty",
             "sum_scaled",

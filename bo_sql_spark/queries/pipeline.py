@@ -4455,6 +4455,144 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL7_M = 128
+_HLL7_ALPHA_U = round(0.7213 / (1 + 1.079 / _HLL7_M) * 1e6)
+_HLL7_NUMER = _HLL7_ALPHA_U * _HLL7_M * _HLL7_M * (1 << 33)
+
+
+@register(
+    "sketch_hll_by_group",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderpriority,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM orders WHERE o_custkey IS NOT NULL
+    ), reg AS (
+        SELECT o_orderpriority, h % {_HLL7_M} AS bucket,
+               MAX(33 - length(ltrim(bin((h // {_HLL7_M}) % 4294967296),
+                                     '0'))) AS M
+        FROM keyed GROUP BY o_orderpriority, h % {_HLL7_M}
+    ), s AS (
+        SELECT o_orderpriority, COUNT(*) AS ne,
+               SUM(CAST(1 AS BIGINT) << (33 - M))
+                   + ({_HLL7_M} - COUNT(*)) * 8589934592 AS t
+        FROM reg GROUP BY o_orderpriority
+    ), e AS (
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS ex
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_orderpriority
+    )
+    SELECT s.o_orderpriority,
+           CAST({_HLL7_M} AS BIGINT) AS m,
+           CAST(ne AS BIGINT) AS n_nonempty,
+           CAST(t AS BIGINT) AS sum_scaled,
+           CAST(CAST('{_HLL7_NUMER}' AS HUGEINT) // (t * 1000000)
+                AS BIGINT) AS hll_estimate,
+           CAST(ex AS BIGINT) AS exact_distinct,
+           CAST(abs(CAST('{_HLL7_NUMER}' AS HUGEINT) // (t * 1000000) - ex)
+                * 1000 // ex AS BIGINT) AS err_permille
+    FROM s JOIN e ON s.o_orderpriority = e.o_orderpriority
+    """,
+    doc="GROUP BY form of the portable HLL (operators/"
+    "heavy_hitters.py:hll_registers_by): distinct customers per "
+    "order priority in ONE pass over orders, m=128 registers per "
+    "group — the per-source/per-day NDV monitor a corpus pipeline "
+    "runs where exact per-group countDistinct would shuffle the full "
+    "key space per group. Same all-integer portable arithmetic as "
+    "sketch_hll_distinct (the oracle replays registers and estimates "
+    "per group); exact/err columns are demo certification. m=128 "
+    "keeps the per-group raw regime (n >= 2.5m = 320) at sf0.01's "
+    "~1300 distinct custkeys per priority; expected sigma "
+    "1.04/sqrt(128) = 9.2%.",
+    tags=("pipeline", "sketch", "aggregate"),
+)
+def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    orders = _t(spark, sf_dir)["orders"].filter(F.col("o_custkey").isNotNull())
+    reg = HH.hll_registers_by(orders, "o_custkey", ["o_orderpriority"], p=7)
+    est = HH.hll_summary_by(reg, ["o_orderpriority"], p=7)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "m",
+        "n_nonempty",
+        "sum_scaled",
+        "hll_estimate",
+        "exact_distinct",
+        F.expr(
+            "abs(hll_estimate - exact_distinct) * 1000 DIV exact_distinct"
+        ).alias("err_permille"),
+    )
+
+
+@register(
+    "stream_hll_distinct",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT {_HLL_HASH} AS h
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+    ), reg AS ({_HLL_REG}
+    ), s AS ({_HLL_SUM}
+    )
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           CAST(ne AS BIGINT) AS n_nonempty,
+           CAST(t AS BIGINT) AS sum_scaled,
+           CAST(CAST('{_HLL_NUMER}' AS HUGEINT) // (t * 1000000)
+                AS BIGINT) AS hll_estimate
+    FROM s
+    """,
+    doc="STREAMING HLL (foreachBatch): each microbatch's register "
+    "table appends to a store and the drained store MAX-merges by "
+    "bucket into the corpus registers — byte-identical summary to "
+    "the batch sketch (same all-integer oracle), because HLL of a "
+    "union is the max of registers. The unbounded-stream NDV story: "
+    "O(m) state per microbatch, zero rescans, and the store rolls up "
+    "per-day registers the same way. Max-mergeable twin of "
+    "stream_count_min's sum-mergeable grid.",
+    tags=("pipeline", "streaming", "sketch"),
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    li = _t(spark, sf_dir)["lineitem"]
+    root = tempfile.mkdtemp(prefix="bosql_hll_stream_")
+    store = os.path.join(root, "registers")
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        HH.hll_registers(batch_df, "l_orderkey", p=_HLL_P).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    return HH.hll_summary(merged, p=_HLL_P)
+
+
 @register(
     "corpus_snapshot_diff",
     oracle="""
