@@ -969,3 +969,81 @@ def test_sharded_budget_cut_equals_naive_window(ctx, rows, budget, salt, n_shard
         ).collect()
     )
     assert naive == sharded
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.one_of(
+            st.text(min_size=0, max_size=12),
+            st.integers(min_value=-(10**12), max_value=10**12).map(str),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+)
+def test_hll_register_and_estimate_agree(ctx, keys):
+    """Family 10 — the portable-HLL arithmetic chain: bucket (md5-
+    prefix mod m), rho via conv-to-binary + ltrim bit length (DuckDB
+    bin() + ltrim), the 2^(33-M) shift-sum with the empty-bucket
+    term, and the DECIMAL(38)/HUGEINT integral divide must agree on
+    arbitrary keys (empty strings, non-ASCII, negative numerics).
+    One divergent bit in any step flips a register or the estimate,
+    so the whole chain is asserted, not just the hash."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    spark, con = ctx
+    p, m = 7, 128
+    alpha_u = round(0.7213 / (1 + 1.079 / m) * 1e6)
+    numer = alpha_u * m * m * (1 << 33)
+    df = spark.createDataFrame([(k,) for k in keys], "s string")
+    reg = {
+        r["bucket"]: r["register"]
+        for r in HH.hll_registers(df, "s", p=p).collect()
+    }
+    srow = HH.hll_distinct(df, "s", p=p).collect()[0]
+
+    con.register(
+        "fuzz_hll", pa.table({"s": pa.array(keys, type=pa.string())})
+    )
+    want_reg = dict(
+        con.execute(
+            f"""
+            SELECT h % {m},
+                   MAX(33 - length(ltrim(bin((h // {m}) % 4294967296), '0')))
+            FROM (SELECT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+                  FROM fuzz_hll WHERE s IS NOT NULL)
+            GROUP BY h % {m}
+            """
+        ).fetchall()
+    )
+    want_sum = con.execute(
+        f"""
+        WITH reg AS (
+            SELECT h % {m} AS b,
+                   MAX(33 - length(ltrim(bin((h // {m}) % 4294967296),
+                                         '0'))) AS M
+            FROM (SELECT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+                  FROM fuzz_hll WHERE s IS NOT NULL)
+            GROUP BY h % {m}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(1 AS BIGINT) << (33 - M))
+                    + ({m} - COUNT(*)) * 8589934592 AS BIGINT) AS t,
+               CAST(CAST('{numer}' AS HUGEINT)
+                    // ((SUM(CAST(1 AS BIGINT) << (33 - M))
+                         + ({m} - COUNT(*)) * 8589934592) * 1000000)
+                    AS BIGINT)
+        FROM reg
+        """
+    ).fetchone()
+    con.unregister("fuzz_hll")
+    assert reg == want_reg
+    assert (srow["n_nonempty"], srow["sum_scaled"], srow["hll_estimate"]) == want_sum
