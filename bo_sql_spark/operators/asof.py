@@ -178,3 +178,75 @@ def _asof_cogroup(
         .cogroup(right.groupBy(by))
         .applyInPandas(merge, schema=schema)
     )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts_col: str,
+    right_start_col: str,
+    right_end_col: str,
+    bucket_width: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Range (interval) join as an EQUI-join via bucket expansion —
+    the other join Spark lacks natively (the batch sibling of the
+    as-of join above; streaming has interval_join).
+
+    Semantics: inner-join every left row to every right interval with
+    ``start <= ts < end`` (half-open), optionally also matching on
+    ``extra_keys``. The naive ``ON ts BETWEEN start AND end`` plan in
+    Spark is a BroadcastNestedLoopJoin (or a cartesian product when
+    neither side broadcasts) — O(|L| * |R|) comparisons and a
+    single-task disaster at scale. Bucketing makes it an equi-join:
+
+    - left rows get bucket = ts DIV w (one row each);
+    - right intervals EXPLODE to one row per covered bucket
+      (sequence(start DIV w, end DIV w) — ceil(len/w)+1 rows);
+    - hash-join on (extra_keys..., bucket), then the exact range
+      predicate filters survivors.
+
+    No post-dedup is needed: a (left, right) pair shares exactly ONE
+    bucket — left's own ts DIV w — so matches are emitted once.
+    Shuffle is |L| + |R| * (interval_len/w + 1) rows; pick w near the
+    TYPICAL interval length so expansion stays ~2x. All-integer
+    bucket arithmetic (int64 epoch nanos), so the bucketing is exact
+    and oracle-replayable; Catalyst plans a plain shuffled/broadcast
+    hash join and AQE handles a skewed bucket like any other hot key.
+
+    Columns: all left columns + all right columns (callers rename
+    collisions first; raises on overlap)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    overlap = set(left.columns) & set(right.columns)
+    overlap -= set(extra_keys or [])
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+    w = int(bucket_width)
+    keys = list(extra_keys or [])
+    l = left.filter(F.col(left_ts_col).isNotNull()).withColumn(
+        "_bucket", F.expr(f"{left_ts_col} DIV {w}")
+    )
+    r = (
+        right.filter(
+            F.col(right_start_col).isNotNull()
+            & F.col(right_end_col).isNotNull()
+        )
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{right_start_col} DIV {w}"),
+                    F.expr(f"{right_end_col} DIV {w}"),
+                )
+            ),
+        )
+    )
+    return (
+        l.join(r, keys + ["_bucket"])
+        .filter(
+            (F.col(left_ts_col) >= F.col(right_start_col))
+            & (F.col(left_ts_col) < F.col(right_end_col))
+        )
+        .drop("_bucket")
+    )

@@ -1721,6 +1721,71 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RJ_W = 300_000_000_000  # 5 min in nanos: bucket width == interval length
+
+
+@register(
+    "range_join_incidents",
+    oracle=f"""
+    WITH err AS (
+        SELECT event_id AS incident_id, ts_ns AS start_ns,
+               ts_ns + {_RJ_W} AS end_ns
+        FROM events WHERE event_type = 'error' AND ts_ns IS NOT NULL
+    ), oth AS (
+        SELECT event_id, user_id, ts_ns, value FROM events
+        WHERE event_type <> 'error' AND ts_ns IS NOT NULL
+    )
+    SELECT incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_follow,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM oth JOIN err
+      ON oth.ts_ns >= err.start_ns AND oth.ts_ns < err.end_ns
+    GROUP BY incident_id
+    ORDER BY incident_id
+    """,
+    doc="Batch RANGE JOIN via bucket expansion (operators/asof.py:"
+    "range_join_bucketed) — the other join Spark lacks natively: "
+    "every non-error event joined to the 5-minute incident window of "
+    "each error event, aggregated per incident. The naive BETWEEN "
+    "join plans as BroadcastNestedLoopJoin (O(L*R) comparisons, "
+    "single-task at scale; the DuckDB oracle RUNS that naive form as "
+    "ground truth); bucketing by ts DIV w with the intervals exploded "
+    "to their covered buckets turns it into a plain hash equi-join + "
+    "exact-predicate filter — shuffle |L| + 2|R| rows at w == "
+    "interval length, and NO post-dedup because a (left, interval) "
+    "pair shares exactly one bucket, the left row's own. All-integer "
+    "int64-nanos bucket arithmetic; plan-pinned to contain a hash "
+    "join and no nested-loop/cartesian node (tests/test_plans.py).",
+    tags=("pipeline", "asof", "join"),
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.asof import range_join_bucketed
+
+    ev = _t(spark, sf_dir)["events"].filter(F.col("ts_ns").isNotNull())
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_ns").alias("start_ns"),
+        (F.col("ts_ns") + F.lit(_RJ_W)).alias("end_ns"),
+    )
+    oth = ev.filter(F.col("event_type") != "error").select(
+        F.col("event_id").alias("f_event_id"), "user_id", "ts_ns", "value"
+    )
+    j = range_join_bucketed(oth, err, "ts_ns", "start_ns", "end_ns", _RJ_W)
+    return (
+        j.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_follow"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+        .orderBy("incident_id")
+    )
+
+
 # ----------------------------------------------- corpus quality filters
 # Gopher/C4-family rules (operators/corpus_filters.py). No reference
 # counterpart — beyond-reference training-data surface (SURVEY.md §2.3).
