@@ -1728,12 +1728,12 @@ _RJ_W = 300_000_000_000  # 5 min in nanos: bucket width == interval length
     "range_join_incidents",
     oracle=f"""
     WITH err AS (
-        SELECT event_id AS incident_id, ts_ns AS start_ns,
-               ts_ns + {_RJ_W} AS end_ns
-        FROM events WHERE event_type = 'error' AND ts_ns IS NOT NULL
+        SELECT event_id AS incident_id, epoch_ns(ts) AS start_ns,
+               epoch_ns(ts) + {_RJ_W} AS end_ns
+        FROM events WHERE event_type = 'error' AND ts IS NOT NULL
     ), oth AS (
-        SELECT event_id, user_id, ts_ns, value FROM events
-        WHERE event_type <> 'error' AND ts_ns IS NOT NULL
+        SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value FROM events
+        WHERE event_type <> 'error' AND ts IS NOT NULL
     )
     SELECT incident_id,
            CAST(COUNT(*) AS BIGINT) AS n_follow,
