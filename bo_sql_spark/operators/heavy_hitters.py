@@ -366,8 +366,12 @@ def hll_summary_by(
             "n_nonempty",
             "sum_scaled",
             F.expr(
+                # sum_scaled reaches 2^(p+33); the 10^6 alpha rescale must
+                # happen in DECIMAL(38,0), not BIGINT, or p >= 11 overflows
+                # int64 (2^44 * 10^6 > 2^63).
                 f"CAST(CAST('{numer}' AS DECIMAL(38,0))"
-                " DIV (sum_scaled * 1000000) AS BIGINT)"
+                " DIV (CAST(sum_scaled AS DECIMAL(38,0)) * 1000000)"
+                " AS BIGINT)"
             ).alias("hll_estimate"),
         )
     )

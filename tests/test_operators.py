@@ -1619,6 +1619,28 @@ def test_hll_registers_merge_and_estimate_accuracy(spark):
         HH.hll_registers(df, "k", p=5)
 
 
+def test_hll_summary_high_p_no_overflow(spark):
+    """p >= 11 regression (round-9 advice): sum_scaled reaches
+    2^(p+33), so the 10^6 alpha rescale must run in DECIMAL(38,0) —
+    in BIGINT it overflows int64 at p=11+ (ANSI: ARITHMETIC_OVERFLOW;
+    non-ANSI: silent garbage). Verify p=12 and p=14 under ANSI return
+    sane estimates for a 10k-key set (sparse regime: estimate is the
+    raw-floor side, so just check positivity and a loose band)."""
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    n = 10_000
+    df = spark.createDataFrame([(f"key-{i}",) for i in range(n)], "k string")
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for p in (12, 14):
+            row = HH.hll_distinct(df, "k", p=p).collect()[0]
+            assert row["m"] == 1 << p
+            assert 0 < row["hll_estimate"] < 10 * n, (p, row)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_hll_summary_empty_input_is_raw_floor(spark):
     """Empty input: every bucket empty, sum_scaled = m * 2^33, and the
     raw estimator returns its floor (~0.72m = 368 for m=512) — the
