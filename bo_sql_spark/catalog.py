@@ -117,9 +117,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # factory, so a caller-provided session gets identical semantics.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
+    # Existence through the Hadoop FS API: sf_dir can be a non-local URI
+    # (hdfs://, s3a://) — os.path.exists would silently skip every table.
+    # Local paths take the cheap os.path fast path.
+    from bo_sql_spark import fsutil
+
+    local = "://" not in sf_dir or sf_dir.startswith("file://")
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
+        present = (
+            os.path.exists(path.removeprefix("file://"))
+            if local
+            else fsutil.exists(spark, path)
+        )
+        if not present:
             continue
         df = spark.read.parquet(path)
         if name == "events":

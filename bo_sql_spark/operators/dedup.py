@@ -901,16 +901,12 @@ def _hadoop_ls(spark, path: str) -> list[tuple[str, str]]:
     Hadoop FileSystem resolved FROM the path itself — so file://,
     hdfs:// and s3a:// stores all list correctly (a posix os.listdir
     only sees the local FS and silently returns nothing elsewhere).
-    Missing path => empty list, same as an empty store."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return []
-    return [
-        (st.getPath().getName(), st.getPath().toString())
-        for st in fs.listStatus(hpath)
-    ]
+    Missing path => empty list, same as an empty store.
+    Shared implementation: bo_sql_spark.fsutil (round 9 promoted it —
+    compaction and the catalog use the same helpers)."""
+    from bo_sql_spark import fsutil
+
+    return fsutil.ls(spark, path)
 
 
 def adaptive_window_hashes(L: int, hash_struct_fmt: str) -> str:

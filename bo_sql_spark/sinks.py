@@ -67,43 +67,64 @@ def compact_table(
     distributed read + one write sized by data volume, not by history.
 
     Partitioned tables compact WITHIN partitions (partition columns
-    are preserved in the rewrite, so pruning keeps working). The swap
-    is write-to-side-dir + rename: readers never see a half-compacted
-    table; concurrent writers must be quiesced (real lakehouses take a
-    table lock or use snapshot commits — out of scope here, noted).
+    are preserved in the rewrite, so pruning keeps working) and re-bin
+    INSIDE each hive partition: a per-partition bin key sized from the
+    partition's row count spreads a large partition over
+    ceil(rows/target) tasks — repartitioning on the partition columns
+    alone would funnel every row of a partition value into ONE task
+    (single giant file + task skew, the opposite of re-binning).
+
+    All listing/swap I/O goes through the Hadoop FileSystem API
+    (fsutil), so file://, hdfs:// and s3a:// tables all work — not
+    just the driver's local disk. The swap is write-to-side-dir +
+    rename: atomic on HDFS/posix, but on S3 a directory rename is a
+    COPY+DELETE, so there readers can observe the gap — a production
+    lakehouse commits a manifest/snapshot pointer instead (Iceberg/
+    Delta style); this two-rename swap is the HDFS-honest version.
+    Concurrent writers must be quiesced either way. A crash between
+    the two renames leaves the data intact at ``<path>.old`` plus the
+    full rewrite at ``<path>.compacting`` (recovery = rename either
+    back); nothing is deleted until both renames have succeeded.
     """
-    import os
-    import shutil
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark import fsutil
 
     df = spark.read.parquet(path)
-    n_rows = df.count()
-    n_files_before = sum(
-        1
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    n_out = max(1, -(-n_rows // max(1, int(target_rows_per_file))))
+    target = max(1, int(target_rows_per_file))
+    n_files_before = fsutil.count_files(spark, path)
     tmp = path.rstrip("/") + ".compacting"
-    writer = (
-        df.repartition(n_out).write.mode("overwrite")
-    )
     if partition_by:
-        # rebin within partitions, keep the directory layout
+        # rebin within partitions: per-partition bin count from the
+        # partition's own row count (tiny aggregate, broadcast back)
+        counts = df.groupBy(*partition_by).agg(
+            F.ceil(F.count(F.lit(1)) / target).cast("int").alias("_n_bins")
+        )
+        binned = (
+            df.join(F.broadcast(counts), partition_by)
+            .withColumn(
+                "_bin",
+                F.pmod(
+                    F.xxhash64(F.monotonically_increasing_id()),
+                    F.greatest(F.lit(1), F.col("_n_bins")),
+                ),
+            )
+        )
         writer = (
-            df.repartition(n_out, *partition_by)
+            binned.repartition(*(list(partition_by) + ["_bin"]))
+            .drop("_bin", "_n_bins")
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", target)
             .partitionBy(*partition_by)
         )
+    else:
+        n_rows = df.count()
+        n_out = max(1, -(-n_rows // target))
+        writer = df.repartition(n_out).write.mode("overwrite")
     writer.parquet(tmp)
     old = path.rstrip("/") + ".old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    n_files_after = sum(
-        1
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    fsutil.rename(spark, path, old)
+    fsutil.rename(spark, tmp, path)
+    fsutil.delete(spark, old)
+    n_files_after = fsutil.count_files(spark, path)
     return n_files_before, n_files_after

@@ -72,6 +72,66 @@ def test_compact_table_rebins_and_preserves_content(spark, tmp_path):
     assert sorted(r["id"] for r in after.collect()) == before_rows
 
 
+def test_compact_table_file_uri_and_no_posix_calls(spark, tmp_path, monkeypatch):
+    """Cluster-FS safety (round-9 verdict): compaction must route ALL
+    listing/rename/delete through the Hadoop FileSystem API, so it
+    works on any scheme — proven two ways: (a) the whole op runs
+    against an explicit file:// URI, (b) posix os.rename/os.walk/
+    shutil.rmtree are booby-trapped for the duration (the r8
+    implementation used all three)."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.sinks import compact_table
+
+    local = str(tmp_path / "uri_table")
+    for b in range(8):
+        spark.range(b * 100, (b + 1) * 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(local)
+
+    def _boom(*a, **k):
+        raise AssertionError("posix FS call on a table path")
+
+    monkeypatch.setattr(_os, "rename", _boom)
+    monkeypatch.setattr(_os, "walk", _boom)
+    monkeypatch.setattr(_shutil, "rmtree", _boom)
+    nb, na = compact_table(spark, "file://" + local, target_rows_per_file=400)
+    assert nb >= 8 and na <= 3, (nb, na)
+    assert spark.read.parquet(local).count() == 800
+
+
+def test_compact_table_partitioned_rebins_large_partition(spark, tmp_path):
+    """Skew fix (round-9 advice): a hive partition larger than the
+    target must be split across MULTIPLE output files (the r8 version
+    repartitioned on the partition columns alone, funneling each
+    partition value into one task/one giant file)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.sinks import compact_table
+
+    path = str(tmp_path / "skewed")
+    # g=0 holds 2000 rows, g=1 holds 50: same table, 40x skew
+    df = spark.range(0, 2050).select(
+        "id", F.when(F.col("id") < 2000, 0).otherwise(1).alias("g")
+    )
+    df.repartition(10).write.partitionBy("g").parquet(path)
+    compact_table(spark, path, target_rows_per_file=250, partition_by=["g"])
+    big = [
+        f
+        for f in os.listdir(os.path.join(path, "g=0"))
+        if f.endswith(".parquet")
+    ]
+    assert len(big) >= 4, big  # 2000 rows / 250 target -> ~8 bins
+    back = spark.read.parquet(path)
+    assert back.count() == 2050
+    assert back.filter(F.col("g") == 0).count() == 2000
+
+
 def test_compact_table_partitioned_keeps_layout(spark, tmp_path):
     """Partitioned compaction must preserve the hive directory layout
     (pruning keeps working) and the row multiset."""
