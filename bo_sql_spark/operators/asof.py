@@ -220,6 +220,9 @@ def range_join_bucketed(
         raise ValueError("bucket_width must be positive")
     overlap = set(left.columns) & set(right.columns)
     overlap -= set(extra_keys or [])
+    # `_bucket` is the internal join key: withColumn would silently
+    # REPLACE a same-named user column, corrupting the output.
+    overlap |= {"_bucket"} & (set(left.columns) | set(right.columns))
     if overlap:
         raise ValueError(f"column collision: {sorted(overlap)}")
     w = int(bucket_width)

@@ -375,6 +375,52 @@ def test_asof_window_strategy_has_no_python_stage(spark):
     assert "Python" not in plan
 
 
+def test_range_join_bucketed_brute_force_parity(spark):
+    """range_join_bucketed (bucket-expansion equi-join) must equal the
+    naive BETWEEN join on a random fixture — including intervals
+    shorter/longer than the bucket width, empty matches, and the
+    half-open end. Also: exactly once per matching pair (no post-dedup
+    in the operator, so duplicates would show)."""
+    import random
+
+    from bo_sql_spark.operators.asof import range_join_bucketed
+
+    rnd = random.Random(7)
+    lrows = [(i, rnd.randrange(0, 1000)) for i in range(300)]
+    rrows = []
+    for j in range(60):
+        s = rnd.randrange(0, 1000)
+        rrows.append((j, s, s + rnd.choice([3, 25, 90, 400])))
+    left = spark.createDataFrame(lrows, "lid long, ts long")
+    right = spark.createDataFrame(rrows, "rid long, s long, e long")
+
+    for w in (10, 50, 1000):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in range_join_bucketed(left, right, "ts", "s", "e", w).collect()
+        )
+        want = sorted(
+            (lid, rid)
+            for lid, ts in lrows
+            for rid, s, e in rrows
+            if s <= ts < e
+        )
+        assert got == want, f"w={w}: {len(got)} vs {len(want)}"
+
+
+def test_range_join_bucketed_rejects_bucket_collision(spark):
+    """An input already carrying `_bucket` must raise, not be silently
+    overwritten by the internal join key (round-9 advice)."""
+    import pytest
+
+    from bo_sql_spark.operators.asof import range_join_bucketed
+
+    left = spark.createDataFrame([(1, 10, 99)], "lid long, ts long, _bucket long")
+    right = spark.createDataFrame([(1, 5, 15)], "rid long, s long, e long")
+    with pytest.raises(ValueError, match="_bucket"):
+        range_join_bucketed(left, right, "ts", "s", "e", 10)
+
+
 def test_ann_lsh_multiseed_dominates_single(spark, sf_dir):
     """Extra seeds only widen the candidate pool, so the sorted top-k
     scores of a multi-seed probe dominate the single-seed ones
