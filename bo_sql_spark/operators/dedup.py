@@ -1141,44 +1141,85 @@ def dedup_lines_global(
     kept text reassembled in chunk order (what the cleaned corpus
     ships).
 
-    Scale shape: chunk rows shuffle ONCE keyed by the chunk text (the
-    first-occurrence window), survivors shuffle back by doc for the
-    ordered rebuild — ~2x corpus bytes total, the standard cost of
-    this step (unlike intra-doc dedup there is no broadcastable side:
-    the dup set IS corpus-sized). The keep rule is a row_number over
-    (chunk)(doc, pos) — deterministic, engine-portable, no hashing
-    needed since the chunk text itself is the key both engines group
-    on. Singleton chunks (almost all) pass the window untouched;
+    Scale shape (round 9 — C4's own trick): the first-occurrence
+    window is keyed on a 128-BIT CHUNK FINGERPRINT (xxhash64 pair,
+    distinct seeds), so the dedup exchange moves fixed ~28-byte rows
+    instead of corpus text; chunk TEXT crosses exactly ONE exchange —
+    the per-doc rebuild join — cutting total shuffle bytes ~2x vs the
+    r8 text-keyed form (measured: tools_scaling_r9.py / SCALE.md).
+    The keep decisions are aggregated per doc into a sorted index
+    array (fixed-width groupBy, already partitioned by doc when it
+    reaches the join), then joined back to the tokenized doc row and
+    the kept text is rebuilt from the token array — the documents
+    table is scanned twice (once per branch), the usual
+    scan-vs-shuffle trade at 100 TB where a column-pruned parquet
+    re-read is cheaper than a second corpus-text shuffle. Keep
+    semantics are identical to grouping on text itself given
+    collision-free fingerprints (2^-64 birthday stance at corpus
+    scale — the same stance every MinHash/SimHash stage here takes,
+    and why the DuckDB oracle may keep grouping on raw text).
+    Singleton fingerprints (almost all) pass the window untouched;
     viral chunks concentrate in one task each — bounded by corpus
-    frequency of ONE chunk, the same hot-key profile as the LSH
-    band buckets (salt the same way if a chunk goes truly viral).
+    frequency of ONE chunk, the same hot-key profile as the LSH band
+    buckets (salt the same way if a chunk goes truly viral).
     """
     from pyspark.sql.window import Window
 
     from bo_sql_spark.functions import tokens
 
     K = int(chunk_tokens)
-    d = docs.filter(F.col(text_col).isNotNull()).select(
-        id_col, tokens(F.col(text_col)).alias("_tok")
+    d0 = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.col(text_col).alias("_text")
     )
-    chunks = d.select(
+    chunks = (
+        d0.select(id_col, tokens(F.col("_text")).alias("_tok"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(_tok) - 1) DIV {K}),"
+                    f" c -> struct(c AS c, array_join(slice(_tok, c * {K} + 1, {K}), ' ') AS chunk))"
+                )
+            ).alias("_e"),
+        )
+        .select(id_col, F.col("_e.c").alias("c"), F.col("_e.chunk").alias("chunk"))
+    )
+    # fixed-width keep decisions: text is dropped BEFORE the window
+    # exchange; the fingerprint pair is the partition key
+    keyed = chunks.select(
         id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, (size(_tok) - 1) DIV {K}),"
-                f" c -> struct(c AS c, array_join(slice(_tok, c * {K} + 1, {K}), ' ') AS chunk))"
-            )
-        ).alias("_e"),
-    ).select(id_col, F.col("_e.c").alias("c"), F.col("_e.chunk").alias("chunk"))
-    w = Window.partitionBy("chunk").orderBy(id_col, "c")
-    flagged = chunks.withColumn("_keep", F.row_number().over(w) == 1)
-    return flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        "c",
+        F.xxhash64("chunk").alias("_h1"),
+        F.xxhash64(F.lit("bosql:lines:v1"), F.col("chunk")).alias("_h2"),
+    )
+    w = Window.partitionBy("_h1", "_h2").orderBy(id_col, "c")
+    kept = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("c")).alias("_kept_cs"))
+    )
+    # rebuild: one text-bearing exchange (the doc-keyed join), moving
+    # the RAW text string — NOT the token array, whose UnsafeRow
+    # element overhead is ~2-3x the text bytes (measured,
+    # tools_scaling_r9.py); tokenization re-runs post-join (CPU for
+    # shuffle bytes, the right trade). kept is already hash-partitioned
+    # by doc from its groupBy, so only the text side shuffles.
+    joined = d0.join(kept, id_col, "left").withColumn(
+        "_tok", tokens(F.col("_text"))
+    )
+    return joined.select(
+        id_col,
+        F.expr(f"(size(_tok) - 1) DIV {K} + 1").cast("long").alias("n_chunks"),
+        # size(NULL) is -1 under the legacy default, so branch, don't coalesce
+        F.when(F.col("_kept_cs").isNull(), F.lit(0))
+        .otherwise(F.size("_kept_cs"))
+        .cast("long")
+        .alias("n_kept"),
         F.coalesce(
             F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "CASE WHEN _keep THEN struct(c, chunk) END)), x -> x.chunk), ' ')"
+                f"array_join(transform(_kept_cs,"
+                f" c -> array_join(slice(_tok, c * {K} + 1, {K}), ' ')), ' ')"
             ),
             F.lit(""),
         ).alias("text_kept"),

@@ -379,11 +379,14 @@ _LINES_K = 8
     "sentence/line boundaries), each distinct chunk keeps only its "
     "first corpus occurrence (min (doc_id, pos)), docs reassembled "
     "from survivors — cross-page boilerplate disappears from every "
-    "copy but the first. Chunk rows shuffle once keyed by the chunk "
-    "text (no broadcastable side exists: the dup set is corpus-sized) "
-    "+ once back by doc for the ordered rebuild — ~2x corpus, the "
-    "standard cost of this step. The oracle replays chunking, the "
-    "first-occurrence window, and the rebuild verbatim.",
+    "copy but the first. Round 9: the first-occurrence window keys on "
+    "a 128-bit chunk fingerprint (fixed-width dedup exchange + "
+    "map-side WindowGroupLimit), and text crosses only the doc-keyed "
+    "rebuild join, once, as the raw string — 0.72x the r8 form's "
+    "shuffle bytes at realistic chunk sizes (SCALE.md). The oracle "
+    "replays chunking, the first-occurrence window (on raw text — "
+    "identical keeps absent a 2^-64 fingerprint collision), and the "
+    "rebuild verbatim.",
     tags=("pipeline", "dedup"),
 )
 def dedup_lines_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -322,6 +322,28 @@ def test_fixed_k_sample_trims_below_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in text, text
 
 
+def test_lines_global_dedup_exchange_is_fingerprint_only(spark, sf_dir):
+    """Round-9 rewrite (C4's trick): the first-occurrence window keys
+    on a 128-bit chunk fingerprint, so the dedup Exchange moves
+    fixed-width (doc_id, c, _h1, _h2) rows — chunk TEXT and the token
+    array never enter any hash exchange. Exchanges may key only on
+    the fingerprint pair or doc_id (kept-index groupBy / rebuild
+    join). Also pinned: the map-side WindowGroupLimit that trims each
+    task to first-per-key BEFORE the shuffle."""
+    import re
+
+    df = _df(spark, sf_dir, "dedup_lines_global")
+    text = explain_str(df, "simple")
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", text)
+    assert parts, text
+    assert all(
+        "text" not in p and "chunk" not in p and "_tok" not in p for p in parts
+    ), parts
+    keyed = {c.split("#")[0].strip() for p in parts for c in p.split(",")[:-1]}
+    assert keyed <= {"_h1", "_h2", "doc_id"}, keyed
+    assert "WindowGroupLimit" in text, text
+
+
 def test_winnowed_spans_never_shuffle_text(spark, sf_dir):
     """The production span-dedup plan: the winnow itself is a PURE MAP
     (per-doc array expression — no repartition, no WindowExec, no
