@@ -531,6 +531,73 @@ def make_png_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _lcg_pixels(seed: int, n: int, lo: int = 0, hi: int = 200) -> bytes:
+    """Deterministic noise pixels in [lo, hi] from a 31-bit LCG — the
+    near-dup fixture needs NON-degenerate images (the closed-form
+    gradient fixture of make_png_blob_df makes every dHash collide;
+    COVERAGE.md r8 note). Range capped at 200 so a +30 brightness
+    variant never clips — clipping would flip gradient signs."""
+    x = (seed * 2654435761 + 0xDEADBEEF) & 0x7FFFFFFF
+    out = bytearray(n)
+    span = hi - lo + 1
+    for i in range(n):
+        x = (1103515245 * x + 12345) & 0x7FFFFFFF
+        out[i] = lo + (x >> 13) % span
+    return bytes(out)
+
+
+# id offsets for the planted variants (far above any fixture doc_id)
+NEARDUP_BRIGHT_OFF = 1_000_000
+NEARDUP_SCALE_OFF = 2_000_000
+
+
+def make_png_neardup_blob_df(
+    docs: DataFrame, id_col: str = "doc_id", every: int = 7
+) -> DataFrame:
+    """Near-dup image fixture: every doc gets a NOISE grayscale PNG
+    (LCG pixels — well-spread dHashes, unlike the gradient fixture),
+    and docs with ``doc_id % every == 0`` additionally get two planted
+    near-duplicates under offset ids:
+
+    - brightness variant (+30, no clipping by construction): every
+      horizontal gradient sign is preserved exactly -> hamming 0;
+    - rescale variant (2x nearest-neighbor upscale): the dHash 8x8
+      grid re-samples near-identical positions -> hamming small but
+      nonzero where the floor grid straddles duplicated pixels.
+
+    This is the corpus a perceptual-hash dedup actually faces
+    (re-encoded / brightened / resized copies of the same picture
+    among unrelated images); unrelated noise images sit ~28 bits
+    apart on average, so candidate banding + exact verify separates
+    them deterministically. Image sizes 32..48 x 24..36 avoid the
+    degenerate 1-px-wide shapes of the stats fixture."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w = 32 + d % 17
+                h = 24 + d % 13
+                px = _lcg_pixels(d, w * h)
+                ids.append(d)
+                blobs.append(png_encode_gray(w, h, px))
+                if d % every == 0:
+                    bright = bytes(p + 30 for p in px)
+                    ids.append(d + NEARDUP_BRIGHT_OFF)
+                    blobs.append(png_encode_gray(w, h, bright))
+                    up = bytearray(4 * w * h)
+                    for y in range(2 * h):
+                        row = px[(y // 2) * w : (y // 2) * w + w]
+                        for x in range(2 * w):
+                            up[y * 2 * w + x] = row[x // 2]
+                    ids.append(d + NEARDUP_SCALE_OFF)
+                    blobs.append(png_encode_gray(2 * w, 2 * h, bytes(up)))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return docs.select(id_col).mapInPandas(gen, schema="doc_id long, media binary")
+
+
 PNG_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

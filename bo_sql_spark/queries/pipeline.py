@@ -2211,6 +2211,36 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_png_dhash(blobs)
 
 
+@register(
+    "multimodal_image_neardup_pairs",
+    oracle=None,  # LCG noise pixels + banded self-join are engine-side;
+    # structure is deterministic and unit-pinned (exact triple set at
+    # tests/test_operators.py::test_image_neardup_pairs_planted_triples)
+    doc="IMAGE near-duplicate candidate pairs at corpus scale "
+    "(operators/multimodal.py:make_png_neardup_blob_df + "
+    "decode_png_dhash + dhash_near_pairs): a non-degenerate noise-"
+    "image corpus (LCG pixels; the gradient fixture made every dHash "
+    "collide) where each doc_id % 7 == 0 plants a brightness (+30, "
+    "non-clipping) and a 2x nearest-neighbor rescale variant — both "
+    "dHash-invariant by construction, so the expected output is "
+    "EXACTLY the 3 pairwise pairs per planted triple at hamming 0, "
+    "and nothing else (500 unrelated noise images sit ~28 bits "
+    "apart). Pipeline: real PNG encode -> Arrow-batched decode+dHash "
+    "-> 14-bit band buckets -> exact bit_count(xor) verify; the "
+    "banding self-join shuffles tiny (id, hash) rows, never all "
+    "pairs. Rows-only check (the LCG fixture is not SQL-replayable); "
+    "nonzero-hamming recall is pinned by the pigeonhole unit tests.",
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    blobs = M.make_png_neardup_blob_df(t["documents"])
+    hashes = M.decode_png_dhash(blobs)
+    return M.dhash_near_pairs(hashes, max_hamming=6, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 _VAD_WIN = 8
 
 

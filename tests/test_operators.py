@@ -421,6 +421,38 @@ def test_range_join_bucketed_rejects_bucket_collision(spark):
         range_join_bucketed(left, right, "ts", "s", "e", 10)
 
 
+def test_image_neardup_pairs_planted_triples(spark, sf_dir):
+    """The graded image near-dup query's exact expectation: for every
+    planted triple (base, +brightness, +2x-rescale) all THREE pairwise
+    pairs appear at hamming 0 — brightness (+30, non-clipping)
+    preserves every gradient sign and the even upscale re-samples the
+    identical pixels through the floor grid — and NO pair links
+    unrelated noise images (500 LCG images, ~28 expected bits apart,
+    candidate banding + exact verify)."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators import multimodal as M
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = M.dhash_near_pairs(
+        M.decode_png_dhash(M.make_png_neardup_blob_df(docs)),
+        max_hamming=6,
+        bands=4,
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    planted = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()
+    ]
+    B, S = M.NEARDUP_BRIGHT_OFF, M.NEARDUP_SCALE_OFF
+    want = set()
+    for d in planted:
+        want |= {(d, d + B), (d, d + S), (d + B, d + S)}
+    assert set(got) == want, (len(got), len(want))
+    assert all(h == 0 for h in got.values())
+
+
 def test_ann_lsh_multiseed_dominates_single(spark, sf_dir):
     """Extra seeds only widen the candidate pool, so the sorted top-k
     scores of a multi-seed probe dominate the single-seed ones
