@@ -53,3 +53,37 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
         cols = [p.split(":")[0].strip() for p in body.split(",") if ":" in p]
         scans.append(cols)
     return scans
+
+
+def pin_plan_with_confs(spark, confs: dict, build):
+    """Per-QUERY (non-session) conf mechanism: set ``confs``, build the
+    DataFrame, force its physical plan to materialize UNDER those
+    confs, then restore the previous values — callers can collect the
+    returned DataFrame later under a clean session because Spark
+    caches the QueryExecution on the Dataset (planning happens once;
+    later actions reuse the pinned plan).
+
+    Exists for plan-affecting confs with environment-scaled thresholds
+    — e.g. the runtime Bloom-filter's 10GB application-side scan floor,
+    which a 100 TB table clears by itself but a test fixture never
+    will. Restoring the conf immediately keeps every OTHER registered
+    query planning under the session defaults (a leaked threshold
+    would silently change their plan signatures)."""
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, str(v))
+    try:
+        df = build()
+        df._jdf.queryExecution().executedPlan()  # pin under these confs
+        return df
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

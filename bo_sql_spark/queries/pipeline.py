@@ -1789,6 +1789,86 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bloom_runtime_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Fact-to-filtered-fact join under RUNTIME BLOOM-FILTER pruning "
+    "(SPARK-32268, InjectRuntimeFilter): lineitem joined to the "
+    "~0.7%-selective urgent-1995Q1 orders slice with broadcast "
+    "DISABLED — the both-sides-too-big regime where the only built-in "
+    "defense against shuffling 99% dead fact rows is the Bloom filter "
+    "Spark builds from the selective side at runtime and pushes into "
+    "the fact scan (plan-pinned: might_contain on the lineitem side, "
+    "tests/test_plans.py). Confs are applied per-QUERY via "
+    "plans.pin_plan_with_confs — the filter is ON by default in "
+    "Spark 3.4+; only its 10GB application-side scan floor is lowered "
+    "because sf fixtures are MBs (a 100 TB fact table clears the "
+    "default by itself), plus the broadcast disable that models the "
+    "regime. Measured at sf0.1: 0.9% of the fact shuffle survives "
+    "(SCALE.md, tools_bloom_join.py). Integer-cents revenue keeps the "
+    "oracle hash-exact.",
+    tags=("pipeline", "join", "bloom"),
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.plans import pin_plan_with_confs
+
+    t = _t(spark, sf_dir)
+
+    def build() -> DataFrame:
+        li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+        sel = (
+            t["orders"]
+            .filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") < F.lit("1995-04-01"))
+            )
+            .select("o_orderkey", "o_orderpriority")
+        )
+        return (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+                F.sum(
+                    F.expr(
+                        "CAST(FLOOR(l_extendedprice * (1.0 - l_discount)"
+                        " * 100 + 0.5) AS BIGINT)"
+                    )
+                )
+                .cast("long")
+                .alias("rev_cents"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    return pin_plan_with_confs(
+        spark,
+        {
+            # the 10GB default exists for exactly the 100 TB case; the
+            # fixture is MBs, so lower ONLY for this query's planning
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "100KB",
+            # model the both-sides-big regime: no broadcast escape hatch
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+        build,
+    )
+
+
 # ----------------------------------------------- corpus quality filters
 # Gopher/C4-family rules (operators/corpus_filters.py). No reference
 # counterpart — beyond-reference training-data surface (SURVEY.md §2.3).

@@ -322,6 +322,24 @@ def test_fixed_k_sample_trims_below_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in text, text
 
 
+def test_bloom_runtime_filter_on_fact_scan(spark, sf_dir):
+    """join_bloom_runtime_filter (round 9): the runtime Bloom filter
+    built from the selective orders slice must appear as a
+    might_contain predicate on the lineitem (fact) side — the
+    fact-to-filtered-fact regime where broadcast is off the table and
+    ~99% of the fact shuffle is dead without it. Also pinned: no
+    broadcast hash join for the main join (the regime being modeled),
+    no nested loop, and the per-query conf pin must NOT leak into the
+    session (a leaked threshold would change every later plan)."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = _df(spark, sf_dir, "join_bloom_runtime_filter")
+    text = explain_str(df, "simple")
+    assert "might_contain" in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "CartesianProduct" not in text, text
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
 def test_lines_global_dedup_exchange_is_fingerprint_only(spark, sf_dir):
     """Round-9 rewrite (C4's trick): the first-occurrence window keys
     on a 128-bit chunk fingerprint, so the dedup Exchange moves
