@@ -326,18 +326,90 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACD_P = 9
+_ACD_M = 1 << _ACD_P
+_ACD_NUMER = round(0.7213 / (1 + 1.079 / _ACD_M) * 1e6) * _ACD_M * _ACD_M * (1 << 33)
+
+
+def _acd_est_sql(col: str) -> str:
+    """Scalar subquery replaying the portable-HLL estimate for one
+    column (same chain the sketch_hll_* family oracles use)."""
+    return f"""(
+        WITH keyed AS (
+            SELECT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM lineitem WHERE {col} IS NOT NULL
+        ), reg AS (
+            SELECT h % {_ACD_M} AS bucket,
+                   MAX(33 - length(ltrim(bin((h // {_ACD_M}) % 4294967296),
+                                         '0'))) AS M
+            FROM keyed GROUP BY h % {_ACD_M}
+        ), s AS (
+            SELECT SUM(CAST(1 AS BIGINT) << (33 - M))
+                       + ({_ACD_M} - COUNT(*)) * 8589934592 AS t
+            FROM reg
+        )
+        SELECT CAST(CAST('{_ACD_NUMER}' AS HUGEINT) // (t * 1000000)
+                    AS BIGINT)
+        FROM s)"""
+
+
 @register(
     "approx_count_distinct",
-    oracle=None,  # approximate — HLL sketches differ across engines by design
-    doc="approx_count_distinct (HyperLogLog++): the 100 TB answer to NDV. "
-    "Rows-only check; exactness is the point of NOT matching an oracle.",
-    tags=("extended", "aggregate", "approx"),
+    oracle=f"""
+    SELECT {_acd_est_sql("l_orderkey")} AS approx_orders,
+           {_acd_est_sql("l_orderkey * 10 + l_linenumber")} AS approx_lineids
+    """,
+    doc="Approximate NDV, the 100 TB answer to COUNT(DISTINCT): one "
+    "O(m)-memory mergeable sketch pass instead of shuffling the key "
+    "space. This panel row runs the PORTABLE HyperLogLog "
+    "(operators/heavy_hitters.py:hll_distinct, m=512) on two columns "
+    "so the oracle replays the estimates EXACTLY — Spark's native "
+    "approx_count_distinct (HLL++) computes the same thing with an "
+    "engine-private sketch that no cross-engine oracle can replay by "
+    "design; it stays demonstrated as approx_count_distinct_native "
+    "(rows-only). Same plan shape for both: map-combinable register "
+    "groupBy, <= m rows per task at any corpus size. Columns: order "
+    "NDV and line-id NDV — both in the raw regime (n >= 2.5m) at "
+    "every test SF; l_partkey's 200 distinct at sf0.001 sits in the "
+    "small-range regime where the PORTABLE estimator is biased by "
+    "design (linear counting needs ln(), which is not bit-portable).",
+    tags=("extended", "aggregate", "approx", "sketch"),
 )
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    e1 = HH.hll_distinct(li, "l_orderkey", p=_ACD_P).select(
+        F.col("hll_estimate").alias("approx_orders")
+    )
+    e2 = HH.hll_distinct(
+        li.withColumn("_lineid", F.expr("l_orderkey * 10 + l_linenumber")),
+        "_lineid",
+        p=_ACD_P,
+    ).select(F.col("hll_estimate").alias("approx_lineids"))
+    return e1.crossJoin(e2)
+
+
+@register(
+    "approx_count_distinct_native",
+    oracle=None,  # HLL++ sketch is engine-private by design; the
+    # oracle-replayable portable twin is approx_count_distinct above
+    doc="Spark's native approx_count_distinct (HyperLogLog++) on the "
+    "same two columns. Rows-only: the HLL++ sketch's exact estimates "
+    "are engine-private; estimate parity with the portable sketch is "
+    "unit-asserted within the published error bound "
+    "(tests/test_operators.py::test_native_and_portable_hll_agree).",
+    tags=("extended", "aggregate", "approx"),
+)
+def approx_count_distinct_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return t["lineitem"].agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct(
+            F.expr("l_orderkey * 10 + l_linenumber")
+        ).alias("approx_lineids"),
     )
 
 

@@ -1697,6 +1697,36 @@ def test_hll_registers_merge_and_estimate_accuracy(spark):
         HH.hll_registers(df, "k", p=5)
 
 
+def test_native_and_portable_hll_agree(spark, sf_dir):
+    """The panel's portable-HLL estimates and Spark's native HLL++
+    must both land within their published error bounds of the exact
+    NDV on the same columns (3 sigma; portable m=512 => 1.04/sqrt(m)
+    = 4.6%, native default rsd 5%) — the cross-check that justifies
+    registering the portable twin as the approx_count_distinct row."""
+    from bo_sql_spark.queries import load_all
+
+    reg = load_all()
+    portable = reg["approx_count_distinct"].builder(spark, sf_dir).first()
+    native = reg["approx_count_distinct_native"].builder(spark, sf_dir).first()
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.catalog import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("o"),
+        F.count_distinct(
+            F.expr("l_orderkey * 10 + l_linenumber")
+        ).alias("p"),
+    ).first()
+    for col, ex in (
+        ("approx_orders", exact["o"]),
+        ("approx_lineids", exact["p"]),
+    ):
+        assert abs(portable[col] - ex) / ex < 3 * 0.046, (col, portable[col], ex)
+        assert abs(native[col] - ex) / ex < 3 * 0.05, (col, native[col], ex)
+
+
 def test_hll_summary_high_p_no_overflow(spark):
     """p >= 11 regression (round-9 advice): sum_scaled reaches
     2^(p+33), so the 10^6 alpha rescale must run in DECIMAL(38,0) —
