@@ -253,3 +253,85 @@ def range_join_bucketed(
         )
         .drop("_bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start_col: str,
+    left_end_col: str,
+    right_start_col: str,
+    right_end_col: str,
+    bucket_width: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """INTERVAL-INTERVAL overlap join as an equi-join — the third join
+    Spark lacks natively (point-in-time: asof_join; point-in-interval:
+    range_join_bucketed; this is interval-vs-interval, the genomic /
+    session-vs-incident / downtime-vs-downtime shape).
+
+    Semantics: inner-join every (left, right) pair of HALF-OPEN
+    intervals with a non-empty intersection — ``l_start < r_end AND
+    r_start < l_end`` — optionally also matching ``extra_keys``.
+    Empty intervals (start >= end) are dropped on both sides (the
+    overlap formula is only equivalent to non-empty intersection for
+    non-empty inputs). Spark plans the naive predicate as a nested-
+    loop/cartesian; bucketing makes it a hash join:
+
+    - BOTH sides explode to their covered buckets
+      (sequence(start DIV w, (end - 1) DIV w));
+    - hash-join on (extra_keys..., bucket) + the exact overlap
+      predicate;
+    - NO post-dedup: a matching pair shares every bucket of its
+      intersection, so it is emitted only from the CANONICAL one —
+      the intersection's first bucket, greatest(l_start, r_start)
+      DIV w — one extra integer comparison instead of a global
+      distinct over the (potentially huge) pair output.
+
+    Shuffle is sum over rows of ceil(len/w)+1 per side; pick w near
+    the typical interval length so expansion stays ~2x per side.
+    All-integer int64 bucket arithmetic (epoch nanos), exact and
+    oracle-replayable; AQE treats a hot bucket like any other skewed
+    key. Columns: all left + all right columns (collisions, including
+    the internal ``_bucket``/``_cbucket``, raise)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(extra_keys or [])
+    overlap = set(left.columns) & set(right.columns)
+    overlap -= set(keys)
+    overlap |= {"_bucket", "_cbucket"} & (set(left.columns) | set(right.columns))
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+    w = int(bucket_width)
+
+    def explode_side(df: DataFrame, s: str, e: str) -> DataFrame:
+        return (
+            df.filter(
+                F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(s) < F.col(e))
+            ).withColumn(
+                "_bucket",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{s} DIV {w}"), F.expr(f"({e} - 1) DIV {w}")
+                    )
+                ),
+            )
+        )
+
+    l = explode_side(left, left_start_col, left_end_col)
+    r = explode_side(right, right_start_col, right_end_col)
+    return (
+        l.join(r, keys + ["_bucket"])
+        .filter(
+            (F.col(left_start_col) < F.col(right_end_col))
+            & (F.col(right_start_col) < F.col(left_end_col))
+        )
+        .withColumn(
+            "_cbucket",
+            F.expr(
+                f"greatest({left_start_col}, {right_start_col}) DIV {w}"
+            ),
+        )
+        .filter(F.col("_bucket") == F.col("_cbucket"))
+        .drop("_bucket", "_cbucket")
+    )

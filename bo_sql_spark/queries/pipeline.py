@@ -1789,6 +1789,81 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IOV_ERR_W = 300_000_000_000  # 5 min incident windows
+_IOV_CLK_W = 120_000_000_000  # 2 min click-activity windows
+
+
+@register(
+    "interval_overlap_incidents",
+    oracle=f"""
+    WITH err AS (
+        SELECT event_id AS incident_id, epoch_ns(ts) AS e_start,
+               epoch_ns(ts) + {_IOV_ERR_W} AS e_end
+        FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+    ), clk AS (
+        SELECT event_id AS click_id, user_id, epoch_ns(ts) AS c_start,
+               epoch_ns(ts) + {_IOV_CLK_W} AS c_end
+        FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+    )
+    SELECT incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(LEAST(e_end, c_end) - GREATEST(e_start, c_start))
+                AS BIGINT) AS overlap_ns
+    FROM err JOIN clk
+      ON e_start < c_end AND c_start < e_end
+    GROUP BY incident_id
+    ORDER BY incident_id
+    """,
+    doc="INTERVAL-INTERVAL overlap join (operators/asof.py:"
+    "interval_overlap_join) — the third temporal join Spark lacks "
+    "natively (asof = point-in-time, range = point-in-interval, this "
+    "= interval-vs-interval): every 5-minute error-incident window "
+    "joined to every OVERLAPPING 2-minute click-activity window, "
+    "aggregated per incident with the exact integer-nanos overlap "
+    "length. The naive overlap predicate plans as a nested-loop "
+    "(the DuckDB oracle RUNS that naive form as ground truth); both "
+    "sides bucket-explode and hash-join on the bucket, with the pair "
+    "emitted only from its CANONICAL bucket (the intersection's "
+    "first: greatest(starts) DIV w) — an integer comparison instead "
+    "of a global pair dedup. Plan-pinned hash join, no NLJ "
+    "(tests/test_plans.py); brute-force parity across widths "
+    "unit-pinned.",
+    tags=("pipeline", "asof", "join"),
+)
+def interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.asof import interval_overlap_join
+
+    ev = _t(spark, sf_dir)["events"].filter(F.col("ts_ns").isNotNull())
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_ns").alias("e_start"),
+        (F.col("ts_ns") + F.lit(_IOV_ERR_W)).alias("e_end"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_ns").alias("c_start"),
+        (F.col("ts_ns") + F.lit(_IOV_CLK_W)).alias("c_end"),
+    )
+    j = interval_overlap_join(
+        err, clk, "e_start", "e_end", "c_start", "c_end", _IOV_ERR_W
+    )
+    return (
+        j.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(
+                F.least("e_end", "c_end") - F.greatest("e_start", "c_start")
+            )
+            .cast("long")
+            .alias("overlap_ns"),
+        )
+        .orderBy("incident_id")
+    )
+
+
 @register(
     "join_bloom_runtime_filter",
     oracle="""

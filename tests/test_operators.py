@@ -408,6 +408,53 @@ def test_range_join_bucketed_brute_force_parity(spark):
         assert got == want, f"w={w}: {len(got)} vs {len(want)}"
 
 
+def test_interval_overlap_join_brute_force_parity(spark):
+    """interval_overlap_join must equal the naive overlap predicate on
+    a random fixture across bucket widths — exactly once per matching
+    pair (the canonical-bucket emission replaces a global dedup), with
+    empty intervals dropped and extra_keys honored."""
+    import random
+
+    from bo_sql_spark.operators.asof import interval_overlap_join
+
+    rnd = random.Random(13)
+    lrows, rrows = [], []
+    for i in range(150):
+        s = rnd.randrange(0, 1000)
+        lrows.append((i, i % 3, s, s + rnd.choice([0, 5, 40, 300])))
+    for j in range(80):
+        s = rnd.randrange(0, 1000)
+        rrows.append((j, j % 3, s, s + rnd.choice([0, 8, 60, 500])))
+    left = spark.createDataFrame(lrows, "lid long, k long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, k long, rs long, re long")
+
+    def want(with_key):
+        return sorted(
+            (lid, rid)
+            for lid, lk, ls, le in lrows
+            for rid, rk, rs, re in rrows
+            if ls < le and rs < re and ls < re and rs < le
+            and (lk == rk or not with_key)
+        )
+
+    right_nok = right.withColumnRenamed("k", "k_r")
+    for w in (16, 100, 2000):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right_nok, "ls", "le", "rs", "re", w
+            ).collect()
+        )
+        assert got == want(False), f"w={w}: {len(got)} vs {len(want(False))}"
+    got_k = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", 64, extra_keys=["k"]
+        ).collect()
+    )
+    assert got_k == want(True)
+
+
 def test_range_join_bucketed_rejects_bucket_collision(spark):
     """An input already carrying `_bucket` must raise, not be silently
     overwritten by the internal join key (round-9 advice)."""

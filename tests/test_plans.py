@@ -322,6 +322,23 @@ def test_fixed_k_sample_trims_below_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in text, text
 
 
+@pytest.mark.parametrize(
+    "name", ["range_join_incidents", "interval_overlap_incidents"]
+)
+def test_bucketed_temporal_joins_are_hash_joins(spark, sf_dir, name):
+    """The bucket-expansion rewrites exist to turn Spark's nested-loop
+    plan for interval predicates into a hash equi-join: pin a hash
+    join (broadcast or shuffled) on the bucket key and the ABSENCE of
+    BroadcastNestedLoopJoin / CartesianProduct. (The r8 range-join
+    docstring claimed this pin; the test itself shipped in the
+    untested snapshot and never existed — added in round 9 for both.)"""
+    df = _df(spark, sf_dir, name)
+    text = explain_str(df, "simple")
+    assert "HashJoin" in text, text  # Broadcast- or ShuffledHashJoin
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "CartesianProduct" not in text, text
+
+
 def test_bloom_runtime_filter_on_fact_scan(spark, sf_dir):
     """join_bloom_runtime_filter (round 9): the runtime Bloom filter
     built from the selective orders slice must appear as a
