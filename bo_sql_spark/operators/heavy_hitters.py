@@ -382,3 +382,98 @@ def hll_distinct(df: DataFrame, key_col: str, p: int = 9) -> DataFrame:
     Expected relative error 1.04/sqrt(2^p) (~4.6% at p=9) in the raw
     regime n >= 2.5 * 2^p."""
     return hll_summary(hll_registers(df, key_col, p), p)
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    d: int = 8,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Portable, mergeable quantile estimates from a DETERMINISTIC
+    1/d hash sample — the quantile sibling of the portable HLL: the
+    'sketch' is the sample itself (md5-prefix hash of a unique row
+    key, keep h % d == 0), so unions/shards merge by concatenation
+    and ANY engine replays the exact same sample and therefore the
+    exact same estimates (unlike GK/t-digest, whose retained elements
+    are engine-private; cf. percentile_approx's degenerate-exact
+    registration). Estimate for q = the rank-ceil(q*m) element of the
+    m-row sample; rank error is the standard sampling bound
+    O(sqrt(q(1-q)/m)) quantiles-of-ranks, so d sets the
+    memory/accuracy knob the way p does for HLL.
+
+    Execution has NO global window/sort: the sample is binned into
+    ``n_shards`` value ranges (one min/max scalar pass), per-shard
+    row_numbers are offset by a broadcast n_shards-row cumulative
+    table (the contiguous-shard trick, sampling.py), and only the
+    target ranks survive. Two scalar driver stats (count, min/max)
+    per build — the documented scalar-stat edge. Emits one row per
+    quantile: (q double, sample_n long, est double); raises on an
+    empty sample (d too large for the corpus)."""
+    if int(d) <= 0 or not qs:
+        raise ValueError("d must be positive and qs non-empty")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    samp = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(F.pmod(h, F.lit(int(d))) == 0)
+        .select(F.col(value_col).cast("double").alias("_x"))
+    )
+    stats = samp.agg(
+        F.count(F.lit(1)).alias("n"), F.min("_x").alias("mn"), F.max("_x").alias("mx")
+    ).first()
+    n, mn, mx = stats["n"], stats["mn"], stats["mx"]
+    if n == 0:
+        raise ValueError("empty sample: lower d or provide more rows")
+    span = (mx - mn) or 1.0
+    ns = int(n_shards)
+    staged = samp.withColumn(
+        "_shard",
+        F.least(
+            F.lit(ns - 1),
+            F.floor((F.col("_x") - F.lit(mn)) / F.lit(span) * F.lit(ns)),
+        ).cast("long"),
+    )
+    totals = staged.groupBy("_shard").agg(
+        F.count(F.lit(1)).cast("long").alias("_tot")
+    )
+    wo = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_shard",
+        F.coalesce(F.sum("_tot").over(wo), F.lit(0)).cast("long").alias("_off"),
+    )
+    ranks = {float(q): max(1, -(-int(q * n * 1_000_000) // 1_000_000)) for q in qs}
+    # ceil(q*n) in exact integer arithmetic (q*n as micros) — float
+    # ceil can land one rank off when q*n is integral (e.g. 0.5 * 4096)
+    w = Window.partitionBy("_shard").orderBy("_x")
+    ranked = (
+        staged.withColumn("_local", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(offsets), "_shard")
+        .withColumn("_rank", F.col("_off") + F.col("_local"))
+    )
+    rank_lits = F.array(*[F.lit(r) for r in sorted(set(ranks.values()))])
+    hits = ranked.filter(F.array_contains(rank_lits, F.col("_rank")))
+    qmap = F.create_map(
+        *[x for q, r in sorted(ranks.items()) for x in (F.lit(r), F.lit(q))]
+    )
+    # one output row per REQUESTED q (two qs may share a rank at tiny n:
+    # explode the q list per hit rank)
+    out = hits.select(
+        F.explode(
+            F.filter(
+                F.array(*[
+                    F.when(F.col("_rank") == F.lit(r), F.lit(q))
+                    for q, r in sorted(ranks.items())
+                ]),
+                lambda v: v.isNotNull(),
+            )
+        ).alias("q"),
+        F.lit(int(n)).cast("long").alias("sample_n"),
+        F.col("_x").alias("est"),
+    )
+    return out.orderBy("q")

@@ -1865,6 +1865,53 @@ def interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_quantile_sampled",
+    oracle="""
+    WITH samp AS (
+        SELECT l_extendedprice AS x
+        FROM lineitem
+        WHERE CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                            AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 8 = 0
+          AND l_extendedprice IS NOT NULL
+    ), r AS (
+        SELECT x, row_number() OVER (ORDER BY x) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM samp
+    ), picks AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q)
+    SELECT q,
+           CAST(max(n) AS BIGINT) AS sample_n,
+           max(CASE WHEN rnk = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))
+                    THEN x END) AS est
+    FROM r, picks GROUP BY q ORDER BY q
+    """,
+    doc="Portable mergeable quantile sketch (operators/heavy_hitters"
+    ".py:sampled_quantiles): p50/p95 of l_extendedprice from a "
+    "DETERMINISTIC 1/8 hash sample of row keys (md5-prefix mod d — "
+    "the sketch IS the sample, so shards merge by concatenation and "
+    "any engine replays the same sample and the same rank-ceil(q*m) "
+    "estimates exactly; GK/t-digest retain engine-private elements "
+    "and can never oracle-match — cf. percentile_approx's degenerate-"
+    "exact registration). Rank error is the sampling bound "
+    "O(sqrt(q(1-q)/m)). Execution is global-window-free: value-range "
+    "shards + per-shard row_number + an n_shards-row broadcast "
+    "offsets table (the contiguous-shard trick), so no task ever "
+    "holds more than ~sample/n_shards rows; two scalar driver stats "
+    "(count, min/max) are the documented scalar-stat edge.",
+    tags=("pipeline", "sketch", "aggregate"),
+)
+def sketch_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    li = _t(spark, sf_dir)["lineitem"].withColumn(
+        "_lineid", F.expr("l_orderkey * 10 + l_linenumber")
+    )
+    return HH.sampled_quantiles(
+        li, "l_extendedprice", "_lineid", qs=(0.5, 0.95), d=8
+    )
+
+
+@register(
     "join_bloom_runtime_filter",
     oracle="""
     SELECT o_orderpriority,

@@ -1774,6 +1774,56 @@ def test_native_and_portable_hll_agree(spark, sf_dir):
         assert abs(native[col] - ex) / ex < 3 * 0.05, (col, native[col], ex)
 
 
+def test_sampled_quantiles_invariants(spark):
+    """Portable quantile sketch: (a) layout-independent (1 vs 8
+    partitions — the rank pick must not depend on physical order),
+    (b) estimates within 4x the sampling rank bound of the true
+    quantiles, (c) two qs sharing a rank at tiny n both emit rows,
+    (d) empty sample raises."""
+    import math
+    import random
+
+    import pytest
+
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    rnd = random.Random(3)
+    vals = sorted(rnd.gauss(1000, 100) for _ in range(20_000))
+    rows = [(i, vals[i]) for i in range(len(vals))]
+    df = spark.createDataFrame(rows, "k long, x double")
+
+    outs = {}
+    for parts in (1, 8):
+        got = {
+            r["q"]: (r["sample_n"], r["est"])
+            for r in HH.sampled_quantiles(
+                df.repartition(parts), "x", "k", qs=(0.5, 0.95), d=8
+            ).collect()
+        }
+        outs[parts] = got
+    assert outs[1] == outs[8]  # layout-independent
+
+    n = len(vals)
+    m = outs[1][0.5][0]
+    for q, (_, est) in outs[1].items():
+        true = vals[max(0, math.ceil(q * n) - 1)]
+        # rank error bound ~ sqrt(q(1-q)/m) in quantile space; convert
+        # via the empirical quantile function (4x slack for the test)
+        dq = 4 * math.sqrt(q * (1 - q) / m)
+        lo = vals[max(0, math.ceil(max(0.0, q - dq) * n) - 1)]
+        hi = vals[min(n - 1, math.ceil(min(1.0, q + dq) * n))]
+        assert lo <= est <= hi, (q, est, lo, hi)
+
+    tiny = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, x double")
+    out = HH.sampled_quantiles(tiny, "x", "k", qs=(0.4, 0.5), d=1).collect()
+    assert [r["q"] for r in out] == [0.4, 0.5]  # shared rank, both rows
+
+    with pytest.raises(ValueError):
+        HH.sampled_quantiles(
+            spark.createDataFrame([], "k long, x double"), "x", "k"
+        )
+
+
 def test_hll_summary_high_p_no_overflow(spark):
     """p >= 11 regression (round-9 advice): sum_scaled reaches
     2^(p+33), so the 10^6 alpha rescale must run in DECIMAL(38,0) —
