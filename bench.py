@@ -67,6 +67,11 @@ PIPELINE = [
     "dedup_lines_global",
     "sketch_count_min_grid",
     "sketch_hll_distinct",
+    # round 9 additions
+    "sketch_quantile_sampled",
+    "join_bloom_runtime_filter",
+    "interval_overlap_incidents",
+    "multimodal_image_neardup_pairs",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.

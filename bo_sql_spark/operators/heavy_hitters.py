@@ -447,9 +447,13 @@ def sampled_quantiles(
         "_shard",
         F.coalesce(F.sum("_tot").over(wo), F.lit(0)).cast("long").alias("_off"),
     )
-    ranks = {float(q): max(1, -(-int(q * n * 1_000_000) // 1_000_000)) for q in qs}
-    # ceil(q*n) in exact integer arithmetic (q*n as micros) — float
-    # ceil can land one rank off when q*n is integral (e.g. 0.5 * 4096)
+    # ceil(q*n) in exact integer arithmetic: q as micros (q_micros*n is
+    # exact for q with <= 6 decimals) — float ceil can land one rank
+    # off when q*n is integral (e.g. 0.5 * 4096)
+    ranks = {
+        float(q): max(1, (round(q * 1_000_000) * n + 999_999) // 1_000_000)
+        for q in qs
+    }
     w = Window.partitionBy("_shard").orderBy("_x")
     ranked = (
         staged.withColumn("_local", F.row_number().over(w).cast("long"))
@@ -477,3 +481,71 @@ def sampled_quantiles(
         F.col("_x").alias("est"),
     )
     return out.orderBy("q")
+
+
+def sampled_quantiles_by(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95),
+    d: int = 8,
+) -> DataFrame:
+    """Per-GROUP sampled_quantiles in one pass: the same deterministic
+    1/d hash sample, then a rank pick per (group, q) via a per-group
+    window — one shuffle keyed by the group columns, no scalar driver
+    stats (per-group sample sizes ride in a count window over the
+    same partition). Groups whose sample is empty simply don't appear
+    (same semantics as GROUP BY over an empty group). Emits
+    (group_cols..., q double, sample_n long, est double).
+
+    Per-group windows hold one group's SAMPLE per task (~group/d rows)
+    — the d knob bounds task memory exactly the way it bounds the
+    global variant's sample; a group viral enough to blow that gets
+    the same salting answer as any hot key."""
+    if int(d) <= 0 or not qs:
+        raise ValueError("d must be positive and qs non-empty")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    samp = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(F.pmod(h, F.lit(int(d))) == 0)
+        .select(*group_cols, F.col(value_col).cast("double").alias("_x"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_x")
+    wn = Window.partitionBy(*group_cols)
+    ranked = samp.select(
+        *group_cols,
+        "_x",
+        F.row_number().over(w).cast("long").alias("_rnk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("_n"),
+    )
+    # exact integer rank: ceil(q*n) = (q_micros*n + 999999) DIV 10^6
+    # (float ceil lands one off when q*n is integral)
+    q_hits = [
+        F.when(
+            F.col("_rnk")
+            == F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"({int(q * 1_000_000)} * _n + 999999) DIV 1000000"
+                ).cast("long"),
+            ),
+            F.lit(float(q)),
+        )
+        for q in sorted(qs)
+    ]
+    return (
+        ranked.select(
+            *group_cols,
+            F.explode(
+                F.filter(F.array(*q_hits), lambda v: v.isNotNull())
+            ).alias("q"),
+            F.col("_n").alias("sample_n"),
+            F.col("_x").alias("est"),
+        )
+        .orderBy(*group_cols, "q")
+    )

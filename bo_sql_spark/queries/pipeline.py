@@ -1878,10 +1878,16 @@ def interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT x, row_number() OVER (ORDER BY x) AS rnk,
                COUNT(*) OVER () AS n
         FROM samp
-    ), picks AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q)
+    ), picks AS (
+        SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 500000),
+                              (CAST(0.95 AS DOUBLE), 950000)) p(q, qm)
+    )
     SELECT q,
            CAST(max(n) AS BIGINT) AS sample_n,
-           max(CASE WHEN rnk = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))
+           -- rank in EXACT integer micros: CEIL(q*n) on DOUBLE q ceils
+           -- one rank too high whenever q*n is integral (0.95 as a
+           -- double sits just above the decimal)
+           max(CASE WHEN rnk = GREATEST(1, (qm * n + 999999) // 1000000)
                     THEN x END) AS est
     FROM r, picks GROUP BY q ORDER BY q
     """,
@@ -1908,6 +1914,50 @@ def sketch_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return HH.sampled_quantiles(
         li, "l_extendedprice", "_lineid", qs=(0.5, 0.95), d=8
+    )
+
+
+@register(
+    "sketch_quantile_sampled_by",
+    oracle="""
+    WITH samp AS (
+        SELECT o_orderpriority, o_totalprice AS x
+        FROM orders
+        WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 4 = 0
+          AND o_totalprice IS NOT NULL
+    ), r AS (
+        SELECT o_orderpriority, x,
+               row_number() OVER (PARTITION BY o_orderpriority ORDER BY x)
+                   AS rnk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM samp
+    ), picks AS (
+        SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 500000),
+                              (CAST(0.95 AS DOUBLE), 950000)) p(q, qm)
+    )
+    SELECT o_orderpriority, q,
+           CAST(max(n) AS BIGINT) AS sample_n,
+           max(CASE WHEN rnk = GREATEST(1, (qm * n + 999999) // 1000000)
+                    THEN x END) AS est
+    FROM r, picks GROUP BY o_orderpriority, q
+    ORDER BY o_orderpriority, q
+    """,
+    doc="Per-GROUP portable quantile sketch (operators/heavy_hitters"
+    ".py:sampled_quantiles_by): p50/p95 of o_totalprice per order "
+    "priority from the same deterministic 1/4 md5-prefix sample — "
+    "one shuffle keyed by the group columns, per-group rank picks in "
+    "exact integer-micros arithmetic (both engines; float CEIL(q*n) "
+    "ceils one rank too high when q*n is integral), no scalar driver "
+    "stats. The oracle replays sample, ranks, and picks verbatim.",
+    tags=("pipeline", "sketch", "aggregate"),
+)
+def sketch_quantile_sampled_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    o = _t(spark, sf_dir)["orders"]
+    return HH.sampled_quantiles_by(
+        o, "o_totalprice", "o_orderkey", ["o_orderpriority"], qs=(0.5, 0.95), d=4
     )
 
 
