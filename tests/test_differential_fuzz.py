@@ -1047,3 +1047,90 @@ def test_hll_register_and_estimate_agree(ctx, keys):
     con.unregister("fuzz_hll")
     assert reg == want_reg
     assert (srow["n_nonempty"], srow["sum_scaled"], srow["hll_estimate"]) == want_sum
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lspecs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=0, max_value=2000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    rspecs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=0, max_value=2000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    w=st.sampled_from([7, 64, 500, 10**7]),
+)
+def test_bucketed_temporal_joins_match_naive(ctx, lspecs, rspecs, w):
+    """Family 11 — the bucket-expansion temporal joins vs DuckDB's
+    naive predicates on ARBITRARY int64 data: negative timestamps
+    (Spark DIV truncates toward zero, not floor — bucket ids stay
+    monotone so coverage holds, but this is exactly where an
+    off-by-one would hide), zero-length intervals, intervals shorter
+    and vastly longer than the bucket width, and a width far larger
+    than the data span (everything lands in buckets {-1,0,1}).
+    Asserts both range_join_bucketed (point-in-interval) and
+    interval_overlap_join (interval-interval), exactly-once emission
+    included."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators.asof import (
+        interval_overlap_join,
+        range_join_bucketed,
+    )
+
+    spark, con = ctx
+    lrows = [(i, s, s + ln) for i, (s, ln) in enumerate(lspecs)]
+    rrows = [(j, s, s + ln) for j, (s, ln) in enumerate(rspecs)]
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    con.register("fz_l", pa.table({"lid": [r[0] for r in lrows],
+                                   "ls": [r[1] for r in lrows],
+                                   "le": [r[2] for r in lrows]}))
+    con.register("fz_r", pa.table({"rid": [r[0] for r in rrows],
+                                   "rs": [r[1] for r in rrows],
+                                   "re": [r[2] for r in rrows]}))
+
+    # point-in-interval: left points (ls) vs right intervals [rs, re)
+    got_rj = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join_bucketed(left, right, "ls", "rs", "re", w).collect()
+    )
+    want_rj = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT lid, rid FROM fz_l JOIN fz_r ON ls >= rs AND ls < re"
+        ).fetchall()
+    )
+    assert got_rj == want_rj
+
+    # interval-interval overlap (empty intervals dropped)
+    got_ov = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", w
+        ).collect()
+    )
+    want_ov = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT lid, rid FROM fz_l JOIN fz_r"
+            " ON ls < le AND rs < re AND ls < re AND rs < le"
+        ).fetchall()
+    )
+    con.unregister("fz_l")
+    con.unregister("fz_r")
+    assert got_ov == want_ov
