@@ -1962,6 +1962,90 @@ def sketch_quantile_sampled_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sketch_quantiles",
+    oracle="""
+    WITH samp AS (
+        SELECT l_extendedprice AS x
+        FROM lineitem
+        WHERE CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                            AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 8 = 0
+          AND l_extendedprice IS NOT NULL
+    ), r AS (
+        SELECT x, row_number() OVER (ORDER BY x) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM samp
+    ), picks AS (
+        SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 500000),
+                              (CAST(0.95 AS DOUBLE), 950000)) p(q, qm)
+    )
+    SELECT q,
+           CAST(max(n) AS BIGINT) AS sample_n,
+           max(CASE WHEN rnk = GREATEST(1, (qm * n + 999999) // 1000000)
+                    THEN x END) AS est
+    FROM r, picks GROUP BY q ORDER BY q
+    """,
+    doc="STREAMING portable quantiles (foreachBatch): each microbatch "
+    "appends its DETERMINISTIC 1/8 hash-sample rows to a store, and "
+    "the drained store IS the merged sample — quantile estimates over "
+    "an unbounded stream with O(n/d) state, no rescans, and the same "
+    "rank picks as the batch sketch (sketch_quantile_sampled's oracle "
+    "verbatim), because sample of a union == union of samples. "
+    "Completes the mergeable streaming sketch family: CM (sum), HLL "
+    "(max), heavy hitters (MG + recount), quantiles (concat).",
+    tags=("pipeline", "streaming", "sketch"),
+)
+def stream_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    li = _t(spark, sf_dir)["lineitem"]
+    root = tempfile.mkdtemp(prefix="bosql_q_stream_")
+    store = os.path.join(root, "sample")
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        h = F.conv(
+            F.substring(
+                F.md5(F.expr("l_orderkey * 10 + l_linenumber").cast("string")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        (
+            batch_df.filter(F.col("l_extendedprice").isNotNull())
+            .filter(F.pmod(h, F.lit(8)) == 0)
+            .select(F.col("l_extendedprice").alias("x"))
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    drained = spark.read.parquet(store).withColumn("_k", F.lit(1))
+    # d=1: the store rows ARE the sample; the rank-pick machinery is
+    # reused unchanged (value-range shards + broadcast offsets)
+    return HH.sampled_quantiles(drained, "x", "_k", qs=(0.5, 0.95), d=1)
+
+
+@register(
     "join_bloom_runtime_filter",
     oracle="""
     SELECT o_orderpriority,
