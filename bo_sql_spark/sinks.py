@@ -128,3 +128,107 @@ def compact_table(
     fsutil.delete(spark, old)
     n_files_after = fsutil.count_files(spark, path)
     return n_files_before, n_files_after
+
+
+# ------------------------------------------------- snapshot table store
+# The manifest-commit pattern compact_table's docstring points at: on
+# object stores a directory rename is a COPY+DELETE, so swap-style
+# commits are not atomic there. A snapshot store never renames data:
+# each write lands in a fresh immutable version directory and the only
+# mutable object is a tiny version pointer, updated last — a
+# single-object PUT, atomic on S3/HDFS/posix alike. Readers resolve
+# the pointer then read an immutable directory, so a crashed writer
+# can never expose a half-written table (its orphan version is
+# invisible and vacuumable). This is the (heavily simplified) core of
+# the Iceberg/Delta commit protocol; what it deliberately omits is
+# multi-writer conflict arbitration — single-writer-at-a-time remains
+# the caller's contract, now crash-SAFE rather than crash-atomic-ish.
+
+_VERSION_FILE = "_VERSION"
+
+
+def _pointer_path(root: str) -> str:
+    return root.rstrip("/") + "/" + _VERSION_FILE
+
+
+def snapshot_version(spark, root: str) -> int:
+    """Current committed version of a snapshot table (0 = none)."""
+    from bo_sql_spark import fsutil
+
+    fs, hpath = fsutil._fs_and_path(spark, _pointer_path(root))
+    if not fs.exists(hpath):
+        return 0
+    stream = fs.open(hpath)
+    try:
+        vals = []
+        while len(vals) < 20:
+            b = stream.read()  # one byte; -1 at EOF
+            if b < 0:
+                break
+            vals.append(b)
+    finally:
+        stream.close()
+    text = bytes(vals).decode("ascii", "ignore").strip()
+    return int(text) if text.isdigit() else 0
+
+
+def snapshot_write(spark, df: DataFrame, root: str) -> int:
+    """Commit ``df`` as the table's next version; returns the version.
+
+    Write order is the whole protocol: (1) data to the immutable
+    ``v=<n>`` directory, (2) the version pointer LAST (create a temp
+    pointer object, then a same-FS rename — a single-file rename,
+    atomic on HDFS/posix; on S3 the temp+rename degenerates to a
+    copy of a <20-byte object followed by the pointer PUT, and the
+    PUT itself is atomic, so readers still see old-or-new, never
+    half). A crash before (2) leaves an orphan version directory that
+    ``snapshot_vacuum`` removes."""
+    from bo_sql_spark import fsutil
+
+    v = snapshot_version(spark, root) + 1
+    data_dir = root.rstrip("/") + f"/v={v}"
+    df.write.mode("errorifexists").parquet(data_dir)
+    tmp = _pointer_path(root) + f".tmp-{v}"
+    fs, hpath = fsutil._fs_and_path(spark, tmp)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(str(v).encode("ascii")))
+    finally:
+        out.close()
+    ptr = _pointer_path(root)
+    fs.delete(spark._jvm.org.apache.hadoop.fs.Path(ptr), False)
+    fsutil.rename(spark, tmp, ptr)
+    return v
+
+
+def snapshot_read(spark, root: str, version: int | None = None) -> DataFrame:
+    """Read a committed snapshot (latest by default). Time travel is
+    free: every version directory is immutable until vacuumed."""
+    v = version if version is not None else snapshot_version(spark, root)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    return spark.read.parquet(root.rstrip("/") + f"/v={v}")
+
+
+def snapshot_vacuum(spark, root: str, keep: int = 2) -> list[int]:
+    """Delete version directories older than the newest ``keep``
+    committed ones, PLUS any orphans newer than the pointer (crashed
+    writers). Returns the versions removed. Never touches the pointer
+    or the kept versions, so concurrent readers of retained versions
+    are safe; readers of a vacuumed version fail loudly (the
+    time-travel retention trade every lakehouse documents)."""
+    from bo_sql_spark import fsutil
+
+    cur = snapshot_version(spark, root)
+    removed = []
+    for name, full in fsutil.ls(spark, root):
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if v > cur or v <= cur - int(keep):
+            fsutil.delete(spark, full)
+            removed.append(v)
+    return sorted(removed)

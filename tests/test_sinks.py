@@ -155,3 +155,58 @@ def test_compact_table_partitioned_keeps_layout(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 1000
     assert after.filter(F.col("g") == 1).count() == 333
+
+
+def test_snapshot_store_commit_read_timetravel(spark, tmp_path):
+    """Manifest-commit store: versions commit via the pointer object
+    (written LAST), reads resolve the pointer, old versions remain
+    readable (time travel) until vacuumed. Runs through a file:// URI
+    with posix calls booby-trapped — the store must be pure Hadoop-FS
+    like the rest of the maintenance layer."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest
+
+    from bo_sql_spark.sinks import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    root = "file://" + str(tmp_path / "snap")
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, root)
+    assert snapshot_version(spark, root) == 0
+
+    v1 = snapshot_write(spark, spark.range(0, 10), root)
+    v2 = snapshot_write(spark, spark.range(0, 25), root)
+    assert (v1, v2) == (1, 2)
+    assert snapshot_read(spark, root).count() == 25
+    assert snapshot_read(spark, root, version=1).count() == 10  # time travel
+
+
+def test_snapshot_store_crash_and_vacuum(spark, tmp_path):
+    """A writer that crashes AFTER writing data but BEFORE the pointer
+    update must be invisible to readers; vacuum removes both the
+    orphan and versions beyond the retention window."""
+    from bo_sql_spark.sinks import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    root = "file://" + str(tmp_path / "snap2")
+    for n in (10, 20, 30):
+        snapshot_write(spark, spark.range(0, n), root)
+    # simulate a crashed writer: data for v=4 exists, pointer still 3
+    spark.range(0, 99).write.parquet(root + "/v=4")
+    assert snapshot_version(spark, root) == 3
+    assert snapshot_read(spark, root).count() == 30  # orphan invisible
+
+    removed = snapshot_vacuum(spark, root, keep=2)
+    assert removed == [1, 4]  # old beyond keep=2, plus the orphan
+    assert snapshot_read(spark, root).count() == 30
+    assert snapshot_read(spark, root, version=2).count() == 20  # kept

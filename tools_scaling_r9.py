@@ -128,6 +128,61 @@ def docs_10x(docs):
     return out
 
 
+def overlap_scaling(spark, app):
+    """interval_overlap_incidents at 1x and 10x events — replicas are
+    TIME-SHIFTED (+r * span) so windows never cross replicas and the
+    true pair count scales linearly (same-range replication would
+    square it and measure the data, not the operator). Claim under
+    test: shuffle rows/bytes and wall scale ~1x-per-row (the bucket
+    explosion factor is a constant ceil(len/w)+1 per side)."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.queries import load_all
+
+    reg = load_all()
+    builder = reg["interval_overlap_incidents"].builder
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    bounds = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx"), F.count("*").alias("n")
+    ).first()
+    span_s = int((bounds["mx"] - bounds["mn"]).total_seconds()) + 3600
+    n = bounds["n"]
+    parts = [ev]
+    for r in range(1, 10):
+        parts.append(
+            ev.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {r * span_s} SECONDS"))
+            .withColumn("event_id", F.col("event_id") + F.lit(r * 10 * n))
+        )
+    big = parts[0]
+    for pdf in parts[1:]:
+        big = big.unionByName(pdf)
+    import os
+    import shutil
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="r9_ev10x_")
+    big.write.mode("overwrite").parquet(f"{tdir}/events.parquet")
+    # the builder reads <dir>/events.parquet via the catalog: stage a
+    # dir with only events (the query touches nothing else)
+    r1 = measure(app, "overlap@1x", lambda: builder(spark, BASE))
+    r10 = measure(app, "overlap@10x", lambda: builder(spark, tdir))
+    print(
+        f"overlap scaling: rows {r1[2]} -> {r10[2]}"
+        f" (exp {math_log_ratio(r10[2], r1[2]):.2f}),"
+        f" bytes {r1[1]/1e6:.2f}MB -> {r10[1]/1e6:.2f}MB"
+        f" (exp {math_log_ratio(r10[1], r1[1]):.2f}),"
+        f" wall {r1[0]:.2f}s -> {r10[0]:.2f}s"
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+
+
+def math_log_ratio(b, a):
+    import math
+
+    return math.log(max(b, 1) / max(a, 1)) / math.log(10)
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -188,6 +243,8 @@ def main():
             f"{scale}: shuffle bytes {a[1]/1e6:.2f}MB -> {b[1]/1e6:.2f}MB"
             f" ({b[1]/max(a[1],1):.2f}x), wall {a[0]:.2f}s -> {b[0]:.2f}s"
         )
+
+    overlap_scaling(spark, app)
 
 
 if __name__ == "__main__":
