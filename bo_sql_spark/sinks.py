@@ -78,9 +78,10 @@ def compact_table(
     (fsutil), so file://, hdfs:// and s3a:// tables all work — not
     just the driver's local disk. The swap is write-to-side-dir +
     rename: atomic on HDFS/posix, but on S3 a directory rename is a
-    COPY+DELETE, so there readers can observe the gap — a production
-    lakehouse commits a manifest/snapshot pointer instead (Iceberg/
-    Delta style); this two-rename swap is the HDFS-honest version.
+    COPY+DELETE, so there readers can observe the gap — use the
+    snapshot store below (snapshot_write: immutable version dirs +
+    an atomically-updated pointer) where rename is a copy; this
+    two-rename swap is the HDFS-honest in-place version.
     Concurrent writers must be quiesced either way. A crash between
     the two renames leaves the data intact at ``<path>.old`` plus the
     full rewrite at ``<path>.compacting`` (recovery = rename either
@@ -232,3 +233,17 @@ def snapshot_vacuum(spark, root: str, keep: int = 2) -> list[int]:
             fsutil.delete(spark, full)
             removed.append(v)
     return sorted(removed)
+
+
+def snapshot_compact(spark, root: str, target_rows_per_file: int) -> int:
+    """Compact the LATEST snapshot into a fresh version: read, re-bin,
+    commit. Unlike compact_table's in-place swap this never blocks or
+    breaks readers — they keep resolving the old version until the
+    pointer flips, which is the operational payoff of the snapshot
+    protocol (run it any time; vacuum reclaims the fat versions
+    later). Returns the new version number."""
+    df = snapshot_read(spark, root)
+    target = max(1, int(target_rows_per_file))
+    n_rows = df.count()
+    n_out = max(1, -(-n_rows // target))
+    return snapshot_write(spark, df.repartition(n_out), root)

@@ -210,3 +210,24 @@ def test_snapshot_store_crash_and_vacuum(spark, tmp_path):
     assert removed == [1, 4]  # old beyond keep=2, plus the orphan
     assert snapshot_read(spark, root).count() == 30
     assert snapshot_read(spark, root, version=2).count() == 20  # kept
+
+
+def test_snapshot_compact_is_nonblocking_rebin(spark, tmp_path):
+    """snapshot_compact commits the re-binned table as a NEW version
+    (old one intact until vacuum): content identical, fewer files."""
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.sinks import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = "file://" + str(tmp_path / "snapc")
+    snapshot_write(spark, spark.range(0, 1000).repartition(20), root)
+    files_v1 = fsutil.count_files(spark, root + "/v=1")
+    v = snapshot_compact(spark, root, target_rows_per_file=500)
+    assert v == 2
+    files_v2 = fsutil.count_files(spark, root + "/v=2")
+    assert files_v1 >= 20 and files_v2 <= 3, (files_v1, files_v2)
+    assert snapshot_read(spark, root).count() == 1000
+    assert snapshot_read(spark, root, version=1).count() == 1000  # intact
