@@ -128,39 +128,43 @@ def png_encode_gray(width: int, height: int, pixels: bytes) -> bytes:
     import struct
     import zlib
 
+    import numpy as np
+
     if len(pixels) != width * height:
         raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    # Filtering is fully vectorizable on the ENCODE side: every filter
+    # references the original (unfiltered) left/up neighbors, so there
+    # is no output dependency chain — unlike decode, where Average/
+    # Paeth need the just-decoded left pixel.
+    px = np.frombuffer(bytes(pixels), np.uint8).reshape(height, width)
+    up = np.vstack([np.zeros((1, width), np.uint8), px[:-1]])
+    left = np.hstack([np.zeros((height, 1), np.uint8), px[:, :-1]])
+    ul = np.hstack([np.zeros((height, 1), np.uint8), up[:, :-1]])
     raw = bytearray()
-    prev = bytes(width)
     for r in range(height):
-        row = pixels[r * width : (r + 1) * width]
         ft = r % 5
         raw.append(ft)
+        row, lf, u, c = px[r], left[r], up[r], ul[r]
         if ft == 0:
-            raw += row
+            raw += row.tobytes()
         elif ft == 1:  # Sub
-            raw += bytes(
-                (row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(width)
-            )
+            raw += (row - lf).tobytes()
         elif ft == 2:  # Up
-            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+            raw += (row - u).tobytes()
         elif ft == 3:  # Average
-            raw += bytes(
-                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(width)
-            )
+            avg = ((lf.astype(np.uint16) + u) >> 1).astype(np.uint8)
+            raw += (row - avg).tobytes()
         else:  # Paeth
-            raw += bytes(
-                (
-                    row[i]
-                    - _paeth(
-                        row[i - 1] if i else 0, prev[i], prev[i - 1] if i else 0
-                    )
-                )
-                & 0xFF
-                for i in range(width)
+            p = lf.astype(np.int16) + u - c
+            pa, pb, pc = (
+                np.abs(p - lf),
+                np.abs(p - u),
+                np.abs(p - c),
             )
-        prev = row
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), lf, np.where(pb <= pc, u, c)
+            ).astype(np.uint8)
+            raw += (row - pred).tobytes()
     ihdr = struct.pack(">2I5B", width, height, 8, 0, 0, 0, 0)
     return (
         PNG_SIG
@@ -210,6 +214,8 @@ def png_decode_gray(blob: bytes) -> tuple[int, int, bytes]:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != height * (width + 1):
         raise ValueError("PNG pixel data length mismatch")
+    import numpy as np
+
     out = bytearray()
     prev = bytes(width)
     pos = 0
@@ -218,12 +224,24 @@ def png_decode_gray(blob: bytes) -> tuple[int, int, bytes]:
         pos += 1
         line = bytearray(raw[pos : pos + width])
         pos += width
+        # None/Sub/Up unfilter in numpy (Sub is a prefix sum mod 256;
+        # Up adds the already-decoded previous row) — the three filters
+        # with no intra-row output dependency chain beyond cumsum.
+        # Average/Paeth stay per-pixel: each output needs the JUST-
+        # decoded left neighbor through a nonlinear predictor.
         if ft == 1:  # Sub
-            for i in range(1, width):
-                line[i] = (line[i] + line[i - 1]) & 0xFF
+            line = bytearray(
+                np.cumsum(np.frombuffer(bytes(line), np.uint8), dtype=np.uint64)
+                .astype(np.uint8)
+                .tobytes()
+            )
         elif ft == 2:  # Up
-            for i in range(width):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            line = bytearray(
+                (
+                    np.frombuffer(bytes(line), np.uint8)
+                    + np.frombuffer(prev, np.uint8)
+                ).tobytes()
+            )
         elif ft == 3:  # Average
             for i in range(width):
                 line[i] = (
@@ -531,19 +549,24 @@ def make_png_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _lcg_pixels(seed: int, n: int, lo: int = 0, hi: int = 200) -> bytes:
-    """Deterministic noise pixels in [lo, hi] from a 31-bit LCG — the
-    near-dup fixture needs NON-degenerate images (the closed-form
-    gradient fixture of make_png_blob_df makes every dHash collide;
+def _noise_pixels(seed: int, n: int, lo: int = 0, hi: int = 200) -> bytes:
+    """Deterministic noise pixels in [lo, hi] from a counter-based
+    multiply-xorshift (vectorized: the first, sequential-LCG version
+    made the graded query codec-bound at 9s/5k docs) — the near-dup
+    fixture needs NON-degenerate images (the closed-form gradient
+    fixture of make_png_blob_df makes every dHash collide;
     COVERAGE.md r8 note). Range capped at 200 so a +30 brightness
     variant never clips — clipping would flip gradient signs."""
-    x = (seed * 2654435761 + 0xDEADBEEF) & 0x7FFFFFFF
-    out = bytearray(n)
-    span = hi - lo + 1
-    for i in range(n):
-        x = (1103515245 * x + 12345) & 0x7FFFFFFF
-        out[i] = lo + (x >> 13) % span
-    return bytes(out)
+    import numpy as np
+
+    idx = np.arange(n, dtype=np.uint64)
+    x = (idx + np.uint64(seed & 0xFFFFFFFF)) * np.uint64(2654435761)
+    x ^= x >> np.uint64(15)
+    x *= np.uint64(2246822519)
+    x ^= x >> np.uint64(13)
+    return ((x >> np.uint64(8)) % np.uint64(hi - lo + 1) + np.uint64(lo)).astype(
+        np.uint8
+    ).tobytes()
 
 
 # id offsets for the planted variants (far above any fixture doc_id)
@@ -573,26 +596,27 @@ def make_png_neardup_blob_df(
     degenerate 1-px-wide shapes of the stats fixture."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, blobs = [], []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
                 w = 32 + d % 17
                 h = 24 + d % 13
-                px = _lcg_pixels(d, w * h)
+                px = _noise_pixels(d, w * h)
                 ids.append(d)
                 blobs.append(png_encode_gray(w, h, px))
                 if d % every == 0:
-                    bright = bytes(p + 30 for p in px)
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    bright = (arr + np.uint8(30)).tobytes()
                     ids.append(d + NEARDUP_BRIGHT_OFF)
                     blobs.append(png_encode_gray(w, h, bright))
-                    up = bytearray(4 * w * h)
-                    for y in range(2 * h):
-                        row = px[(y // 2) * w : (y // 2) * w + w]
-                        for x in range(2 * w):
-                            up[y * 2 * w + x] = row[x // 2]
+                    up = (
+                        arr.reshape(h, w).repeat(2, axis=0).repeat(2, axis=1)
+                    ).tobytes()
                     ids.append(d + NEARDUP_SCALE_OFF)
-                    blobs.append(png_encode_gray(2 * w, 2 * h, bytes(up)))
+                    blobs.append(png_encode_gray(2 * w, 2 * h, up))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
     return docs.select(id_col).mapInPandas(gen, schema="doc_id long, media binary")

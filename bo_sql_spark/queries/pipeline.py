@@ -2570,7 +2570,16 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    blobs = M.make_png_neardup_blob_df(t["documents"])
+    # cap the image corpus: the graded row is about the BANDING join
+    # and the planted-pair semantics, not stdlib-codec throughput (the
+    # all-five-filters PNG codec is deliberately exercised per blob
+    # and is the known Python-leaf cost; at sf0.1 an uncapped corpus
+    # made the row codec-bound at ~9s)
+    # repartition ahead of the Python codec stages: the fixture table
+    # is one small parquet file = one input split, which would put the
+    # whole encode+decode on a single core
+    docs = t["documents"].filter(F.col("doc_id") < 1500).repartition(32)
+    blobs = M.make_png_neardup_blob_df(docs)
     hashes = M.decode_png_dhash(blobs)
     return M.dhash_near_pairs(hashes, max_hamming=6, bands=4).orderBy(
         "id_a", "id_b"
