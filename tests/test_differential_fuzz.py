@@ -1134,3 +1134,79 @@ def test_bucketed_temporal_joins_match_naive(ctx, lspecs, rspecs, w):
     con.unregister("fz_l")
     con.unregister("fz_r")
     assert got_ov == want_ov
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    qs=st.sets(
+        st.sampled_from([0.01, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]),
+        min_size=1,
+        max_size=3,
+    ),
+    d=st.sampled_from([1, 2, 8]),
+)
+def test_sampled_quantiles_cross_engine(ctx, rows, qs, d):
+    """Family 12 — the portable quantile sketch on ARBITRARY finite
+    doubles (denormals, +/-0.0, extremes) and arbitrary int64 keys:
+    the md5 1/d sample, the exact integer-micros rank arithmetic, and
+    the rank-pick value must agree with a DuckDB replay. d=1 also
+    exercises the everything-sampled path the streaming ingest query
+    reuses. Empty samples are expected to raise on the Spark side and
+    are skipped (DuckDB would return NULL picks)."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators import heavy_hitters as HH
+
+    spark, con = ctx
+    df = spark.createDataFrame(rows, "k long, x double")
+    try:
+        got = sorted(
+            (r["q"], r["sample_n"], r["est"])
+            for r in HH.sampled_quantiles(
+                df, "x", "k", qs=tuple(sorted(qs)), d=d
+            ).collect()
+        )
+    except ValueError:
+        got = None  # empty sample — assert DuckDB agrees it's empty
+    con.register(
+        "fz_q",
+        pa.table({"k": [r[0] for r in rows], "x": [r[1] for r in rows]}),
+    )
+    picks = ", ".join(
+        f"(CAST({q} AS DOUBLE), {round(q * 1_000_000)})" for q in sorted(qs)
+    )
+    want_rows = con.execute(
+        f"""
+        WITH samp AS (
+            SELECT x FROM fz_q
+            WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))
+                       AS BIGINT) % {d} = 0
+        ), r AS (
+            SELECT x, row_number() OVER (ORDER BY x) AS rnk,
+                   COUNT(*) OVER () AS n
+            FROM samp
+        ), picks AS (SELECT * FROM (VALUES {picks}) p(q, qm))
+        SELECT q, CAST(max(n) AS BIGINT),
+               max(CASE WHEN rnk = GREATEST(1, (qm * n + 999999) // 1000000)
+                        THEN x END)
+        FROM r, picks GROUP BY q ORDER BY q
+        """
+    ).fetchall()
+    con.unregister("fz_q")
+    if got is None:
+        assert want_rows == [], want_rows
+    else:
+        assert got == sorted(tuple(r) for r in want_rows)
