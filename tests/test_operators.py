@@ -1859,3 +1859,38 @@ def test_hll_summary_empty_input_is_raw_floor(spark):
     assert row["n_nonempty"] == 0
     assert row["sum_scaled"] == 512 * (1 << 33)
     assert row["hll_estimate"] == 368
+
+
+def test_pagerank_integer_reference_and_layout(spark):
+    """PageRank invariants: (a) matches a pure-Python replay of the
+    same integer fixed-point recurrence on a known graph, (b) is
+    layout-independent (1 vs 8 partitions), (c) a hub that everything
+    links to outranks the spokes."""
+    from bo_sql_spark.operators.graph import pagerank
+
+    # star + chain: 1..5 -> 0 (hub), plus 1 -> 2 -> 3
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (1, 2), (2, 3)]
+
+    def reference(n_iter=3, d=850):
+        nodes = sorted({x for e in edges for x in e})
+        n = len(nodes)
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        score = {v: 1_000_000 // n for v in nodes}
+        base = (1000 - d) * 1_000_000 // (1000 * n)
+        for _ in range(n_iter):
+            inn = {v: 0 for v in nodes}
+            for s, t in edges:
+                inn[t] += score[s] // outdeg[s]
+            score = {v: base + d * inn[v] // 1000 for v in nodes}
+        return score
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for parts in (1, 8):
+        got = {
+            r["node"]: r["score"]
+            for r in pagerank(df.repartition(parts), n_iter=3).collect()
+        }
+        assert got == reference(), got
+    assert got[0] > max(got[v] for v in (1, 4, 5))  # hub dominates
