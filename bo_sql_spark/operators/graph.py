@@ -98,3 +98,78 @@ def pagerank(
         if checkpoint_every and (i + 1) % int(checkpoint_every) == 0:
             scores = scores.localCheckpoint(eager=True)
     return scores
+
+
+def label_propagate(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    n_iter: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation over a directed edge table:
+    spread a PARTIAL labeling (``seeds``: (node, label)) through the
+    graph — the quality-classifier-spread / weak-supervision step of
+    a corpus pipeline (label a few thousand docs, propagate through
+    the similarity graph).
+
+    Per iteration every node takes the MAJORITY label of its
+    in-neighbors' current labels (ties broken by MIN label — fully
+    deterministic, so an oracle replays every assignment); nodes with
+    no labeled in-neighbor keep their current label; seed nodes are
+    CLAMPED to their seed label (the standard semi-supervised rule).
+    Returns (node, label) for every node reachable in the edge table,
+    label NULL where nothing has propagated yet.
+
+    Same scale shape as pagerank above: one hash join + one counting
+    groupBy + one per-node argmax per iteration; the argmax is a
+    max_by over (cnt, -label)-style ordering, not a window, so the
+    shuffle stays (node, label)-keyed counts."""
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sd = F.broadcast(
+        seeds.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("_seed")
+        )
+    )
+    cur = nodes.join(sd, "node", "left").select(
+        "node", F.col("_seed").alias("_lbl")
+    )
+    for _ in range(int(n_iter)):
+        votes = (
+            e.join(
+                cur.select(F.col("node").alias("_s"), "_lbl"), "_s"
+            )
+            .filter(F.col("_lbl").isNotNull())
+            .groupBy(F.col("_d").alias("node"), "_lbl")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        # majority with min-label tie-break: max_by over a struct
+        # ordered by (cnt, -label) — struct comparison is
+        # lexicographic, so bigger cnt wins, then SMALLER label
+        # (negated); no window, counts stay the shuffle unit
+        pick = votes.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("_cnt"), (-F.col("_lbl")).alias("_nl"))
+            ).alias("_m")
+        ).select("node", (-F.col("_m._nl")).cast("long").alias("_new"))
+        cur = (
+            cur.join(pick, "node", "left")
+            .join(sd, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_seed"), F.col("_new"), F.col("_lbl")).alias(
+                    "_lbl"
+                ),
+            )
+        )
+    return cur.select("node", F.col("_lbl").cast("long").alias(label_col))

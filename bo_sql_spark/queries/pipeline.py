@@ -2144,6 +2144,107 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_label_propagation",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id < 16
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), av AS (
+        SELECT a.vec_id, a.cell, ve.v FROM assigned a JOIN vecs ve USING (vec_id)
+    ), prs AS (
+        SELECT x.vec_id, y.vec_id AS neighbor_id,
+               list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+        FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    ), edges AS (
+        SELECT vec_id AS src, neighbor_id AS dst
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM prs)
+        WHERE rnk <= 5
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), seeds AS (
+        SELECT vec_id AS node, CAST(vec_id % 3 AS BIGINT) AS lbl
+        FROM vecs WHERE vec_id < 30
+    ),
+    l0 AS (SELECT n.node, s.lbl FROM nodes n LEFT JOIN seeds s USING (node)),
+    p0 AS (
+        SELECT node, lbl AS new_lbl FROM (
+            SELECT v.node, v.lbl, row_number() OVER (
+                PARTITION BY v.node ORDER BY v.cnt DESC, v.lbl ASC) AS rn
+            FROM (SELECT e.dst AS node, c.lbl, COUNT(*) AS cnt
+                  FROM edges e JOIN l0 c ON e.src = c.node
+                  WHERE c.lbl IS NOT NULL
+                  GROUP BY e.dst, c.lbl) v
+        ) WHERE rn = 1
+    ),
+    l1 AS (
+        SELECT n.node, COALESCE(s.lbl, p.new_lbl, c.lbl) AS lbl
+        FROM nodes n
+        LEFT JOIN l0 c USING (node)
+        LEFT JOIN seeds s USING (node)
+        LEFT JOIN p0 p USING (node)
+    ),
+    p1 AS (
+        SELECT node, lbl AS new_lbl FROM (
+            SELECT v.node, v.lbl, row_number() OVER (
+                PARTITION BY v.node ORDER BY v.cnt DESC, v.lbl ASC) AS rn
+            FROM (SELECT e.dst AS node, c.lbl, COUNT(*) AS cnt
+                  FROM edges e JOIN l1 c ON e.src = c.node
+                  WHERE c.lbl IS NOT NULL
+                  GROUP BY e.dst, c.lbl) v
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT n.node, COALESCE(s.lbl, p.new_lbl, c.lbl) AS lbl
+        FROM nodes n
+        LEFT JOIN l1 c USING (node)
+        LEFT JOIN seeds s USING (node)
+        LEFT JOIN p1 p USING (node)
+    )
+    SELECT node AS vec_id, CAST(lbl AS BIGINT) AS label
+    FROM l2 ORDER BY vec_id
+    """,
+    doc="Semi-supervised label propagation over the corpus k-NN graph "
+    "(operators/graph.py:label_propagate): 30 seed labels (vec_id % "
+    "3) spread 2 hops through the similarity structure — the weak-"
+    "supervision / quality-classifier-spread step (label thousands, "
+    "propagate to billions). Deterministic by construction: majority "
+    "vote with MIN-label tie-break (a max_by over a (cnt, -label) "
+    "struct — counts stay the shuffle unit, no per-node window), "
+    "seeds clamped, no-vote nodes keep their label; the oracle "
+    "replays both unrolled iterations exactly. Same message-passing "
+    "scale shape as graph_pagerank_knn, checkpointed edges.",
+    tags=("pipeline", "graph", "similarity"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.graph import label_propagate
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    edges = S.knn_graph(emb, cents, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("node"),
+        (F.col("vec_id") % 3).cast("long").alias("label"),
+    )
+    return (
+        label_propagate(edges, seeds, n_iter=2)
+        .select(F.col("node").alias("vec_id"), "label")
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "join_bloom_runtime_filter",
     oracle="""
     SELECT o_orderpriority,

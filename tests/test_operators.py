@@ -1894,3 +1894,54 @@ def test_pagerank_integer_reference_and_layout(spark):
         }
         assert got == reference(), got
     assert got[0] > max(got[v] for v in (1, 4, 5))  # hub dominates
+
+
+def test_label_propagate_reference_and_clamping(spark):
+    """Label propagation invariants vs a pure-Python replay: majority
+    vote with min-label tie-break, seeds clamped, unlabeled islands
+    stay NULL, no-vote nodes keep their label, layout-independent."""
+    from bo_sql_spark.operators.graph import label_propagate
+
+    edges = [
+        (1, 2), (1, 3), (4, 2), (4, 3),   # seeds 1(l=0), 4(l=1) vote on 2,3
+        (2, 5), (3, 5),                   # second hop
+        (6, 7),                           # unlabeled island
+        (5, 1),                           # inbound votes on a seed (clamped)
+    ]
+    seeds = [(1, 0), (4, 1)]
+
+    def reference(n_iter=2):
+        nodes = {x for e in edges for x in e}
+        sd = dict(seeds)
+        lbl = {v: sd.get(v) for v in nodes}
+        for _ in range(n_iter):
+            votes = {}
+            for s, t in edges:
+                if lbl[s] is not None:
+                    votes.setdefault(t, {}).setdefault(lbl[s], 0)
+                    votes[t][lbl[s]] += 1
+            new = {}
+            for v in nodes:
+                if v in sd:
+                    new[v] = sd[v]
+                elif votes.get(v):
+                    new[v] = max(
+                        votes[v].items(), key=lambda kv: (kv[1], -kv[0])
+                    )[0]
+                else:
+                    new[v] = lbl[v]
+            lbl = new
+        return lbl
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame(seeds, "node long, label long")
+    for parts in (1, 8):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagate(
+                edf.repartition(parts), sdf, n_iter=2
+            ).collect()
+        }
+        assert got == reference(), (got, reference())
+    assert got[7] is None  # island never reached
+    assert got[1] == 0  # seed stayed clamped despite inbound votes
