@@ -2245,6 +2245,45 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "drift_chisq_event_types",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type AS category,
+               COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)) AS n_a,
+               COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS n_b
+        FROM events GROUP BY event_type
+    ), tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
+    SELECT category,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(CASE WHEN (n_a + n_b) = 0 OR ta = 0 THEN 0 ELSE CAST((n_a * (ta + tb) - (n_a + n_b) * ta) AS HUGEINT) * (n_a * (ta + tb) - (n_a + n_b) * ta) * 1000000 // (CAST((ta + tb) AS HUGEINT) * (n_a + n_b) * ta) END
+                + CASE WHEN (n_a + n_b) = 0 OR tb = 0 THEN 0 ELSE CAST((n_b * (ta + tb) - (n_a + n_b) * tb) AS HUGEINT) * (n_b * (ta + tb) - (n_a + n_b) * tb) * 1000000 // (CAST((ta + tb) AS HUGEINT) * (n_a + n_b) * tb) END AS BIGINT) AS chisq_micros
+    FROM counts, tot ORDER BY category
+    """,
+    doc="Distribution-drift detection (operators/drift.py:"
+    "two_sample_chisq): Pearson two-sample chi-square of the "
+    "event-type mix, weekday vs weekend — the per-snapshot check a "
+    "continuously-ingested corpus runs on its source/language/"
+    "quality-bucket composition. INTEGER fixed-point throughout: the "
+    "contribution (a-E)^2/E is rewritten d^2 DIV (N*(a+b)*N_side) "
+    "with d = a*N-(a+b)*N_side, computed in DECIMAL(38)/HUGEINT "
+    "(d^2 ~ N^4 overflows int64), all-positive denominators so "
+    "floor==trunc across engines — the oracle replays every "
+    "contribution exactly (validated against the float formula to "
+    "<= 1 micro per category). One counting groupBy + a broadcast "
+    "1-row totals join; nothing else shuffles at any corpus size. "
+    "Weekday split: Spark dayofweek is 1=Sun..7, DuckDB 0=Sun..6 — "
+    "encoded per engine.",
+    tags=("pipeline", "stats", "monitoring"),
+)
+def drift_chisq_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import two_sample_chisq
+
+    ev = _t(spark, sf_dir)["events"]
+    return two_sample_chisq(ev, "event_type", F.dayofweek("ts").isin(1, 7))
+
+
+@register(
     "join_bloom_runtime_filter",
     oracle="""
     SELECT o_orderpriority,

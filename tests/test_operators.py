@@ -1945,3 +1945,40 @@ def test_label_propagate_reference_and_clamping(spark):
         assert got == reference(), (got, reference())
     assert got[7] is None  # island never reached
     assert got[1] == 0  # seed stayed clamped despite inbound votes
+
+
+def test_two_sample_chisq_edges_and_reference(spark):
+    """Drift operator edges: hand-computed contribution on a tiny
+    table, a category present in only ONE sample (its zero side
+    contributes via the textbook formula), and an entirely one-sided
+    split (zero total => all contributions 0, no division error)."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.drift import two_sample_chisq
+
+    rows = [("x", False)] * 30 + [("x", True)] * 10 + [("y", False)] * 10 + [
+        ("y", True)
+    ] * 30 + [("only_a", False)] * 20
+    df = spark.createDataFrame(rows, "c string, b boolean")
+    got = {
+        r["category"]: (r["n_a"], r["n_b"], r["chisq_micros"])
+        for r in two_sample_chisq(df, "c", F.col("b")).collect()
+    }
+    assert got["only_a"][0:2] == (20, 0)
+
+    def ref(a, b, Na, Nb):
+        N = Na + Nb
+        out = 0
+        for n, t in ((a, Na), (b, Nb)):
+            if (a + b) and t:
+                d = n * N - (a + b) * t
+                out += d * d * 1_000_000 // (N * (a + b) * t)
+        return out
+
+    Na, Nb = 60, 40
+    for c, (a, b, cm) in got.items():
+        assert cm == ref(a, b, Na, Nb), (c, cm, ref(a, b, Na, Nb))
+
+    one_sided = spark.createDataFrame([("x", False), ("y", False)], "c string, b boolean")
+    res = two_sample_chisq(one_sided, "c", F.col("b")).collect()
+    assert all(r["chisq_micros"] == 0 for r in res)
