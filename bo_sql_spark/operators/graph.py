@@ -39,6 +39,7 @@ def pagerank(
     n_iter: int = 3,
     damping_permille: int = 850,
     checkpoint_every: int | None = 8,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge table.
 
@@ -46,7 +47,15 @@ def pagerank(
     stat (node count) fixes the init/teleport constants; each of the
     ``n_iter`` iterations is a join + groupBy (message passing).
     ``damping_permille`` is the damping factor in permille (850 =
-    the classic 0.85) so the damped sum stays integer-exact."""
+    the classic 0.85) so the damped sum stays integer-exact.
+
+    PERSONALIZED variant: pass ``seeds`` (a DataFrame with a ``node``
+    column) and the teleport mass goes to the seed set instead of
+    uniformly — scores then measure importance RELATIVE TO the seeds
+    (find documents central to a trusted sub-corpus). Teleport becomes
+    (1000-d) * 10^6 DIV (1000 * |seeds|) on seed nodes, 0 elsewhere;
+    init likewise — the standard PPR formulation, still integer-exact.
+    Seeds are broadcast (a seed set is human-curated, i.e. small)."""
     if not (0 <= int(damping_permille) <= 1000):
         raise ValueError("damping_permille must be in [0, 1000]")
     d = int(damping_permille)
@@ -71,10 +80,40 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("empty edge table")
-    base = (1000 - d) * 1_000_000 // (1000 * n)
-    scores = nodes.select(
-        "node", F.lit(1_000_000 // n).cast("long").alias("score")
-    )
+    if seeds is None:
+        base_col = F.lit((1000 - d) * 1_000_000 // (1000 * n)).cast("long")
+        nodes_b = nodes
+        init = F.lit(1_000_000 // n).cast("long")
+    else:
+        # intersect with the graph's nodes FIRST: a seed absent from
+        # the edge set can never receive or emit mass, and counting it
+        # in the teleport denominator would silently shrink every
+        # present seed's share (and diverge from any replay that
+        # counts in-graph seeds)
+        sd = (
+            seeds.select(F.col("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_seed = sd.count()
+        if n_seed == 0:
+            raise ValueError("no seed appears in the edge table")
+        nodes_b = nodes.join(
+            F.broadcast(sd.withColumn("_is_seed", F.lit(1))), "node", "left"
+        ).localCheckpoint(eager=True)
+        seed_amt = (1000 - d) * 1_000_000 // (1000 * n_seed)
+        base_col = (
+            F.when(F.col("_is_seed") == 1, F.lit(seed_amt))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        init = (
+            F.when(F.col("_is_seed") == 1, F.lit(1_000_000 // n_seed))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    scores = nodes_b.select("node", init.alias("score"))
     for i in range(int(n_iter)):
         contrib = (
             e.join(scores.withColumnRenamed("node", "_s"), "_s")
@@ -86,10 +125,10 @@ def pagerank(
         inbound = contrib.groupBy("node").agg(
             F.sum("_c").cast("long").alias("_in")
         )
-        scores = nodes.join(inbound, "node", "left").select(
+        scores = nodes_b.join(inbound, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                base_col
                 + F.expr(f"{d} * coalesce(_in, CAST(0 AS BIGINT)) DIV 1000")
             )
             .cast("long")

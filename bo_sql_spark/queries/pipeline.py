@@ -2284,6 +2284,114 @@ def drift_chisq_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_ppr_seeded",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id < 16
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), av AS (
+        SELECT a.vec_id, a.cell, ve.v FROM assigned a JOIN vecs ve USING (vec_id)
+    ), prs AS (
+        SELECT x.vec_id, y.vec_id AS neighbor_id,
+               list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+        FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    ), edges AS (
+        SELECT vec_id AS src, neighbor_id AS dst
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM prs)
+        WHERE rnk <= 5
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), seeds AS (SELECT DISTINCT node FROM nodes WHERE node < 8),
+    ns AS (SELECT COUNT(*) AS k FROM seeds),
+    deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src),
+    s0 AS (
+        SELECT n.node,
+               CAST(CASE WHEN sd.node IS NOT NULL THEN 1000000 // ns.k
+                         ELSE 0 END AS BIGINT) AS score
+        FROM nodes n CROSS JOIN ns LEFT JOIN seeds sd ON n.node = sd.node
+    ),
+    s1 AS (
+        SELECT n.node,
+               CAST(CASE WHEN sd.node IS NOT NULL
+                         THEN 150 * 1000000 // (1000 * ns.k) ELSE 0 END
+                    + 850 * COALESCE(i0.s, 0) // 1000 AS BIGINT) AS score
+        FROM nodes n CROSS JOIN ns
+        LEFT JOIN seeds sd ON n.node = sd.node
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.score // deg.dg) AS s
+            FROM edges e JOIN s0 p ON e.src = p.node
+                 JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) i0 ON n.node = i0.node
+    ),
+    s2 AS (
+        SELECT n.node,
+               CAST(CASE WHEN sd.node IS NOT NULL
+                         THEN 150 * 1000000 // (1000 * ns.k) ELSE 0 END
+                    + 850 * COALESCE(i1.s, 0) // 1000 AS BIGINT) AS score
+        FROM nodes n CROSS JOIN ns
+        LEFT JOIN seeds sd ON n.node = sd.node
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.score // deg.dg) AS s
+            FROM edges e JOIN s1 p ON e.src = p.node
+                 JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) i1 ON n.node = i1.node
+    ),
+    s3 AS (
+        SELECT n.node,
+               CAST(CASE WHEN sd.node IS NOT NULL
+                         THEN 150 * 1000000 // (1000 * ns.k) ELSE 0 END
+                    + 850 * COALESCE(i2.s, 0) // 1000 AS BIGINT) AS score
+        FROM nodes n CROSS JOIN ns
+        LEFT JOIN seeds sd ON n.node = sd.node
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.score // deg.dg) AS s
+            FROM edges e JOIN s2 p ON e.src = p.node
+                 JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) i2 ON n.node = i2.node
+    )
+    SELECT node AS vec_id, score FROM s3 ORDER BY vec_id
+    """,
+    doc="PERSONALIZED PageRank over the corpus k-NN graph: teleport "
+    "mass restricted to a trusted 8-vector seed set, so scores rank "
+    "the corpus by proximity to the seeds — find-more-like-this over "
+    "a curated sub-corpus (seed-anchored importance sampling). Same "
+    "integer fixed-point recurrence as graph_pagerank_knn with the "
+    "teleport/init terms masked to the (broadcast) seed set; the "
+    "oracle replays 3 unrolled iterations bit-for-bit.",
+    tags=("pipeline", "graph", "similarity"),
+)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.graph import pagerank
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    edges = S.knn_graph(emb, cents, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("node")
+    )
+    return (
+        pagerank(edges, n_iter=3, seeds=seeds)
+        .select(F.col("node").alias("vec_id"), "score")
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "join_bloom_runtime_filter",
     oracle="""
     SELECT o_orderpriority,

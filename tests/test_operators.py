@@ -1982,3 +1982,40 @@ def test_two_sample_chisq_edges_and_reference(spark):
     one_sided = spark.createDataFrame([("x", False), ("y", False)], "c string, b boolean")
     res = two_sample_chisq(one_sided, "c", F.col("b")).collect()
     assert all(r["chisq_micros"] == 0 for r in res)
+
+
+def test_personalized_pagerank_reference(spark):
+    """PPR: teleport/init mass on the seed set only; matches a pure-
+    Python replay of the integer recurrence; seed-adjacent nodes
+    outrank distant ones."""
+    from bo_sql_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 0)]
+    seeds = [0]
+
+    def reference(n_iter=3, d=850):
+        nodes = sorted({x for e in edges for x in e})
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        ns = len(seeds)
+        score = {v: (1_000_000 // ns if v in seeds else 0) for v in nodes}
+        for _ in range(n_iter):
+            inn = {v: 0 for v in nodes}
+            for s, t in edges:
+                inn[t] += score[s] // outdeg[s]
+            score = {
+                v: ((1000 - d) * 1_000_000 // (1000 * ns) if v in seeds else 0)
+                + d * inn[v] // 1000
+                for v in nodes
+            }
+        return score
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["score"]
+        for r in pagerank(edf, n_iter=3, seeds=sdf).collect()
+    }
+    assert got == reference(), (got, reference())
+    assert got[1] > got[3]  # seed-adjacent beats two-hops-away
