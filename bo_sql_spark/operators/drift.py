@@ -77,3 +77,91 @@ def two_sample_chisq(
         )
         .orderBy("category")
     )
+
+
+def two_sample_ks(
+    df: DataFrame, value_col: str, in_b: Column, n_shards: int = 32
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift of a NUMERIC column — the
+    continuous sibling of two_sample_chisq (has the distribution of
+    doc lengths / quality scores / purchase values shifted?).
+
+    Integer-exact core: with per-distinct-value cumulative counts
+    cum_a, cum_b and totals N_a, N_b, the KS deviation at x is
+    |cum_a/N_a - cum_b/N_b| = |cum_a*N_b - cum_b*N_a| / (N_a*N_b) —
+    the numerator is a plain int64 (max ~N^2), so the max over x and
+    its location are exact; the caller divides by N_a*N_b off-engine
+    for the familiar [0,1] D statistic. Emits ONE row:
+    (n_a, n_b, d_num, x_at_max) with ties at the max broken by MIN x.
+
+    No global window/sort (the distinct-value set is corpus-sized for
+    continuous data): distinct-value counts are binned into
+    ``n_shards`` value ranges (one min/max+totals scalar pass),
+    cumulated per shard, and offset by a broadcast n_shards-row
+    cumulative table — the contiguous-shard pattern the quantile
+    sketch uses."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).cast("double").alias("_x"), in_b.alias("_b"))
+        .groupBy("_x")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0)).cast("long").alias("_a"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("_bc"),
+        )
+    )
+    stats = counts.agg(
+        F.min("_x").alias("mn"),
+        F.max("_x").alias("mx"),
+        F.sum("_a").cast("long").alias("na"),
+        F.sum("_bc").cast("long").alias("nb"),
+    ).first()
+    if stats["na"] is None or (stats["na"] + stats["nb"]) == 0:
+        raise ValueError("empty input")
+    mn, mx, na, nb = stats["mn"], stats["mx"], stats["na"], stats["nb"]
+    span = (mx - mn) or 1.0
+    ns = int(n_shards)
+    staged = counts.withColumn(
+        "_shard",
+        F.least(
+            F.lit(ns - 1),
+            F.floor((F.col("_x") - F.lit(mn)) / F.lit(span) * F.lit(ns)),
+        ).cast("long"),
+    )
+    totals = staged.groupBy("_shard").agg(
+        F.sum("_a").cast("long").alias("_ta"),
+        F.sum("_bc").cast("long").alias("_tb"),
+    )
+    wo = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_shard",
+        F.coalesce(F.sum("_ta").over(wo), F.lit(0)).cast("long").alias("_oa"),
+        F.coalesce(F.sum("_tb").over(wo), F.lit(0)).cast("long").alias("_ob"),
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        staged.withColumn("_ca", F.sum("_a").over(w).cast("long"))
+        .withColumn("_cb", F.sum("_bc").over(w).cast("long"))
+        .join(F.broadcast(offsets), "_shard")
+        .select(
+            "_x",
+            F.abs(
+                (F.col("_oa") + F.col("_ca")) * F.lit(nb)
+                - (F.col("_ob") + F.col("_cb")) * F.lit(na)
+            ).alias("_d"),
+        )
+    )
+    picked = cum.agg(
+        F.max(F.struct(F.col("_d"), (-F.col("_x")).alias("_nx"))).alias("_m")
+    )
+    return picked.select(
+        F.lit(int(na)).cast("long").alias("n_a"),
+        F.lit(int(nb)).cast("long").alias("n_b"),
+        F.col("_m._d").cast("long").alias("d_num"),
+        (-F.col("_m._nx")).alias("x_at_max"),
+    )

@@ -2392,6 +2392,52 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "drift_ks_purchase_values",
+    oracle="""
+    WITH src AS (
+        SELECT value AS x, dayofweek(ts) IN (0, 6) AS b
+        FROM events WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT x,
+               COUNT(*) FILTER (WHERE NOT b) AS a,
+               COUNT(*) FILTER (WHERE b) AS bc
+        FROM src GROUP BY x
+    ), tot AS (SELECT SUM(a) AS na, SUM(bc) AS nb FROM counts),
+    cum AS (
+        SELECT x,
+               SUM(a) OVER (ORDER BY x) AS ca,
+               SUM(bc) OVER (ORDER BY x) AS cb
+        FROM counts
+    ), dev AS (
+        SELECT x, ABS(ca * tot.nb - cb * tot.na) AS d FROM cum, tot
+    )
+    SELECT CAST(tot.na AS BIGINT) AS n_a,
+           CAST(tot.nb AS BIGINT) AS n_b,
+           CAST((SELECT MAX(d) FROM dev) AS BIGINT) AS d_num,
+           (SELECT MIN(x) FROM dev WHERE d = (SELECT MAX(d) FROM dev))
+               AS x_at_max
+    FROM tot
+    """,
+    doc="Kolmogorov-Smirnov NUMERIC drift (operators/drift.py:"
+    "two_sample_ks): the event-value distribution, weekday vs "
+    "weekend — the continuous sibling of drift_chisq_event_types "
+    "(doc-length / quality-score / value distribution shift). "
+    "Integer-exact: the KS deviation |cum_a/N_a - cum_b/N_b| is "
+    "compared via the int64 numerator |cum_a*N_b - cum_b*N_a|, so "
+    "the max and its location (min-x tie-break) replay exactly; the "
+    "oracle runs the textbook global cumulative window, the engine "
+    "runs the value-range-shard + broadcast-offsets decomposition "
+    "(no global window over corpus-sized distinct values).",
+    tags=("pipeline", "stats", "monitoring"),
+)
+def drift_ks_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import two_sample_ks
+
+    ev = _t(spark, sf_dir)["events"].filter(F.col("value").isNotNull())
+    return two_sample_ks(ev, "value", F.dayofweek("ts").isin(1, 7))
+
+
+@register(
     "join_bloom_runtime_filter",
     oracle="""
     SELECT o_orderpriority,

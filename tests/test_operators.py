@@ -2019,3 +2019,35 @@ def test_personalized_pagerank_reference(spark):
     }
     assert got == reference(), (got, reference())
     assert got[1] > got[3]  # seed-adjacent beats two-hops-away
+
+
+def test_two_sample_ks_reference_and_ties(spark):
+    """KS drift vs a pure-Python reference on data with heavy
+    cross-sample ties: exact integer d_num, min-x tie-break for the
+    argmax location, layout independence."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.drift import two_sample_ks
+
+    a_vals = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 5.0, 6.0] * 3
+    b_vals = [3.0, 4.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0] * 3
+    rows = [(v, False) for v in a_vals] + [(v, True) for v in b_vals]
+
+    def reference():
+        na, nb = len(a_vals), len(b_vals)
+        xs = sorted(set(a_vals + b_vals))
+        best = (-1, None)
+        for x in xs:
+            ca = sum(1 for v in a_vals if v <= x)
+            cb = sum(1 for v in b_vals if v <= x)
+            d = abs(ca * nb - cb * na)
+            if d > best[0]:
+                best = (d, x)
+        return na, nb, best[0], best[1]
+
+    df = spark.createDataFrame(rows, "x double, b boolean")
+    for parts in (1, 8):
+        r = two_sample_ks(
+            df.repartition(parts), "x", F.col("b"), n_shards=4
+        ).first()
+        assert (r["n_a"], r["n_b"], r["d_num"], r["x_at_max"]) == reference()
