@@ -72,6 +72,8 @@ PIPELINE = [
     "join_bloom_runtime_filter",
     "interval_overlap_incidents",
     "multimodal_image_neardup_pairs",
+    "drift_chisq_event_types",
+    "drift_ks_purchase_values",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.
