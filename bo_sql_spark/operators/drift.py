@@ -47,6 +47,15 @@ def two_sample_chisq(
             F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("n_b"),
         )
     )
+    return chisq_from_counts(counts)
+
+
+def chisq_from_counts(counts: DataFrame) -> DataFrame:
+    """The chi-square fold over a pre-aggregated (category, n_a, n_b)
+    table — counts ARE the mergeable summary (sum-merge across
+    microbatches/shards/days), so this shared tail is what both the
+    batch operator and the streaming drift monitor run on their
+    drained stores."""
     totals = counts.agg(
         F.sum("n_a").cast("long").alias("_ta"),
         F.sum("n_b").cast("long").alias("_tb"),

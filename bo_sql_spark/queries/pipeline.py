@@ -2438,6 +2438,89 @@ def drift_ks_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_drift_chisq",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type AS category,
+               COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)) AS n_a,
+               COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS n_b
+        FROM events GROUP BY event_type
+    ), tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
+    SELECT category,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(CASE WHEN (n_a + n_b) = 0 OR ta = 0 THEN 0 ELSE CAST((n_a * (ta + tb) - (n_a + n_b) * ta) AS HUGEINT) * (n_a * (ta + tb) - (n_a + n_b) * ta) * 1000000 // (CAST((ta + tb) AS HUGEINT) * (n_a + n_b) * ta) END
+                + CASE WHEN (n_a + n_b) = 0 OR tb = 0 THEN 0 ELSE CAST((n_b * (ta + tb) - (n_a + n_b) * tb) AS HUGEINT) * (n_b * (ta + tb) - (n_a + n_b) * tb) * 1000000 // (CAST((ta + tb) AS HUGEINT) * (n_a + n_b) * tb) END AS BIGINT) AS chisq_micros
+    FROM counts, tot ORDER BY category
+    """,
+    doc="STREAMING drift monitor (foreachBatch): each microbatch "
+    "appends its per-(category, sample) COUNTS to a store — counts "
+    "are the mergeable summary (sum-merge, like the CM grid) — and "
+    "the drained store folds into the same integer-exact chi-square "
+    "as the batch twin (drift_chisq_event_types' oracle verbatim): "
+    "continuous composition monitoring over an unbounded ingest with "
+    "O(categories) state per batch and no rescans. At 100 TB the "
+    "reference mix would be a pinned snapshot's counts; here both "
+    "samples stream in (weekday vs weekend split).",
+    tags=("pipeline", "streaming", "stats", "monitoring"),
+)
+def stream_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev_schema = _t(spark, sf_dir)["events"].schema
+    root = tempfile.mkdtemp(prefix="bosql_drift_stream_")
+    store = os.path.join(root, "counts")
+
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        (
+            batch_df.select(
+                F.col("event_type").alias("category"),
+                F.dayofweek("ts").isin(1, 7).alias("_b"),
+            )
+            .groupBy("category")
+            .agg(
+                F.sum(F.when(~F.col("_b"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_a"),
+                F.sum(F.when(F.col("_b"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_b"),
+            )
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from bo_sql_spark.operators.drift import chisq_from_counts
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("category")
+        .agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+        )
+    )
+    return chisq_from_counts(merged)
+
+
+@register(
     "join_bloom_runtime_filter",
     oracle="""
     SELECT o_orderpriority,

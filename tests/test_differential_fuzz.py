@@ -1210,3 +1210,73 @@ def test_sampled_quantiles_cross_engine(ctx, rows, qs, d):
         assert want_rows == [], want_rows
     else:
         assert got == sorted(tuple(r) for r in want_rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cats=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1,
+                max_size=8,
+            ),
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_drift_chisq_cross_engine(ctx, cats):
+    """Family 13 — the integer chi-square fold on ARBITRARY
+    per-category counts (zero-count sides, zero-count categories,
+    single-category tables, fully one-sided splits): the
+    DECIMAL(38)/HUGEINT products and the zero-denominator guards must
+    agree with a DuckDB replay on every contribution."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators.drift import chisq_from_counts
+
+    spark, con = ctx
+    df = spark.createDataFrame(cats, "category string, n_a long, n_b long")
+    got = sorted(tuple(r) for r in chisq_from_counts(df).collect())
+    con.register(
+        "fz_d",
+        pa.table(
+            {
+                "category": [c for c, _, _ in cats],
+                "n_a": [a for _, a, _ in cats],
+                "n_b": [b for _, _, b in cats],
+            }
+        ),
+    )
+
+    def contrib(n, tot):
+        d = f"({n} * (ta + tb) - (n_a + n_b) * {tot})"
+        return (
+            f"CASE WHEN (n_a + n_b) = 0 OR {tot} = 0 THEN 0 ELSE "
+            f"CAST({d} AS HUGEINT) * {d} * 1000000 "
+            f"// (CAST((ta + tb) AS HUGEINT) * (n_a + n_b) * {tot}) END"
+        )
+
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM fz_d)
+            SELECT category, CAST(n_a AS BIGINT), CAST(n_b AS BIGINT),
+                   CAST({contrib("n_a", "ta")} + {contrib("n_b", "tb")}
+                        AS BIGINT)
+            FROM fz_d, tot
+            """
+        ).fetchall()
+    )
+    con.unregister("fz_d")
+    assert got == want
