@@ -88,6 +88,101 @@ def chisq_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+def robust_group_outliers(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Robust per-group anomaly profile: median / MAD / outlier count.
+
+    The monitoring question drift detection doesn't answer: within ONE
+    sample, which rows are anomalous? Mean/stddev break down exactly
+    when it matters (the outliers drag the threshold toward
+    themselves), so the robust pair is the lower MEDIAN and the MAD
+    (median absolute deviation), with the classic |x - med| > 3 * MAD
+    flag (Hampel). Emits one row per group:
+    (group, n, med, mad, n_outliers, max_dev).
+
+    Exactness without fixed-point: the statistic never SUMS floats —
+    medians are order statistics (picks of actual data values), the
+    deviation |x - med| is a single IEEE subtract+abs (correctly
+    rounded, engine-identical), and 3 * mad is a single multiply.
+    Order + pick + one-op arithmetic is deterministic across engines;
+    only float accumulation isn't (registry doctrine). Median rank is
+    ceil(n/2) — the lower median, same pick the percentile_approx
+    oracle replays.
+
+    Plan at scale: everything runs at VALUE grain, not row grain — a
+    groupBy(group, x) counts first, so the per-group cumulative
+    windows sort |distinct values| rows, never |rows| (the KS trick
+    one function up). Two window passes (median, then MAD over
+    deviation grain) + broadcast joins of group-grain tables. Groups
+    are the partition key; a column with few distinct groups bounds
+    parallelism at #groups for the window stages only — at 100 TB the
+    value-grain tables those windows sort are cardinality-sized
+    (typically millions), far below data scale.
+    """
+    from pyspark.sql import Window
+
+    # counts is consumed three times (totals, median cum, deviation
+    # grain) and devs twice — checkpoint both so the corpus scan and
+    # the value-grain aggregation run ONCE, not once per consumer
+    # (the graph/SemDeDup lineage-cut discipline). Both tables are
+    # value-cardinality-sized, tiny next to the data.
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), F.col(value_col).cast("double").alias("_x"))
+        .groupBy("grp", "_x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("grp").agg(F.sum("_c").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("_cum", F.sum("_c").over(w).cast("long")).join(
+        F.broadcast(totals), "grp"
+    )
+    med = (
+        cum.filter(F.col("_cum") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("grp")
+        .agg(F.min("_x").alias("med"))
+    )
+    devs = (
+        counts.join(F.broadcast(med), "grp")
+        .select("grp", F.abs(F.col("_x") - F.col("med")).alias("_d"), "_c")
+        .groupBy("grp", "_d")
+        .agg(F.sum("_c").cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    wd = (
+        Window.partitionBy("grp")
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = devs.withColumn("_cum", F.sum("_c").over(wd).cast("long")).join(
+        F.broadcast(totals), "grp"
+    )
+    mad = (
+        dcum.filter(F.col("_cum") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("grp")
+        .agg(F.min("_d").alias("mad"))
+    )
+    flagged = devs.join(F.broadcast(mad), "grp").groupBy("grp").agg(
+        F.sum(F.when(F.col("_d") > 3 * F.col("mad"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.max("_d").alias("max_dev"),
+    )
+    return (
+        totals.join(med, "grp")
+        .join(mad, "grp")
+        .join(flagged, "grp")
+        .select("grp", "n", "med", "mad", "n_outliers", "max_dev")
+        .orderBy("grp")
+    )
+
+
 def two_sample_ks(
     df: DataFrame, value_col: str, in_b: Column, n_shards: int = 32
 ) -> DataFrame:

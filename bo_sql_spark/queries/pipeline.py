@@ -2521,6 +2521,155 @@ def stream_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type AS grp, value AS x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+        SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY grp
+    ), cum AS (
+        SELECT counts.grp, x, SUM(c) OVER (PARTITION BY counts.grp ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc, n
+        FROM counts JOIN totals USING (grp)
+    ), med AS (
+        SELECT grp, MIN(x) AS med FROM cum WHERE cumc >= (n + 1) // 2 GROUP BY grp
+    ), devs AS (
+        SELECT counts.grp, ABS(x - med) AS d, CAST(SUM(c) AS BIGINT) AS c
+        FROM counts JOIN med USING (grp) GROUP BY 1, 2
+    ), dcum AS (
+        SELECT devs.grp, d, SUM(c) OVER (PARTITION BY devs.grp ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc, n
+        FROM devs JOIN totals USING (grp)
+    ), mad AS (
+        SELECT grp, MIN(d) AS mad FROM dcum WHERE cumc >= (n + 1) // 2 GROUP BY grp
+    ), flagged AS (
+        SELECT devs.grp,
+               CAST(SUM(CASE WHEN d > 3 * mad THEN c ELSE 0 END) AS BIGINT) AS n_outliers,
+               MAX(d) AS max_dev
+        FROM devs JOIN mad USING (grp) GROUP BY 1
+    )
+    SELECT grp, n, med, mad, n_outliers, max_dev
+    FROM totals JOIN med USING (grp) JOIN mad USING (grp) JOIN flagged USING (grp)
+    ORDER BY grp
+    """,
+    doc="Robust per-group anomaly profile (operators/drift.py:"
+    "robust_group_outliers): per event type, the lower MEDIAN and MAD "
+    "of event values plus the Hampel |x - med| > 3*MAD outlier count — "
+    "the within-sample sibling of the two-sample drift queries. Exact "
+    "across engines WITHOUT fixed-point because the statistic never "
+    "sums floats: medians are order-statistic picks of actual data "
+    "values (rank ceil(n/2), the percentile doctrine), |x - med| and "
+    "3*mad are single correctly-rounded IEEE ops. Plan at scale: all "
+    "cumulative windows run at VALUE grain — groupBy(type, value) "
+    "counts first — so the per-type window sorts |distinct values| "
+    "rows, never |rows|; group-grain medians broadcast back.",
+    tags=("pipeline", "stats", "monitoring"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import robust_group_outliers
+
+    ev = _t(spark, sf_dir)["events"]
+    return robust_group_outliers(ev, "value", "event_type")
+
+
+_SEARCH_TERMS = ("dup", "merge", "vector")
+
+
+@register(
+    "text_keyword_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), hits AS (
+        SELECT doc_id FROM toks
+        WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+        GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+    )
+    SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN hits USING (doc_id)
+    """,
+    doc="Inverted-index conjunctive search (operators/search.py:"
+    "conjunctive_search): documents containing ALL query terms, as "
+    "posting-list algebra — the posting list is the distinct "
+    "(term, doc_id) relation, the AND is one doc-grain aggregate with "
+    "HAVING count(distinct term) = k (no k-way self-join). The term "
+    "filter applies at token grain BEFORE anything shuffles, so "
+    "shuffled bytes are proportional to the query terms' selectivity, "
+    "never the corpus; against a term-partitioned materialized store "
+    "the same filter becomes partition pruning (the text twin of the "
+    "served IVF index). Joined back to documents for the hit rows.",
+    tags=("pipeline", "text", "search"),
+)
+def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.search import conjunctive_search
+
+    docs = _t(spark, sf_dir)["documents"]
+    hits = conjunctive_search(docs, list(_SEARCH_TERMS))
+    return hits.join(docs, "doc_id").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@register(
+    "text_bm25_topdocs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), t2 AS (
+        SELECT doc_id, term FROM toks WHERE term <> ''
+    ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t2 GROUP BY doc_id
+    ), corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t2
+        WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t2
+        WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+        GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(CAST((n_docs * 1000000) // df AS HUGEINT)
+                    * ((tf * 2200000 * 1000000)
+                       // (tf * 1000000 + 300000
+                           + (900000 * ((dl * 1000000 * n_docs) // sum_dl)) // 1000000))
+                    // 1000000 AS BIGINT) AS term_score
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           CAST(SUM(term_score) AS BIGINT) AS bm25_micros,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micros DESC, doc_id LIMIT 20
+    """,
+    doc="Fixed-point BM25 ranked retrieval (operators/search.py:"
+    "bm25_topk): top-20 documents for a 3-term OR query, scored with "
+    "the BM25 shape (k1=1.2, b=0.75, Robertson & Walker '94) in exact "
+    "integer micros — the idf is the linear integer surrogate "
+    "(n_docs*1e6) DIV df that text_tfidf_topk established (monotone "
+    "in 1/df like ln(n/df), zero libm), the tf saturation and length "
+    "normalization are rational in (tf, dl, avgdl) so every DIV is "
+    "floor-on-positives, identical in both engines; the idf*tfpart "
+    "product runs in DECIMAL(38)/HUGEINT (idf grows with n_docs/df). "
+    "Plan at scale: term filter before any shuffle; df and corpus "
+    "length stats are tiny broadcast aggregates; final top-20 is a "
+    "TakeOrderedAndProject with a doc_id tie-break, never a global "
+    "sort.",
+    tags=("pipeline", "text", "search"),
+)
+def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir)["documents"]
+    return bm25_topk(docs, list(_SEARCH_TERMS), k=20)
+
+
+@register(
     "join_bloom_runtime_filter",
     oracle="""
     SELECT o_orderpriority,

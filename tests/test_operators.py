@@ -2051,3 +2051,95 @@ def test_two_sample_ks_reference_and_ties(spark):
             df.repartition(parts), "x", F.col("b"), n_shards=4
         ).first()
         assert (r["n_a"], r["n_b"], r["d_num"], r["x_at_max"]) == reference()
+
+
+def test_robust_group_outliers_reference(spark):
+    """Median/MAD/Hampel-count vs a pure-Python reference, including
+    even-count groups (lower-median pick), a group whose MAD is zero
+    (constant bulk), and layout independence."""
+    from bo_sql_spark.operators.drift import robust_group_outliers
+
+    data = {
+        "a": [1.0, 2.0, 2.0, 3.0, 100.0],        # odd n, one outlier
+        "b": [5.0, 5.0, 5.0, 5.0, 5.0, 9.0],     # MAD 0 -> any dev > 0 flags
+        "c": [1.0, 2.0, 3.0, 4.0],               # even n -> lower median 2
+    }
+
+    def reference(vals):
+        n = len(vals)
+        s = sorted(vals)
+        med = s[(n + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(n + 1) // 2 - 1]
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        return n, med, mad, n_out, max(abs(v - med) for v in vals)
+
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    for parts in (1, 8):
+        got = {
+            r["grp"]: (r["n"], r["med"], r["mad"], r["n_outliers"], r["max_dev"])
+            for r in robust_group_outliers(
+                df.repartition(parts), "value", "event_type"
+            ).collect()
+        }
+        assert got == {g: reference(vs) for g, vs in data.items()}, got
+
+
+def test_conjunctive_search_and_bm25_reference(spark):
+    """Posting-list AND + fixed-point BM25 vs pure-Python references
+    on a tiny corpus with known term statistics."""
+    from bo_sql_spark.operators.search import (
+        K1_MICROS,
+        B_MICROS,
+        bm25_topk,
+        conjunctive_search,
+    )
+
+    corpus = {
+        1: "spark join scan join",
+        2: "join scan",
+        3: "spark spark vector",
+        4: "scan vector spark",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    hits = sorted(
+        r["doc_id"]
+        for r in conjunctive_search(df, ["spark", "scan"]).collect()
+    )
+    assert hits == [1, 4]  # docs containing BOTH terms
+
+    terms = ["spark", "vector"]
+    M = 1_000_000
+
+    def reference_scores():
+        toks = {d: t.split() for d, t in corpus.items()}
+        dl = {d: len(ts) for d, ts in toks.items()}
+        n_docs, sum_dl = len(toks), sum(dl.values())
+        out = {}
+        for t in terms:
+            dfreq = sum(1 for ts in toks.values() if t in ts)
+            idf = (n_docs * M) // dfreq
+            for d, ts in toks.items():
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                dlr = (dl[d] * M * n_docs) // sum_dl
+                denom = (
+                    tf * M
+                    + K1_MICROS * (M - B_MICROS) // M
+                    + (K1_MICROS * B_MICROS // M * dlr) // M
+                )
+                tfpart = (tf * (K1_MICROS + M) * M) // denom
+                score = idf * tfpart // M
+                n, s = out.get(d, (0, 0))
+                out[d] = (n + 1, s + score)
+        return out
+
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["bm25_micros"])
+        for r in bm25_topk(df, terms, k=10).collect()
+    }
+    assert got == reference_scores(), (got, reference_scores())
