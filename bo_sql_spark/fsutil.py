@@ -76,3 +76,37 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, hpath = _fs_and_path(spark, path)
     return bool(fs.delete(hpath, recursive))
+
+
+def create_atomic(spark: SparkSession, path: str, payload: str = "") -> bool:
+    """Create ``path`` with ``overwrite=False``; True if THIS caller
+    created it, False if it already existed — the create-if-absent
+    primitive a compare-and-swap commit needs. Atomicity is the
+    filesystem's: HDFS create(overwrite=false) is atomic (one namenode
+    op); S3A needs conditional writes (If-None-Match, supported by
+    recent Hadoop S3A via fs.s3a.create.conditional) — without them
+    two racing S3 writers can both 'win', which is why Delta needs
+    DynamoDB LogStore there; the local FS is check-then-act but
+    single-machine tests don't race past the GIL in practice. Parent
+    dirs are created implicitly (Hadoop semantics)."""
+    fs, hpath = _fs_and_path(spark, path)
+    try:
+        out = fs.create(hpath, False)
+    except Exception as ex:  # FileAlreadyExistsException and kin
+        if "Exists" in type(ex).__name__ or "exists" in str(ex).lower():
+            return False
+        raise
+    try:
+        out.write(bytearray(payload.encode("ascii")))
+    finally:
+        out.close()
+    return True
+
+
+def mtime_ms(spark: SparkSession, path: str) -> int:
+    """Modification time of ``path`` in epoch milliseconds (0 if the
+    path is missing) — what stale-orphan retention decisions key on."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    return int(fs.getFileStatus(hpath).getModificationTime())

@@ -186,7 +186,7 @@ def snapshot_write(spark, df: DataFrame, root: str) -> int:
     ``snapshot_vacuum`` removes."""
     from bo_sql_spark import fsutil
 
-    v = snapshot_version(spark, root) + 1
+    v = _resolve_version(spark, root) + 1  # respects CAS commits too
     data_dir = root.rstrip("/") + f"/v={v}"
     df.write.mode("errorifexists").parquet(data_dir)
     tmp = _pointer_path(root) + f".tmp-{v}"
@@ -204,23 +204,43 @@ def snapshot_write(spark, df: DataFrame, root: str) -> int:
 
 def snapshot_read(spark, root: str, version: int | None = None) -> DataFrame:
     """Read a committed snapshot (latest by default). Time travel is
-    free: every version directory is immutable until vacuumed."""
-    v = version if version is not None else snapshot_version(spark, root)
+    free: every version directory is immutable until vacuumed. Resolves
+    the latest version across BOTH commit protocols (single-writer
+    pointer and multi-writer CAS log), so a table can migrate between
+    them without a rewrite."""
+    v = version if version is not None else _resolve_version(spark, root)
     if v <= 0:
         raise FileNotFoundError(f"no committed snapshot under {root}")
     return spark.read.parquet(root.rstrip("/") + f"/v={v}")
 
 
-def snapshot_vacuum(spark, root: str, keep: int = 2) -> list[int]:
+def snapshot_vacuum(
+    spark, root: str, keep: int = 2, claim_min_age_s: int = 86400
+) -> list[int]:
     """Delete version directories older than the newest ``keep``
-    committed ones, PLUS any orphans newer than the pointer (crashed
-    writers). Returns the versions removed. Never touches the pointer
-    or the kept versions, so concurrent readers of retained versions
-    are safe; readers of a vacuumed version fail loudly (the
-    time-travel retention trade every lakehouse documents)."""
+    committed ones, PLUS crashed-writer orphans. Returns the versions
+    removed. Never touches the pointer, the commit log's committed
+    entries, or the kept versions, so concurrent readers of retained
+    versions are safe; readers of a vacuumed version fail loudly (the
+    time-travel retention trade every lakehouse documents).
+
+    Orphan arbitration differs by protocol: a pointer-protocol orphan
+    (data dir newer than the pointer, NO claim marker) can only be a
+    crashed single writer — removed immediately, as before. A
+    CAS-protocol orphan (claim marker without a commit marker) might
+    be a SLOW IN-FLIGHT writer, not a crashed one — deleting its data
+    mid-write would let its later commit publish a hole — so claimed-
+    but-uncommitted versions are removed only when the claim is older
+    than ``claim_min_age_s`` (Iceberg/Delta's orphan-retention rule;
+    tests pass 0)."""
+    import time
+
     from bo_sql_spark import fsutil
 
-    cur = snapshot_version(spark, root)
+    cur = _resolve_version(spark, root)
+    committed = _marker_versions(spark, root, _COMMITS_DIR)
+    claims = _marker_versions(spark, root, _CLAIMS_DIR)
+    now_ms = time.time() * 1000.0
     removed = []
     for name, full in fsutil.ls(spark, root):
         if not name.startswith("v="):
@@ -229,10 +249,106 @@ def snapshot_vacuum(spark, root: str, keep: int = 2) -> list[int]:
             v = int(name[2:])
         except ValueError:
             continue
-        if v > cur or v <= cur - int(keep):
-            fsutil.delete(spark, full)
-            removed.append(v)
+        # committed = published by either protocol: in the CAS commit
+        # log, or (pointer protocol, no log entry) at-or-below the ptr
+        is_committed = v in committed or (v not in claims and v <= cur)
+        if is_committed:
+            if v > cur - int(keep):
+                continue  # retained
+        elif v in claims:
+            age_s = (
+                now_ms - fsutil.mtime_ms(spark, _marker_path(root, _CLAIMS_DIR, v))
+            ) / 1000.0
+            if age_s < claim_min_age_s:
+                continue  # possibly a slow in-flight writer — leave it
+        # else: pointer-protocol crashed writer (v > cur, unclaimed)
+        fsutil.delete(spark, full)
+        fsutil.delete(spark, _marker_path(root, _CLAIMS_DIR, v))
+        fsutil.delete(spark, _marker_path(root, _COMMITS_DIR, v))
+        removed.append(v)
     return sorted(removed)
+
+
+# ------------------------------------------- multi-writer arbitration
+# The one thing the pointer protocol above deliberately omits. CAS
+# commit: version numbers are RESERVED by atomically creating a claim
+# marker (create-if-absent — the filesystem is the arbiter), data lands
+# in the claimed immutable v=<n> dir, and the version is PUBLISHED by
+# creating a commit marker. Latest = max committed marker, so a
+# crashed writer (claim, maybe data, no commit) is invisible exactly
+# like a crashed pointer writer, and two concurrent writers can never
+# write the same version directory — the loser's create fails and it
+# retries at the next number. This is the simplified shape of the
+# Iceberg/Delta optimistic-concurrency commit (their claim object is
+# the numbered metadata/log file itself); like theirs it needs
+# create-if-absent to actually be atomic (HDFS yes; S3 via conditional
+# PUT — fsutil.create_atomic documents the caveat).
+
+_CLAIMS_DIR = "_claims"
+_COMMITS_DIR = "_commits"
+
+
+def _marker_path(root: str, kind: str, v: int) -> str:
+    return root.rstrip("/") + f"/{kind}/v-{int(v)}"
+
+
+def _marker_versions(spark, root: str, kind: str) -> set[int]:
+    from bo_sql_spark import fsutil
+
+    out = set()
+    for name, _ in fsutil.ls(spark, root.rstrip("/") + "/" + kind):
+        if name.startswith("v-"):
+            try:
+                out.add(int(name[2:]))
+            except ValueError:
+                pass
+    return out
+
+
+def snapshot_version_committed(spark, root: str) -> int:
+    """Latest CAS-committed version (0 if the commit log is empty)."""
+    return max(_marker_versions(spark, root, _COMMITS_DIR), default=0)
+
+
+def _resolve_version(spark, root: str) -> int:
+    """Latest committed version across both protocols: the pointer
+    (single-writer) and the commit log (CAS multi-writer)."""
+    return max(snapshot_version(spark, root), snapshot_version_committed(spark, root))
+
+
+def snapshot_write_cas(spark, df: DataFrame, root: str, max_attempts: int = 16) -> int:
+    """Commit ``df`` as the next version under MULTI-writer contention;
+    returns the committed version.
+
+    Protocol per attempt: propose v = (max claimed-or-committed) + 1,
+    try to atomically create the claim marker; if another writer got
+    there first, re-observe and retry at the new next number (bounded
+    by ``max_attempts`` — contention this protocol is wrong for, e.g.
+    dozens of writers per second, should use a real transaction log
+    service). After winning the claim the writer owns v exclusively:
+    data write + commit marker cannot race anyone. Readers resolve
+    max(commit log) so they see old-until-published, never partial."""
+    from bo_sql_spark import fsutil
+
+    v = 0
+    for _ in range(int(max_attempts)):
+        observed = max(
+            max(_marker_versions(spark, root, _CLAIMS_DIR), default=0),
+            _resolve_version(spark, root),
+        )
+        v = observed + 1
+        if fsutil.create_atomic(spark, _marker_path(root, _CLAIMS_DIR, v), str(v)):
+            break
+        v = 0
+    if not v:
+        raise RuntimeError(
+            f"snapshot_write_cas: lost the claim race {max_attempts} times under {root}"
+        )
+    data_dir = root.rstrip("/") + f"/v={v}"
+    df.write.mode("errorifexists").parquet(data_dir)
+    if not fsutil.create_atomic(spark, _marker_path(root, _COMMITS_DIR, v), str(v)):
+        raise RuntimeError(f"commit marker for claimed v={v} already exists")
+    return v
 
 
 def snapshot_compact(spark, root: str, target_rows_per_file: int) -> int:

@@ -231,3 +231,102 @@ def test_snapshot_compact_is_nonblocking_rebin(spark, tmp_path):
     assert files_v1 >= 20 and files_v2 <= 3, (files_v1, files_v2)
     assert snapshot_read(spark, root).count() == 1000
     assert snapshot_read(spark, root, version=1).count() == 1000  # intact
+
+
+def test_snapshot_cas_contention_and_read(spark, tmp_path):
+    """Two writers racing from the same observed version: the loser's
+    claim create fails and it retries at the next number — versions
+    never collide, both commits become readable, latest wins."""
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.sinks import (
+        _CLAIMS_DIR,
+        _marker_path,
+        snapshot_read,
+        snapshot_version_committed,
+        snapshot_write_cas,
+    )
+
+    root = str(tmp_path / "cas_tbl")
+    v1 = snapshot_write_cas(spark, spark.range(0, 10), root)
+    assert v1 == 1
+    # simulate a racing writer that already claimed v2 (it holds the
+    # claim but hasn't committed): our writer must skip to v3
+    assert fsutil.create_atomic(spark, _marker_path(root, _CLAIMS_DIR, 2), "2")
+    v3 = snapshot_write_cas(spark, spark.range(0, 25), root)
+    assert v3 == 3
+    assert snapshot_version_committed(spark, root) == 3
+    assert snapshot_read(spark, root).count() == 25
+    assert snapshot_read(spark, root, version=1).count() == 10  # time travel
+
+
+def test_snapshot_cas_crash_invisible_and_age_gated_vacuum(spark, tmp_path):
+    """A claimed-but-uncommitted version is invisible to readers, is
+    NOT vacuumed while the claim is fresh (it could be a slow in-flight
+    writer), and IS vacuumed once older than the retention age."""
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.sinks import (
+        _CLAIMS_DIR,
+        _marker_path,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write_cas,
+    )
+
+    root = str(tmp_path / "cas_crash")
+    snapshot_write_cas(spark, spark.range(0, 10), root)
+    # crashed writer: claim + data dir, no commit marker
+    assert fsutil.create_atomic(spark, _marker_path(root, _CLAIMS_DIR, 2), "2")
+    spark.range(0, 99).write.parquet(str(tmp_path / "cas_crash" / "v=2"))
+    assert snapshot_read(spark, root).count() == 10  # orphan invisible
+    # fresh claim: protected by the age gate
+    assert snapshot_vacuum(spark, root, keep=2, claim_min_age_s=3600) == []
+    assert snapshot_read(spark, root).count() == 10
+    # stale claim: removed (age 0 => everything uncommitted is stale)
+    assert snapshot_vacuum(spark, root, keep=2, claim_min_age_s=0) == [2]
+    assert not fsutil.exists(spark, str(tmp_path / "cas_crash" / "v=2"))
+    # a new writer reuses the vacuumed number cleanly
+    assert snapshot_write_cas(spark, spark.range(0, 7), root) == 2
+    assert snapshot_read(spark, root).count() == 7
+
+
+def test_snapshot_cas_threaded_writers_all_commit(spark, tmp_path):
+    """Genuinely concurrent writers (threads sharing the session):
+    every write lands as a DISTINCT committed version, nothing is lost,
+    and the final read resolves the highest committed version."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bo_sql_spark.sinks import (
+        snapshot_read,
+        snapshot_version_committed,
+        snapshot_write_cas,
+    )
+
+    root = str(tmp_path / "cas_race")
+
+    def writer(i: int) -> int:
+        return snapshot_write_cas(spark, spark.range(0, 10 + i), root, max_attempts=64)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        versions = sorted(pool.map(writer, range(6)))
+    assert versions == [1, 2, 3, 4, 5, 6]  # unique, gapless
+    assert snapshot_version_committed(spark, root) == 6
+    # each version is intact and readable (immutability under race)
+    counts = {v: snapshot_read(spark, root, version=v).count() for v in versions}
+    assert sorted(counts.values()) == [10, 11, 12, 13, 14, 15]
+
+
+def test_snapshot_pointer_and_cas_interoperate(spark, tmp_path):
+    """A pointer-protocol write on top of CAS commits (and vice versa)
+    never collides: both writers resolve the max across protocols."""
+    from bo_sql_spark.sinks import (
+        snapshot_read,
+        snapshot_write,
+        snapshot_write_cas,
+    )
+
+    root = str(tmp_path / "mixed")
+    assert snapshot_write(spark, spark.range(0, 5), root) == 1
+    assert snapshot_write_cas(spark, spark.range(0, 6), root) == 2
+    assert snapshot_write(spark, spark.range(0, 7), root) == 3
+    assert snapshot_read(spark, root).count() == 7
+    assert snapshot_read(spark, root, version=2).count() == 6
