@@ -120,20 +120,31 @@ def robust_group_outliers(
     value-grain tables those windows sort are cardinality-sized
     (typically millions), far below data scale.
     """
-    from pyspark.sql import Window
-
-    # counts is consumed three times (totals, median cum, deviation
-    # grain) and devs twice — checkpoint both so the corpus scan and
-    # the value-grain aggregation run ONCE, not once per consumer
-    # (the graph/SemDeDup lineage-cut discipline). Both tables are
-    # value-cardinality-sized, tiny next to the data.
     counts = (
         df.filter(F.col(value_col).isNotNull())
         .select(F.col(group_col).alias("grp"), F.col(value_col).cast("double").alias("_x"))
         .groupBy("grp", "_x")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .localCheckpoint(eager=False)
     )
+    return robust_outliers_from_counts(counts)
+
+
+def robust_outliers_from_counts(counts: DataFrame) -> DataFrame:
+    """The median/MAD/Hampel fold over a pre-aggregated value-grain
+    (grp, _x, _c) table. Value-grain counts are a MERGEABLE summary
+    (sum-merge on (grp, x) across microbatches/shards/days — order
+    statistics of the union are exactly recoverable from merged
+    counts), so this shared tail is what both the batch operator and
+    the streaming anomaly monitor run; same split as
+    chisq_from_counts."""
+    from pyspark.sql import Window
+
+    # counts is consumed three times (totals, median cum, deviation
+    # grain) and devs twice — checkpoint both so the upstream scan and
+    # the value-grain aggregation run ONCE, not once per consumer
+    # (the graph/SemDeDup lineage-cut discipline). Both tables are
+    # value-cardinality-sized, tiny next to the data.
+    counts = counts.localCheckpoint(eager=False)
     totals = counts.groupBy("grp").agg(F.sum("_c").cast("long").alias("n"))
     w = (
         Window.partitionBy("grp")

@@ -144,3 +144,72 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
     )
     return per_doc.orderBy(F.col("bm25_micros").desc(), id_col).limit(k)
+
+
+def materialize_inverted_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_term_buckets: int = 64,
+) -> None:
+    """Persist posting lists as parquet PARTITIONED BY term bucket —
+    the text twin of materialize_ivf_assignment.
+
+    The scale fix for per-query tokenization: building postings costs
+    a full corpus scan, so paying it inside every search makes each
+    query O(corpus). Materialized once at (term, doc_id, tf) grain and
+    partitioned by ``tb = pmod(xxhash64(term), n_term_buckets)``, a
+    query's term filter becomes PARTITION PRUNING at the source — the
+    scan touches only the query terms' bucket directories,
+    O(terms_probed / n_term_buckets) of the index, and the corpus is
+    tokenized exactly once per (re)build, amortized over every query.
+    Bucketing by term HASH (not raw term) keeps the directory count
+    fixed and hot terms spread across files within a bucket."""
+    post = (
+        doc_terms(docs, id_col, text_col)
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "tb", F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets)))
+        )
+    )
+    post.write.mode("overwrite").partitionBy("tb").parquet(path)
+
+
+def search_served(
+    spark,
+    index_path: str,
+    terms: list[str],
+    n_term_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive search answered from a materialized inverted index.
+
+    The query terms' buckets are computed with the same engine hash
+    (one tiny local job — the scalar edge every served index pays, cf.
+    ivf_topk_served's probe cells), and ``tb IN (buckets)`` lands on
+    the partition column: PartitionFilters in the plan, only those
+    directories are read. Emits (id, n_terms_hit, tf_sum) for docs
+    containing ALL terms."""
+    if not terms:
+        raise ValueError("search_served needs at least one term")
+    uniq = sorted(set(terms))
+    buckets = [
+        r["tb"]
+        for r in spark.createDataFrame([(t,) for t in uniq], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets))).alias("tb"))
+        .distinct()
+        .collect()
+    ]
+    idx = spark.read.parquet(index_path)
+    return (
+        idx.filter(F.col("tb").isin(buckets) & F.col("term").isin(uniq))
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("term").alias("_nt"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+        )
+        .filter(F.col("_nt") == len(uniq))
+        .select(id_col, F.col("_nt").cast("long").alias("n_terms_hit"), "tf_sum")
+    )

@@ -2573,6 +2573,101 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_group_outliers(ev, "value", "event_type")
 
 
+@register(
+    "stream_anomaly_mad",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type AS grp, value AS x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+        SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY grp
+    ), cum AS (
+        SELECT counts.grp, x, SUM(c) OVER (PARTITION BY counts.grp ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc, n
+        FROM counts JOIN totals USING (grp)
+    ), med AS (
+        SELECT grp, MIN(x) AS med FROM cum WHERE cumc >= (n + 1) // 2 GROUP BY grp
+    ), devs AS (
+        SELECT counts.grp, ABS(x - med) AS d, CAST(SUM(c) AS BIGINT) AS c
+        FROM counts JOIN med USING (grp) GROUP BY 1, 2
+    ), dcum AS (
+        SELECT devs.grp, d, SUM(c) OVER (PARTITION BY devs.grp ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc, n
+        FROM devs JOIN totals USING (grp)
+    ), mad AS (
+        SELECT grp, MIN(d) AS mad FROM dcum WHERE cumc >= (n + 1) // 2 GROUP BY grp
+    ), flagged AS (
+        SELECT devs.grp,
+               CAST(SUM(CASE WHEN d > 3 * mad THEN c ELSE 0 END) AS BIGINT) AS n_outliers,
+               MAX(d) AS max_dev
+        FROM devs JOIN mad USING (grp) GROUP BY 1
+    )
+    SELECT grp, n, med, mad, n_outliers, max_dev
+    FROM totals JOIN med USING (grp) JOIN mad USING (grp) JOIN flagged USING (grp)
+    ORDER BY grp
+    """,
+    doc="STREAMING anomaly monitor (foreachBatch): each microbatch "
+    "appends its per-(group, value) COUNTS to a store — value-grain "
+    "counts are a mergeable summary (sum-merge on (grp, x); order "
+    "statistics of the union are exactly recoverable from merged "
+    "counts) — and the drained store folds through the shared "
+    "robust_outliers_from_counts into the SAME median/MAD/Hampel "
+    "profile as the batch twin (events_anomaly_mad's oracle "
+    "verbatim). Distribution-shaped streaming state: O(distinct "
+    "values) per group, zero rescans — where the mergeable-median "
+    "state would grow unboundedly on a true continuum, the quantile "
+    "sketch family (stream_sketch_quantiles) is the bounded-state "
+    "fallback; this exact form is right for discretized values "
+    "(prices, scores, bucketed latencies).",
+    tags=("pipeline", "streaming", "stats", "monitoring"),
+)
+def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev_schema = _t(spark, sf_dir)["events"].schema
+    root = tempfile.mkdtemp(prefix="bosql_mad_stream_")
+    store = os.path.join(root, "counts")
+
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        (
+            batch_df.filter(F.col("value").isNotNull())
+            .select(
+                F.col("event_type").alias("grp"),
+                F.col("value").cast("double").alias("_x"),
+            )
+            .groupBy("grp", "_x")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from bo_sql_spark.operators.drift import robust_outliers_from_counts
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("grp", "_x")
+        .agg(F.sum("_c").cast("long").alias("_c"))
+    )
+    return robust_outliers_from_counts(merged)
+
+
 _SEARCH_TERMS = ("dup", "merge", "vector")
 
 
@@ -2610,6 +2705,49 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(docs, "doc_id").select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@register(
+    "text_search_served",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+        GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms_hit,
+           CAST(SUM(tf) AS BIGINT) AS tf_sum
+    FROM tf GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+    """,
+    doc="SERVED conjunctive search (operators/search.py:"
+    "materialize_inverted_index + search_served) — the text twin of "
+    "similarity_ivf_served: posting lists at (term, doc_id, tf) grain "
+    "materialized ONCE, partitioned by pmod(xxhash64(term), 64), then "
+    "the query's term filter lands on the partition column and the "
+    "scan touches only the probed term buckets (PartitionFilters, "
+    "plan-pinned in test_scale_ops). At 100 TB the corpus is "
+    "tokenized once per index (re)build, amortized over every query; "
+    "each query reads O(terms/buckets) of the index instead of "
+    "rescanning text. Hash bucketing keeps directory count fixed and "
+    "spreads hot terms within a bucket.",
+    tags=("pipeline", "text", "search"),
+)
+def text_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.operators.search import (
+        materialize_inverted_index,
+        search_served,
+    )
+
+    docs = _t(spark, sf_dir)["documents"]
+    path = tempfile.mkdtemp(prefix="bosql_invidx_") + "/index"
+    materialize_inverted_index(docs, path)
+    return search_served(spark, path, list(_SEARCH_TERMS))
 
 
 @register(

@@ -1280,3 +1280,75 @@ def test_drift_chisq_cross_engine(ctx, cats):
     )
     con.unregister("fz_d")
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=30),
+        min_size=1,
+        max_size=20,
+    ),
+    qterms=st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=3),
+)
+def test_bm25_fold_cross_engine(ctx, docs, qterms):
+    """Family 14 — the fixed-point BM25 fold on ARBITRARY corpora
+    (single-token docs, docs without any query term, repeated-token
+    docs, 1-3 query terms): every integer-micros stage (linear idf,
+    dl/avgdl ratio, saturation denominator, HUGEINT idf*tfpart
+    product) must agree with a DuckDB replay score-for-score."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators.search import bm25_topk
+
+    spark, con = ctx
+    texts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    terms = sorted(f"t{t}" for t in qterms)
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in bm25_topk(df, terms, k=len(docs) + 5).collect()
+    )
+    con.register(
+        "fz_b", pa.table({"doc_id": [i for i, _ in texts], "text": [t for _, t in texts]})
+    )
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fz_b
+            ), dl AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+            ), corpus AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+            ), tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+                WHERE term IN ({inlist}) GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks
+                WHERE term IN ({inlist}) GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id,
+                       CAST(CAST((n_docs * 1000000) // df AS HUGEINT)
+                            * ((tf * 2200000 * 1000000)
+                               // (tf * 1000000 + 300000
+                                   + (900000 * ((dl * 1000000 * n_docs) // sum_dl)) // 1000000))
+                            // 1000000 AS BIGINT) AS term_score
+                FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+            )
+            SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_micros,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+            FROM scored GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    con.unregister("fz_b")
+    assert got == want

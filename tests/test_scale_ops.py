@@ -496,3 +496,43 @@ def test_opq_adc_engine_recall_floor(spark, sf_dir):
         recalls.append(len(got & want) / k)
     mean_recall = float(np.mean(recalls))
     assert mean_recall >= 0.35, f"rotated recall@10 {mean_recall:.3f} below floor"
+
+
+def test_search_served_prunes_partitions_and_matches_direct(spark, tmp_path):
+    """The materialized inverted index must serve term queries via
+    partition pruning: the term-bucket filter appears as
+    PartitionFilters on the scan (only the probed buckets' directories
+    are read), and the served result equals the direct posting-list
+    AND over the same corpus."""
+    from bo_sql_spark.operators.search import (
+        conjunctive_search,
+        materialize_inverted_index,
+        search_served,
+    )
+
+    corpus = [
+        (1, "spark join scan join vector"),
+        (2, "join scan"),
+        (3, "spark spark vector"),
+        (4, "scan vector spark"),
+        (5, "sort merge sort"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    path = str(tmp_path / "invidx")
+    materialize_inverted_index(docs, path, n_term_buckets=16)
+
+    served = search_served(spark, path, ["spark", "scan"], n_term_buckets=16)
+    text = explain_str(served, "formatted")
+    assert "PartitionFilters" in text, text
+    pf = [ln for ln in text.splitlines() if "PartitionFilters" in ln][0]
+    assert "tb" in pf, text
+
+    got = sorted((r["doc_id"], r["tf_sum"]) for r in served.collect())
+    assert got == [(1, 2), (4, 2)], got  # tf_sum counts query terms only
+    direct = sorted(
+        r["doc_id"] for r in conjunctive_search(docs, ["spark", "scan"]).collect()
+    )
+    assert direct == [g[0] for g in got]
+
+    # second query, same build: the amortization story
+    assert search_served(spark, path, ["merge"], n_term_buckets=16).count() == 1
