@@ -112,13 +112,24 @@ def bm25_topk(
     qtoks = toks.filter(F.col("term").isin(list(terms)))
     tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     df_ = qtoks.groupBy("term").agg(F.count_distinct(id_col).cast("long").alias("df"))
+    joined = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    return bm25_fold(joined, k=k, id_col=id_col)
+
+
+def bm25_fold(joined: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """The fixed-point BM25 fold over per-(doc, term) rows carrying
+    (tf, df, dl, n_docs, sum_dl) — the shared tail of the one-shot
+    ranker (bm25_topk) and the served ranker (bm25_served), so both
+    produce bit-identical scores by construction."""
     k1_1 = K1_MICROS + _M  # (k1 + 1) in micros
     k1_1mb = K1_MICROS * (_M - B_MICROS) // _M  # k1*(1-b) micros = 300000
     k1b = K1_MICROS * B_MICROS // _M  # k1*b micros = 900000
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
+        joined
         .withColumn("idf_micros", F.expr("(n_docs * 1000000L) DIV df"))
         .withColumn("dlr_micros", F.expr("(dl * 1000000L * n_docs) DIV sum_dl"))
         .withColumn(
@@ -146,6 +157,48 @@ def bm25_topk(
     return per_doc.orderBy(F.col("bm25_micros").desc(), id_col).limit(k)
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase match via POSITIONAL postings: docs where the
+    phrase's words occur consecutively; emits (id, n_matches).
+
+    The anchor trick makes the phrase test a plain aggregate instead
+    of a k-way positional self-join: every occurrence of phrase word
+    i at position p contributes the anchor p - i, and a phrase match
+    at start position s puts ALL k words on the same anchor s — so a
+    (doc, anchor) group holding all k distinct word-indices IS a
+    match. One corpus scan (the phrase-word map is a broadcast k-row
+    join, which also handles repeated words like 'fast fast'), one
+    shuffle of query-word hits only — same selectivity-bound story as
+    conjunctive_search, plus a position per row."""
+    if not phrase:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    qdf = docs.sparkSession.createDataFrame(
+        [(w, i) for i, w in enumerate(phrase)], "term string, _idx int"
+    )
+    hits = toks.join(F.broadcast(qdf), "term").select(
+        id_col, (F.col("pos") - F.col("_idx")).alias("_anchor"), "_idx"
+    )
+    anchors = (
+        hits.groupBy(id_col, "_anchor")
+        .agg(F.count_distinct("_idx").alias("_ni"))
+        .filter(F.col("_ni") == len(phrase))
+    )
+    return anchors.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )
+
+
 def materialize_inverted_index(
     docs: DataFrame,
     path: str,
@@ -165,16 +218,29 @@ def materialize_inverted_index(
     O(terms_probed / n_term_buckets) of the index, and the corpus is
     tokenized exactly once per (re)build, amortized over every query.
     Bucketing by term HASH (not raw term) keeps the directory count
-    fixed and hot terms spread across files within a bucket."""
+    fixed and hot terms spread across files within a bucket.
+
+    Postings are denormalized with the doc length ``dl`` and a corpus
+    stats table (n_docs, sum_dl) is written beside the index at
+    ``<path>_stats`` — everything ranked serving (bm25_served) needs,
+    so a scoring query never rescans the corpus: per-term df is exact
+    from the pruned postings themselves (pruning keeps EVERY posting
+    of the query terms)."""
+    toks = doc_terms(docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
     post = (
-        doc_terms(docs, id_col, text_col)
-        .groupBy("term", id_col)
+        toks.groupBy("term", id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .join(dl, id_col)
         .withColumn(
             "tb", F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets)))
         )
     )
     post.write.mode("overwrite").partitionBy("tb").parquet(path)
+    dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "_stats")
 
 
 def search_served(
@@ -195,13 +261,7 @@ def search_served(
     if not terms:
         raise ValueError("search_served needs at least one term")
     uniq = sorted(set(terms))
-    buckets = [
-        r["tb"]
-        for r in spark.createDataFrame([(t,) for t in uniq], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets))).alias("tb"))
-        .distinct()
-        .collect()
-    ]
+    buckets = _query_buckets(spark, uniq, n_term_buckets)
     idx = spark.read.parquet(index_path)
     return (
         idx.filter(F.col("tb").isin(buckets) & F.col("term").isin(uniq))
@@ -213,3 +273,53 @@ def search_served(
         .filter(F.col("_nt") == len(uniq))
         .select(id_col, F.col("_nt").cast("long").alias("n_terms_hit"), "tf_sum")
     )
+
+
+def _query_buckets(spark, terms: list[str], n_term_buckets: int) -> list[int]:
+    return [
+        r["tb"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets))).alias("tb"))
+        .distinct()
+        .collect()
+    ]
+
+
+def bm25_served(
+    spark,
+    index_path: str,
+    terms: list[str],
+    k: int = 20,
+    n_term_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k answered from a materialized inverted index — the
+    amortized twin of bm25_topk, scores bit-identical by construction
+    (shared bm25_fold).
+
+    Everything the score needs is in the index: tf and dl are posting
+    columns, (n_docs, sum_dl) is the tiny stats table written at build
+    time, and per-term df is computed from the PRUNED postings —
+    exact, because partition pruning keeps every posting of the query
+    terms. So a ranked query reads O(query term buckets) of the index
+    and never touches the corpus text; the build's tokenization scan
+    is amortized over every query served (the ivf_topk_served
+    economics, for text)."""
+    if not terms:
+        raise ValueError("bm25_served needs at least one term")
+    uniq = sorted(set(terms))
+    buckets = _query_buckets(spark, uniq, n_term_buckets)
+    stats = spark.read.parquet(index_path.rstrip("/") + "_stats")
+    post = (
+        spark.read.parquet(index_path)
+        .filter(F.col("tb").isin(buckets) & F.col("term").isin(uniq))
+    )
+    df_ = post.groupBy("term").agg(
+        F.count_distinct(id_col).cast("long").alias("df")
+    )
+    joined = (
+        post.select(id_col, "term", "tf", "dl")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    return bm25_fold(joined, k=k, id_col=id_col)

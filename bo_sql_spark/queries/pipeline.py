@@ -2751,8 +2751,43 @@ def text_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_bm25_topdocs",
-    oracle=f"""
+    "text_phrase_search",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS term FROM arrs
+    ), hits AS (
+        SELECT doc_id, pos - idx AS anchor, idx
+        FROM toks JOIN (VALUES ('hash', 0), ('join', 1)) AS q(term, idx) USING (term)
+    ), anchors AS (
+        SELECT doc_id, anchor FROM hits
+        GROUP BY doc_id, anchor HAVING COUNT(DISTINCT idx) = 2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM anchors GROUP BY doc_id
+    """,
+    doc="Exact-phrase search (operators/search.py:phrase_search) for "
+    "'hash join' via POSITIONAL postings and the anchor trick: word i "
+    "at position p contributes anchor p - i, so a (doc, anchor) group "
+    "holding all k distinct word-indices is a phrase match — a plain "
+    "aggregate, never a k-way positional self-join. One corpus scan "
+    "(the phrase-word map is a broadcast k-row join, repeated words "
+    "handled naturally); only query-word hits shuffle, each one "
+    "(id, anchor, idx). Oracle replays positions via "
+    "generate_subscripts — 1-based vs Spark's 0-based posexplode "
+    "cancels in the anchor GROUPING (output is doc-grain counts).",
+    tags=("pipeline", "text", "search"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.search import phrase_search
+
+    docs = _t(spark, sf_dir)["documents"]
+    return phrase_search(docs, ["hash", "join"])
+
+
+_BM25_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
         FROM documents
@@ -2784,7 +2819,12 @@ def text_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_terms_hit
     FROM scored GROUP BY doc_id
     ORDER BY bm25_micros DESC, doc_id LIMIT 20
-    """,
+    """
+
+
+@register(
+    "text_bm25_topdocs",
+    oracle=_BM25_ORACLE,
     doc="Fixed-point BM25 ranked retrieval (operators/search.py:"
     "bm25_topk): top-20 documents for a 3-term OR query, scored with "
     "the BM25 shape (k1=1.2, b=0.75, Robertson & Walker '94) in exact "
@@ -2805,6 +2845,107 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return bm25_topk(docs, list(_SEARCH_TERMS), k=20)
+
+
+@register(
+    "text_bm25_served",
+    oracle=_BM25_ORACLE,
+    doc="SERVED BM25 (operators/search.py:bm25_served): the ranked "
+    "twin of text_search_served — tf and dl are posting columns, "
+    "(n_docs, sum_dl) is the tiny stats table written at build time, "
+    "and per-term df is computed from the PRUNED postings (exact: "
+    "pruning keeps every posting of the query terms), so a ranked "
+    "query reads O(query term buckets) of the index and never "
+    "touches corpus text. Scores are bit-identical to the one-shot "
+    "bm25_topk by construction (shared bm25_fold), which is why this "
+    "entry runs against text_bm25_topdocs' oracle VERBATIM — the "
+    "strongest served-equals-batch statement the registry can make.",
+    tags=("pipeline", "text", "search"),
+)
+def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.operators.search import (
+        bm25_served,
+        materialize_inverted_index,
+    )
+
+    docs = _t(spark, sf_dir)["documents"]
+    path = tempfile.mkdtemp(prefix="bosql_bm25idx_") + "/index"
+    materialize_inverted_index(docs, path)
+    return bm25_served(spark, path, list(_SEARCH_TERMS), k=20)
+
+
+@register(
+    "stream_search_index_ingest",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+        GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms_hit,
+           CAST(SUM(tf) AS BIGINT) AS tf_sum
+    FROM tf GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+    """,
+    doc="STREAMING index maintenance (foreachBatch): documents arrive "
+    "as a file stream and each microbatch APPENDS its postings to the "
+    "term-bucket-partitioned store — postings are per-doc-local "
+    "(tokenize + count within the doc), so the drained store is "
+    "byte-identical to a batch build under ANY batching, and serving "
+    "(search_served, partition-pruned) equals text_search_served's "
+    "oracle verbatim. The freshness story the IVF/minhash incremental "
+    "ingests tell, for text search: new corpus batches become "
+    "searchable at ingest cost O(batch), no index rebuild; per-term "
+    "stats (df) and corpus stats (n_docs, sum_dl) stay exact at serve "
+    "time because df comes from the postings themselves and the "
+    "stats counts are sum-mergeable.",
+    tags=("pipeline", "text", "search", "streaming"),
+)
+def stream_search_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators.search import doc_terms, search_served
+
+    docs_schema = _t(spark, sf_dir)["documents"].schema
+    root = tempfile.mkdtemp(prefix="bosql_idx_stream_")
+    store = os.path.join(root, "index")
+    n_buckets = 64
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        toks = doc_terms(batch_df)
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        (
+            toks.groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .join(dl, "doc_id")
+            .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+            .write.mode("append")
+            .partitionBy("tb")
+            .parquet(store)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return search_served(spark, store, list(_SEARCH_TERMS), n_term_buckets=n_buckets)
 
 
 @register(

@@ -2143,3 +2143,62 @@ def test_conjunctive_search_and_bm25_reference(spark):
         for r in bm25_topk(df, terms, k=10).collect()
     }
     assert got == reference_scores(), (got, reference_scores())
+
+
+def test_phrase_search_anchors_and_repeated_words(spark):
+    """Phrase matching via the anchor aggregate: consecutive-only
+    matches, multiple occurrences counted, repeated-word phrases
+    ('fast fast') handled by the distinct-word-index test."""
+    from bo_sql_spark.operators.search import phrase_search
+
+    corpus = [
+        (1, "hash join beats sort merge join"),   # 1 match
+        (2, "join hash"),                         # reversed: 0
+        (3, "hash join and hash join again"),     # 2 matches
+        (4, "hash only"),                         # partial: 0
+        (5, "fast fast fast"),                    # overlapping repeats
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(df, ["hash", "join"]).collect()
+    }
+    assert got == {1: 1, 3: 2}, got
+    rep = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(df, ["fast", "fast"]).collect()
+    }
+    assert rep == {5: 2}, rep  # starts at positions 0 and 1
+
+
+def test_bm25_served_equals_one_shot(spark, tmp_path):
+    """The served ranker must produce bit-identical scores to the
+    one-shot ranker (shared bm25_fold; df from pruned postings, dl and
+    stats from the index)."""
+    from bo_sql_spark.operators.search import (
+        bm25_served,
+        bm25_topk,
+        materialize_inverted_index,
+    )
+
+    corpus = [
+        (1, "spark join scan join vector"),
+        (2, "join scan"),
+        (3, "spark spark vector"),
+        (4, "scan vector spark"),
+        (5, "sort merge sort"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    path = str(tmp_path / "bm25idx")
+    materialize_inverted_index(docs, path, n_term_buckets=16)
+
+    terms = ["spark", "scan", "merge"]
+    one_shot = sorted(
+        (r["doc_id"], r["bm25_micros"], r["n_terms_hit"])
+        for r in bm25_topk(docs, terms, k=10).collect()
+    )
+    served = sorted(
+        (r["doc_id"], r["bm25_micros"], r["n_terms_hit"])
+        for r in bm25_served(spark, path, terms, k=10, n_term_buckets=16).collect()
+    )
+    assert served == one_shot and len(served) == 5, (served, one_shot)
