@@ -74,6 +74,10 @@ PIPELINE = [
     "multimodal_image_neardup_pairs",
     "drift_chisq_event_types",
     "drift_ks_purchase_values",
+    # round 9 continuation: search + anomaly families
+    "text_bm25_topdocs",
+    "text_search_served",
+    "events_anomaly_mad",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.
