@@ -199,6 +199,57 @@ def phrase_search(
     )
 
 
+def proximity_search(
+    docs: DataFrame,
+    terms: list[str],
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity match: docs where ALL ``terms`` (distinct words, any
+    order) co-occur within a ``window``-token span; emits
+    (id, n_matches) with n_matches = hit positions whose trailing
+    window completes the set.
+
+    The bitmask-window trick: term i contributes bit 1<<i at its
+    positions, and a RANGE-frame sliding window (window-1 PRECEDING ..
+    CURRENT) OR-folds the bits — a frame whose mask is all-ones holds
+    every term within the span. Checking only windows ENDING at a hit
+    is exhaustive (any covering span shrinks to one ending at its last
+    hit). The window partitions by doc and runs over QUERY-TERM HITS
+    only, not the token stream — same selectivity-bound shuffle as
+    conjunctive_search, plus a position and a bit per row."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("proximity_search needs at least one term")
+    if len(uniq) > 62:
+        raise ValueError("proximity_search supports at most 62 distinct terms")
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    qdf = docs.sparkSession.createDataFrame(
+        [(w, 1 << i) for i, w in enumerate(uniq)], "term string, _bit long"
+    )
+    hits = toks.join(F.broadcast(qdf), "term").select(
+        id_col, F.col("pos").cast("long").alias("pos"), "_bit"
+    )
+    wspec = (
+        W.partitionBy(id_col).orderBy("pos").rangeBetween(-(int(window) - 1), 0)
+    )
+    full = (1 << len(uniq)) - 1
+    masked = hits.withColumn("_mask", F.expr("bit_or(_bit)").over(wspec))
+    return (
+        masked.filter(F.col("_mask") == full)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+
+
 def materialize_inverted_index(
     docs: DataFrame,
     path: str,

@@ -2787,6 +2787,113 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(docs, ["hash", "join"])
 
 
+@register(
+    "store_snapshot_timetravel",
+    oracle="""
+    WITH v1 AS (
+        SELECT COUNT(*) AS n, SUM(n_chars) AS chars FROM documents WHERE doc_id % 2 = 0
+    ), v2 AS (
+        SELECT COUNT(*) AS n, SUM(n_chars) AS chars FROM documents
+    )
+    SELECT CAST(1 AS BIGINT) AS version, CAST(n AS BIGINT) AS n_docs,
+           CAST(chars AS BIGINT) AS sum_chars,
+           CAST(0 AS BIGINT) AS n_added
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(v2.n AS BIGINT), CAST(v2.chars AS BIGINT),
+           CAST(v2.n - v1.n AS BIGINT)
+    FROM v1, v2
+    """,
+    doc="Snapshot-store time travel, driver-graded (sinks.py:"
+    "snapshot_write_cas/snapshot_read): commit two versions of the "
+    "documents table through the multi-writer CAS protocol (claim "
+    "marker -> immutable v=<n> dir -> commit marker), then read BOTH "
+    "versions back — v1 while v2 already exists (time travel) — and "
+    "emit per-version profiles plus the added-row delta. The oracle "
+    "computes the same profiles straight from the source table, so a "
+    "store that lost, duplicated, or mixed rows across versions "
+    "hash-mismatches. The maintenance layer every incremental store "
+    "in this repo (SemDeDup, IVF, inverted index) would sit on at "
+    "100 TB: immutable versions + atomic publication, readers never "
+    "see partial writes.",
+    tags=("pipeline", "store"),
+)
+def store_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.sinks import snapshot_read, snapshot_write_cas
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="bosql_snap_") + "/tbl"
+    v1 = snapshot_write_cas(spark, docs.filter(F.col("doc_id") % 2 == 0), root)
+    v2 = snapshot_write_cas(spark, docs, root)
+
+    def profile(version: int, prev_n) -> DataFrame:
+        d = snapshot_read(spark, root, version)
+        return d.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+
+    p1 = profile(v1, None)
+    p2 = profile(v2, None)
+    n1 = p1.select("n_docs")
+    return (
+        p1.withColumn("n_added", F.lit(0).cast("long"))
+        .unionByName(
+            p2.crossJoin(
+                F.broadcast(n1.select(F.col("n_docs").alias("_n1")))
+            ).select(
+                "version",
+                "n_docs",
+                "sum_chars",
+                (F.col("n_docs") - F.col("_n1")).cast("long").alias("n_added"),
+            )
+        )
+    )
+
+
+@register(
+    "text_proximity_search",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS term FROM arrs
+    ), hits AS (
+        SELECT doc_id, pos, CASE term WHEN 'dup' THEN 1 WHEN 'vector' THEN 2 END AS m
+        FROM toks WHERE term IN ('dup', 'vector')
+    ), masked AS (
+        SELECT doc_id, bit_or(m) OVER (PARTITION BY doc_id ORDER BY pos
+                   RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS mask
+        FROM hits
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM masked WHERE mask = 3 GROUP BY doc_id
+    """,
+    doc="Proximity search (operators/search.py:proximity_search): "
+    "'dup' and 'vector' within a 12-token span, any order — the "
+    "between-phrase-and-AND retrieval primitive. Term i contributes "
+    "bit 1<<i at its positions and a RANGE-frame sliding window "
+    "(11 PRECEDING..CURRENT over token position) OR-folds the bits; "
+    "an all-ones frame mask means every term is in the span, and "
+    "checking only windows ENDING at a hit is exhaustive (a covering "
+    "span shrinks to one ending at its last hit). The per-doc window "
+    "runs over QUERY-TERM HITS only — selectivity-bound like "
+    "conjunctive_search, never the token stream. 1-based vs 0-based "
+    "positions cancel in the RANGE offsets (both engines span 12 "
+    "consecutive positions).",
+    tags=("pipeline", "text", "search"),
+)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.search import proximity_search
+
+    docs = _t(spark, sf_dir)["documents"]
+    return proximity_search(docs, ["dup", "vector"], window=12)
+
+
 _BM25_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term

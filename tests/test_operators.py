@@ -2202,3 +2202,36 @@ def test_bm25_served_equals_one_shot(spark, tmp_path):
         for r in bm25_served(spark, path, terms, k=10, n_term_buckets=16).collect()
     )
     assert served == one_shot and len(served) == 5, (served, one_shot)
+
+
+def test_proximity_search_window_semantics(spark):
+    """Bitmask range-window proximity: any order, window boundary
+    inclusive/exclusive, repeated hits counted per completing end
+    position, 3-term sets."""
+    from bo_sql_spark.operators.search import proximity_search
+
+    corpus = [
+        (1, "dup a b c vector"),    # span 5 <= 10
+        (2, "dup a b c d e f g h i j k vector"),  # span 13 > 10
+        (3, "vector dup"),          # reversed, adjacent
+        (4, "dup only"),            # incomplete
+        (5, "dup vector dup vector"),  # multiple completing ends
+        (6, "x dup y vector z merge"),  # 3-term test below
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in proximity_search(df, ["dup", "vector"], window=10).collect()
+    }
+    # doc5: ends at pos1 (dup0,vec1), pos2, pos3 all complete -> 3
+    assert got == {1: 1, 3: 1, 5: 3, 6: 1}, got
+    exact = {
+        r["doc_id"]: r["n_matches"]
+        for r in proximity_search(df, ["dup", "vector"], window=5).collect()
+    }
+    assert 1 in exact and 2 not in exact, exact
+    three = {
+        r["doc_id"]: r["n_matches"]
+        for r in proximity_search(df, ["dup", "vector", "merge"], window=6).collect()
+    }
+    assert three == {6: 1}, three
