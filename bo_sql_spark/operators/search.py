@@ -177,22 +177,35 @@ def phrase_search(
     conjunctive_search, plus a position per row."""
     if not phrase:
         raise ValueError("phrase_search needs a non-empty phrase")
-    toks = docs.select(
+    toks = doc_positions(docs, id_col, text_col)
+    qdf = docs.sparkSession.createDataFrame(
+        [(w, i) for i, w in enumerate(phrase)], "term string, _idx int"
+    )
+    hits = toks.join(F.broadcast(qdf), "term").select(id_col, "pos", "_idx")
+    return _phrase_fold(hits, len(phrase), id_col)
+
+
+def doc_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, term) positional token stream (0-based positions)."""
+    return docs.select(
         F.col(id_col),
         F.posexplode(
             F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
         ).alias("pos", "term"),
     ).filter(F.col("term") != "")
-    qdf = docs.sparkSession.createDataFrame(
-        [(w, i) for i, w in enumerate(phrase)], "term string, _idx int"
-    )
-    hits = toks.join(F.broadcast(qdf), "term").select(
-        id_col, (F.col("pos") - F.col("_idx")).alias("_anchor"), "_idx"
-    )
+
+
+def _phrase_fold(hits: DataFrame, n_words: int, id_col: str) -> DataFrame:
+    """The anchor aggregate over (id, pos, _idx) phrase-word hits —
+    shared by the one-shot scanner and the positional-index server, so
+    both produce identical matches by construction."""
     anchors = (
-        hits.groupBy(id_col, "_anchor")
+        hits.select(id_col, (F.col("pos") - F.col("_idx")).alias("_anchor"), "_idx")
+        .groupBy(id_col, "_anchor")
         .agg(F.count_distinct("_idx").alias("_ni"))
-        .filter(F.col("_ni") == len(phrase))
+        .filter(F.col("_ni") == n_words)
     )
     return anchors.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
@@ -224,24 +237,25 @@ def proximity_search(
         raise ValueError("proximity_search needs at least one term")
     if len(uniq) > 62:
         raise ValueError("proximity_search supports at most 62 distinct terms")
-    from pyspark.sql import Window as W
-
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
-        ).alias("pos", "term"),
-    ).filter(F.col("term") != "")
+    toks = doc_positions(docs, id_col, text_col)
     qdf = docs.sparkSession.createDataFrame(
         [(w, 1 << i) for i, w in enumerate(uniq)], "term string, _bit long"
     )
     hits = toks.join(F.broadcast(qdf), "term").select(
         id_col, F.col("pos").cast("long").alias("pos"), "_bit"
     )
-    wspec = (
-        W.partitionBy(id_col).orderBy("pos").rangeBetween(-(int(window) - 1), 0)
-    )
-    full = (1 << len(uniq)) - 1
+    return _proximity_fold(hits, int(window), len(uniq), id_col)
+
+
+def _proximity_fold(
+    hits: DataFrame, window: int, n_terms: int, id_col: str
+) -> DataFrame:
+    """The bitmask RANGE-window fold over (id, pos, _bit) hits —
+    shared by the one-shot scanner and the positional-index server."""
+    from pyspark.sql import Window as W
+
+    wspec = W.partitionBy(id_col).orderBy("pos").rangeBetween(-(window - 1), 0)
+    full = (1 << n_terms) - 1
     masked = hits.withColumn("_mask", F.expr("bit_or(_bit)").over(wspec))
     return (
         masked.filter(F.col("_mask") == full)
@@ -276,12 +290,21 @@ def materialize_inverted_index(
     ``<path>_stats`` — everything ranked serving (bm25_served) needs,
     so a scoring query never rescans the corpus: per-term df is exact
     from the pruned postings themselves (pruning keeps EVERY posting
-    of the query terms)."""
-    toks = doc_terms(docs, id_col, text_col)
+    of the query terms). Each posting also carries its sorted
+    ``positions`` array (the classic positional index), which is what
+    lets phrase and proximity queries serve partition-pruned too
+    (phrase_served / proximity_served) — positions explode AFTER the
+    pruned scan, so the cost is per-hit, never per-corpus."""
+    toks = doc_positions(docs, id_col, text_col)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
     post = (
         toks.groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                "positions"
+            ),
+        )
         .join(dl, id_col)
         .withColumn(
             "tb", F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets)))
@@ -374,3 +397,69 @@ def bm25_served(
         .crossJoin(F.broadcast(stats))
     )
     return bm25_fold(joined, k=k, id_col=id_col)
+
+
+def _served_position_hits(
+    spark, index_path: str, word_map: list[tuple[str, int]],
+    n_term_buckets: int, id_col: str, payload_col: str,
+) -> DataFrame:
+    """Pruned positional hits from the index: read only the query
+    terms' buckets, explode each posting's positions array, attach the
+    per-word payload (phrase index / proximity bit) via a broadcast
+    k-row map. Explosion happens AFTER pruning — per-hit cost."""
+    words = sorted({w for w, _ in word_map})
+    buckets = _query_buckets(spark, words, n_term_buckets)
+    qdf = spark.createDataFrame(word_map, f"term string, {payload_col} long")
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("tb").isin(buckets) & F.col("term").isin(words))
+        .join(F.broadcast(qdf), "term")
+        .select(
+            id_col,
+            F.explode("positions").alias("pos"),
+            payload_col,
+        )
+    )
+
+
+def phrase_served(
+    spark,
+    index_path: str,
+    phrase: list[str],
+    n_term_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search from the materialized positional index —
+    matches phrase_search by construction (shared _phrase_fold over
+    the same (id, pos, word-index) hits, sourced from pruned postings
+    instead of a corpus scan)."""
+    if not phrase:
+        raise ValueError("phrase_served needs a non-empty phrase")
+    hits = _served_position_hits(
+        spark, index_path, [(w, i) for i, w in enumerate(phrase)],
+        n_term_buckets, id_col, "_idx",
+    )
+    return _phrase_fold(hits, len(phrase), id_col)
+
+
+def proximity_served(
+    spark,
+    index_path: str,
+    terms: list[str],
+    window: int = 10,
+    n_term_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proximity search from the materialized positional index —
+    matches proximity_search by construction (shared bitmask
+    RANGE-window fold over pruned positional hits)."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("proximity_served needs at least one term")
+    if len(uniq) > 62:
+        raise ValueError("proximity_served supports at most 62 distinct terms")
+    hits = _served_position_hits(
+        spark, index_path, [(w, 1 << i) for i, w in enumerate(uniq)],
+        n_term_buckets, id_col, "_bit",
+    )
+    return _proximity_fold(hits, int(window), len(uniq), id_col)

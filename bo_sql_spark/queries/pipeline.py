@@ -2750,9 +2750,7 @@ def text_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_served(spark, path, list(_SEARCH_TERMS))
 
 
-@register(
-    "text_phrase_search",
-    oracle="""
+_PHRASE_ORACLE = """
     WITH arrs AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
         FROM documents
@@ -2767,7 +2765,12 @@ def text_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
     FROM anchors GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "text_phrase_search",
+    oracle=_PHRASE_ORACLE,
     doc="Exact-phrase search (operators/search.py:phrase_search) for "
     "'hash join' via POSITIONAL postings and the anchor trick: word i "
     "at position p contributes anchor p - i, so a (doc, anchor) group "
@@ -2854,9 +2857,7 @@ def store_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_proximity_search",
-    oracle="""
+_PROXIMITY_ORACLE = """
     WITH arrs AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
         FROM documents
@@ -2872,7 +2873,12 @@ def store_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
     FROM masked WHERE mask = 3 GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "text_proximity_search",
+    oracle=_PROXIMITY_ORACLE,
     doc="Proximity search (operators/search.py:proximity_search): "
     "'dup' and 'vector' within a 12-token span, any order — the "
     "between-phrase-and-AND retrieval primitive. Term i contributes "
@@ -2892,6 +2898,60 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return proximity_search(docs, ["dup", "vector"], window=12)
+
+
+@register(
+    "text_phrase_served",
+    oracle=_PHRASE_ORACLE,
+    doc="SERVED exact-phrase search (operators/search.py:"
+    "phrase_served): the positional index completes the served family "
+    "— each posting carries its sorted positions array, so the phrase "
+    "query reads ONLY the phrase words' term buckets (partition "
+    "pruning), explodes positions per pruned hit, and runs the same "
+    "anchor aggregate as the one-shot scanner (shared _phrase_fold => "
+    "identical matches by construction; this entry runs "
+    "text_phrase_search's oracle VERBATIM). At 100 TB: phrase queries "
+    "without tokenizing a single document at query time.",
+    tags=("pipeline", "text", "search"),
+)
+def text_phrase_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.operators.search import (
+        materialize_inverted_index,
+        phrase_served,
+    )
+
+    docs = _t(spark, sf_dir)["documents"]
+    path = tempfile.mkdtemp(prefix="bosql_posidx_") + "/index"
+    materialize_inverted_index(docs, path)
+    return phrase_served(spark, path, ["hash", "join"])
+
+
+@register(
+    "text_proximity_served",
+    oracle=_PROXIMITY_ORACLE,
+    doc="SERVED proximity search (operators/search.py:"
+    "proximity_served): pruned positional hits from the index feed "
+    "the same bitmask RANGE-window fold as the one-shot scanner "
+    "(shared _proximity_fold => text_proximity_search's oracle "
+    "VERBATIM). With conjunctive, BM25, phrase, and proximity all "
+    "serving from ONE term-bucket-partitioned store, the index build "
+    "amortizes across every retrieval mode.",
+    tags=("pipeline", "text", "search"),
+)
+def text_proximity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.operators.search import (
+        materialize_inverted_index,
+        proximity_served,
+    )
+
+    docs = _t(spark, sf_dir)["documents"]
+    path = tempfile.mkdtemp(prefix="bosql_posidx_") + "/index"
+    materialize_inverted_index(docs, path)
+    return proximity_served(spark, path, ["dup", "vector"], window=12)
 
 
 _BM25_ORACLE = f"""
@@ -3017,7 +3077,7 @@ def stream_search_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from bo_sql_spark.operators.search import doc_terms, search_served
+    from bo_sql_spark.operators.search import doc_positions, search_served
 
     docs_schema = _t(spark, sf_dir)["documents"].schema
     root = tempfile.mkdtemp(prefix="bosql_idx_stream_")
@@ -3033,11 +3093,16 @@ def stream_search_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(batch_df, batch_id):
-        toks = doc_terms(batch_df)
+        toks = doc_positions(batch_df)
         dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
         (
             toks.groupBy("term", "doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("tf"),
+                F.sort_array(
+                    F.collect_list(F.col("pos").cast("long"))
+                ).alias("positions"),
+            )
             .join(dl, "doc_id")
             .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
             .write.mode("append")

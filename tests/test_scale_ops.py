@@ -536,3 +536,47 @@ def test_search_served_prunes_partitions_and_matches_direct(spark, tmp_path):
 
     # second query, same build: the amortization story
     assert search_served(spark, path, ["merge"], n_term_buckets=16).count() == 1
+
+
+def test_positional_serves_prune_and_match_direct(spark, tmp_path):
+    """phrase_served / proximity_served must read only the query
+    terms' buckets (PartitionFilters) and equal their one-shot
+    scanners on the same corpus (shared folds, pruned hit source)."""
+    from bo_sql_spark.operators.search import (
+        materialize_inverted_index,
+        phrase_search,
+        phrase_served,
+        proximity_search,
+        proximity_served,
+    )
+
+    corpus = [
+        (1, "hash join beats sort merge join"),
+        (2, "join hash"),
+        (3, "hash join and hash join again"),
+        (4, "hash a b c d e f g join"),
+        (5, "sort merge sort"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    path = str(tmp_path / "posidx")
+    materialize_inverted_index(docs, path, n_term_buckets=16)
+
+    ph = phrase_served(spark, path, ["hash", "join"], n_term_buckets=16)
+    text = explain_str(ph, "formatted")
+    assert "PartitionFilters" in text, text
+    assert "tb" in [ln for ln in text.splitlines() if "PartitionFilters" in ln][0]
+    direct = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_search(docs, ["hash", "join"]).collect()
+    )
+    served = sorted((r["doc_id"], r["n_matches"]) for r in ph.collect())
+    assert served == direct == [(1, 1), (3, 2)], (served, direct)
+
+    pr = proximity_served(spark, path, ["hash", "join"], window=5, n_term_buckets=16)
+    dprox = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in proximity_search(docs, ["hash", "join"], window=5).collect()
+    )
+    sprox = sorted((r["doc_id"], r["n_matches"]) for r in pr.collect())
+    # doc4's gap (8) exceeds the 5-token window; doc2 reversed matches
+    assert sprox == dprox and {d for d, _ in sprox} == {1, 2, 3}, (sprox, dprox)
