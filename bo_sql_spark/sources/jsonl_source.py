@@ -79,10 +79,20 @@ def load_jsonl(
     return df
 
 
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
     """Write one JSON object per row. Spark escapes embedded newlines,
     so records stay line-delimited; NULL fields are omitted (and read
     back as NULL). Dates/timestamps serialize as ISO strings — which
     ``load_jsonl``'s date pass restores, making parquet -> JSONL ->
-    load a typed round trip."""
-    df.write.mode(mode).json(path)
+    load a typed round trip. ``compression`` (e.g. 'gzip') trades
+    splittability for size — gzipped JSONL reads back fine but each
+    file is one task, so size output files accordingly for export."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -1352,3 +1352,106 @@ def test_bm25_fold_cross_engine(ctx, docs, qterms):
     )
     con.unregister("fz_b")
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=25),
+        min_size=1,
+        max_size=15,
+    ),
+    phrase_ids=st.lists(
+        st.integers(min_value=0, max_value=5), min_size=2, max_size=3
+    ),
+    prox_ids=st.sets(st.integers(min_value=0, max_value=5), min_size=1, max_size=3),
+    window=st.integers(min_value=2, max_value=8),
+)
+def test_phrase_and_proximity_folds_cross_engine(
+    ctx, docs, phrase_ids, prox_ids, window
+):
+    """Family 15 — the positional folds on ARBITRARY corpora: the
+    phrase anchor aggregate (including REPEATED-word phrases, where
+    one position feeds several word-indices) and the proximity
+    bitmask RANGE-frame window (boundary-exact spans, single-term
+    sets) must agree with DuckDB replays hit-for-hit."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators.search import phrase_search, proximity_search
+
+    spark, con = ctx
+    texts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    con.register(
+        "fz_p", pa.table({"doc_id": [i for i, _ in texts], "text": [t for _, t in texts]})
+    )
+    try:
+        phrase = [f"t{t}" for t in phrase_ids]
+        got_ph = sorted(
+            tuple(r) for r in phrase_search(df, phrase).collect()
+        )
+        vals = ", ".join(f"('{w}', {i})" for i, w in enumerate(phrase))
+        want_ph = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"""
+                WITH arrs AS (
+                    SELECT doc_id, string_split(text, ' ') AS arr FROM fz_p
+                ), toks AS (
+                    SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                           unnest(arr) AS term FROM arrs
+                ), hits AS (
+                    SELECT doc_id, pos - idx AS anchor, idx
+                    FROM toks JOIN (VALUES {vals}) AS q(term, idx) USING (term)
+                ), anchors AS (
+                    SELECT doc_id, anchor FROM hits
+                    GROUP BY doc_id, anchor
+                    HAVING COUNT(DISTINCT idx) = {len(phrase)}
+                )
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) FROM anchors GROUP BY doc_id
+                """
+            ).fetchall()
+        )
+        assert got_ph == want_ph, (phrase, got_ph, want_ph)
+
+        terms = sorted(f"t{t}" for t in prox_ids)
+        got_px = sorted(
+            tuple(r)
+            for r in proximity_search(df, terms, window=window).collect()
+        )
+        case = " ".join(
+            f"WHEN '{w}' THEN {1 << i}" for i, w in enumerate(terms)
+        )
+        inlist = ", ".join(f"'{w}'" for w in terms)
+        full = (1 << len(terms)) - 1
+        want_px = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"""
+                WITH arrs AS (
+                    SELECT doc_id, string_split(text, ' ') AS arr FROM fz_p
+                ), toks AS (
+                    SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                           unnest(arr) AS term FROM arrs
+                ), hits AS (
+                    SELECT doc_id, pos, CASE term {case} END AS m
+                    FROM toks WHERE term IN ({inlist})
+                ), masked AS (
+                    SELECT doc_id, bit_or(m) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        RANGE BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS mask
+                    FROM hits
+                )
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT)
+                FROM masked WHERE mask = {full} GROUP BY doc_id
+                """
+            ).fetchall()
+        )
+        assert got_px == want_px, (terms, window, got_px, want_px)
+    finally:
+        con.unregister("fz_p")

@@ -330,3 +330,24 @@ def test_snapshot_pointer_and_cas_interoperate(spark, tmp_path):
     assert snapshot_write(spark, spark.range(0, 7), root) == 3
     assert snapshot_read(spark, root).count() == 7
     assert snapshot_read(spark, root, version=2).count() == 6
+
+
+def test_jsonl_gzip_export_roundtrip(spark, tmp_path):
+    """write_jsonl with compression='gzip' must emit real .gz part
+    files that the repo's own loader reads back intact (the export
+    path most corpus-exchange tooling expects)."""
+    import glob
+
+    from bo_sql_spark.sources import load_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, 'quote " comma,', -3.0), (3, None, 0.0)],
+        "id long, s string, v double",
+    )
+    gz = str(tmp_path / "out_gz.jsonl")
+    write_jsonl(df, gz, compression="gzip")
+    assert glob.glob(gz + "/*.gz")  # actually compressed
+    back = load_jsonl(spark, gz)
+    assert sorted(map(tuple, back.select("id", "s", "v").collect())) == sorted(
+        map(tuple, df.collect())
+    )
