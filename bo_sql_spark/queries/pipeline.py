@@ -2697,6 +2697,177 @@ def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outliers_from_counts(merged)
 
 
+@register(
+    "quality_percentile_by_lang",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), totals AS (
+        SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY lang
+    ), cum AS (
+        SELECT counts.lang, x, cnt,
+               SUM(cnt) OVER (PARTITION BY counts.lang ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, n
+        FROM counts JOIN totals USING (lang)
+    )
+    SELECT lang, CAST(x AS BIGINT) AS n_chars, cnt,
+           CAST(CASE WHEN n <= 1 THEN 0
+                ELSE ((c - cnt) * 1000000) // (n - 1) END AS BIGINT) AS pct_micros
+    FROM cum ORDER BY lang, n_chars
+    """,
+    doc="Per-group percentile normalization (curriculum primitive): "
+    "percent_rank of document length within each language, in integer "
+    "micros — pct = ((min_rank - 1) * 1e6) DIV (n - 1), exactly the "
+    "SQL percent_rank() definition with the float division replaced "
+    "by a floor DIV so both engines agree bit-for-bit (min_rank for "
+    "a value = preceding cumulative count + 1, ties share it). The "
+    "normalization step curriculum ordering / quality-threshold "
+    "selection needs: thresholds in percentile space transfer across "
+    "languages with different length distributions. Emits at VALUE "
+    "grain — the window sorts |distinct (lang, length)| rows, never "
+    "|docs| (the MAD/KS machinery); single-member groups pin pct 0.",
+    tags=("pipeline", "text", "stats"),
+)
+def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir)["documents"]
+    counts = docs.groupBy("lang", F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("cnt").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        counts.withColumn("c", F.sum("cnt").over(w).cast("long"))
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            F.col("x").cast("long").alias("n_chars"),
+            "cnt",
+            F.expr(
+                "CAST(CASE WHEN n <= 1 THEN 0"
+                " ELSE ((c - cnt) * 1000000L) DIV (n - 1) END AS BIGINT)"
+            ).alias("pct_micros"),
+        )
+        .orderBy("lang", "n_chars")
+    )
+
+
+@register(
+    "text_collocations_topk",
+    oracle="""
+    WITH toksarr AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), uni AS (
+        SELECT unnest(tok) AS term FROM toksarr
+    ), ucnt AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM uni WHERE term <> '' GROUP BY term
+    ), nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ucnt),
+    big AS (
+        SELECT unnest(list_transform(range(1, len(tok)),
+                                     i -> tok[i] || ' ' || tok[i+1])) AS bigram
+        FROM toksarr
+    ), bcnt AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big GROUP BY bigram
+        HAVING COUNT(*) >= 5
+    ), nb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big
+    )
+    SELECT bigram, c_ab,
+           CAST(CAST(c_ab AS HUGEINT) * nu.n * nu.n * 1000000
+                // (CAST(nb.n AS HUGEINT) * a.c * b.c) AS BIGINT) AS lift_micros
+    FROM bcnt, nu, nb
+    JOIN ucnt a ON a.term = string_split(bigram, ' ')[1]
+    JOIN ucnt b ON b.term = string_split(bigram, ' ')[2]
+    ORDER BY lift_micros DESC, bigram LIMIT 20
+    """,
+    doc="Collocation extraction: top-20 bigrams by integer LIFT — "
+    "(P(ab) / (P(a)P(b))) * 1e6 computed exactly as "
+    "(c_ab * Nu^2 * 1e6) DIV (Nb * c_a * c_b) in DECIMAL(38)/HUGEINT "
+    "(the monotone integer surrogate for PMI, same doctrine as the "
+    "linear idf: ordering identical to log-PMI, zero libm), with a "
+    "min-count floor of 5 (PMI's classic rare-pair instability). The "
+    "corpus-analysis primitive behind tokenizer merge candidates and "
+    "stopword/boilerplate detection. Plan at scale: bigrams come from "
+    "the zip_with shingle chain (array-level, zero shuffle until the "
+    "count), unigram/bigram count tables are vocabulary-sized, the "
+    "final top-20 is a TakeOrderedAndProject; the two unigram joins "
+    "broadcast the vocabulary-grain count table.",
+    tags=("pipeline", "text"),
+)
+def text_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions.textfn import tokens
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    ucnt = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nu = ucnt.agg(F.sum("c").cast("long").alias("nu"))
+    # RAW adjacent bigrams (word_shingles is per-doc DISTINCT — set
+    # semantics for Jaccard; collocation counts need every occurrence):
+    # one zip_with of the token array against its own 1-shifted slice,
+    # zero shuffle until the count.
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    raw = F.slice(
+        F.zip_with(
+            tk,
+            F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        1,
+        F.greatest(n - 1, F.lit(0)),
+    )
+    big = (
+        docs.select(F.explode(raw).alias("bigram"))
+        # a 1-token doc's slice is empty; guard empty-text "" tokens
+        .filter(F.instr("bigram", " ") >= 1)
+        .filter(~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" "))
+    )
+    nb = big.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    bcnt = (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    parts = F.split("bigram", " ")
+    scored = (
+        bcnt.withColumn("_w1", parts.getItem(0))
+        .withColumn("_w2", parts.getItem(1))
+        .join(
+            F.broadcast(ucnt.select(F.col("term").alias("_w1"), F.col("c").alias("_ca"))),
+            "_w1",
+        )
+        .join(
+            F.broadcast(ucnt.select(F.col("term").alias("_w2"), F.col("c").alias("_cb"))),
+            "_w2",
+        )
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "lift_micros",
+            F.expr(
+                "CAST(CAST(c_ab AS DECIMAL(38,0)) * nu * nu * 1000000"
+                " DIV (CAST(nb AS DECIMAL(38,0)) * _ca * _cb) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.select("bigram", "c_ab", "lift_micros")
+        .orderBy(F.col("lift_micros").desc(), "bigram")
+        .limit(20)
+    )
+
+
 _SEARCH_TERMS = ("dup", "merge", "vector")
 
 
