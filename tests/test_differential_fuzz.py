@@ -1455,3 +1455,101 @@ def test_phrase_and_proximity_folds_cross_engine(
         assert got_px == want_px, (terms, window, got_px, want_px)
     finally:
         con.unregister("fz_p")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=20),
+        min_size=1,
+        max_size=12,
+    ),
+    min_count=st.integers(min_value=1, max_value=3),
+)
+def test_collocation_lift_cross_engine(ctx, docs, min_count):
+    """Family 16 — the integer-lift collocation fold on ARBITRARY
+    corpora (repeated bigrams within a doc, single-token docs, tiny
+    vocabularies where every pair collides): raw bigram counts, the
+    DECIMAL(38)/HUGEINT lift product, and the min-count floor must
+    agree with a DuckDB replay pair-for-pair."""
+    import pyarrow as pa
+
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.functions.textfn import tokens
+
+    spark, con = ctx
+    texts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    toks_df = df.select(
+        F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    ucnt = toks_df.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nu = ucnt.agg(F.sum("c").cast("long").alias("nu"))
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    raw = F.slice(
+        F.zip_with(tk, F.slice(tk, 2, F.greatest(n - 1, F.lit(0))),
+                   lambda x, y: F.concat(x, F.lit(" "), y)),
+        1, F.greatest(n - 1, F.lit(0)),
+    )
+    big = df.select(F.explode(raw).alias("bigram")).filter(F.instr("bigram", " ") >= 1)
+    nb = big.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    bcnt = big.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c_ab")).filter(
+        F.col("c_ab") >= min_count
+    )
+    parts = F.split("bigram", " ")
+    got = sorted(
+        tuple(r)
+        for r in bcnt.withColumn("_w1", parts.getItem(0))
+        .withColumn("_w2", parts.getItem(1))
+        .join(F.broadcast(ucnt.select(F.col("term").alias("_w1"), F.col("c").alias("_ca"))), "_w1")
+        .join(F.broadcast(ucnt.select(F.col("term").alias("_w2"), F.col("c").alias("_cb"))), "_w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .selectExpr(
+            "bigram", "c_ab",
+            "CAST(CAST(c_ab AS DECIMAL(38,0)) * nu * nu * 1000000"
+            " DIV (CAST(nb AS DECIMAL(38,0)) * _ca * _cb) AS BIGINT) AS lift",
+        )
+        .collect()
+    )
+    con.register(
+        "fz_c", pa.table({"doc_id": [i for i, _ in texts], "text": [t for _, t in texts]})
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH t AS (
+                SELECT string_split(text, ' ') AS tok FROM fz_c
+            ), ucnt AS (
+                SELECT unnest(tok) AS term, 1 AS one FROM t
+            ), uc AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM ucnt GROUP BY term
+            ), nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+            big AS (
+                SELECT unnest(list_transform(range(1, len(tok)),
+                                             i -> tok[i] || ' ' || tok[i+1])) AS bigram
+                FROM t
+            ), bc AS (
+                SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big GROUP BY bigram
+                HAVING COUNT(*) >= {min_count}
+            ), nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big)
+            SELECT bigram, c_ab,
+                   CAST(CAST(c_ab AS HUGEINT) * nu.n * nu.n * 1000000
+                        // (CAST(nb.n AS HUGEINT) * a.c * b.c) AS BIGINT)
+            FROM bc, nu, nb
+            JOIN uc a ON a.term = string_split(bigram, ' ')[1]
+            JOIN uc b ON b.term = string_split(bigram, ' ')[2]
+            """
+        ).fetchall()
+    )
+    con.unregister("fz_c")
+    assert got == want
