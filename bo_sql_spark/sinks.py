@@ -266,6 +266,24 @@ def snapshot_vacuum(
         fsutil.delete(spark, _marker_path(root, _CLAIMS_DIR, v))
         fsutil.delete(spark, _marker_path(root, _COMMITS_DIR, v))
         removed.append(v)
+    # a writer that crashed BETWEEN claim and data write leaves a
+    # claim marker with no v= dir — invisible to the loop above (it
+    # iterates data dirs), so it would leak forever and permanently
+    # skip that version number. Same age gate applies.
+    data_vs = {
+        int(name[2:])
+        for name, _ in fsutil.ls(spark, root)
+        if name.startswith("v=") and name[2:].isdigit()
+    }
+    for v in sorted(claims):
+        if v in committed or v in data_vs or v in removed:
+            continue
+        age_s = (
+            now_ms - fsutil.mtime_ms(spark, _marker_path(root, _CLAIMS_DIR, v))
+        ) / 1000.0
+        if age_s >= claim_min_age_s:
+            fsutil.delete(spark, _marker_path(root, _CLAIMS_DIR, v))
+            removed.append(v)
     return sorted(removed)
 
 

@@ -351,3 +351,36 @@ def test_jsonl_gzip_export_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.select("id", "s", "v").collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_snapshot_cas_dataless_claim_vacuumed_and_number_reused(spark, tmp_path):
+    """A writer that crashed between CLAIM and data write leaves a
+    claim marker with no v= dir: invisible to readers, skipped by new
+    writers, age-protected while fresh, and reclaimed by vacuum so
+    the version number becomes reusable."""
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.sinks import (
+        _CLAIMS_DIR,
+        _marker_path,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write_cas,
+    )
+
+    root = str(tmp_path / "cas_claimonly")
+    snapshot_write_cas(spark, spark.range(0, 10), root)
+    assert fsutil.create_atomic(spark, _marker_path(root, _CLAIMS_DIR, 2), "2")
+    # new writers skip the claimed-but-dataless number
+    assert snapshot_write_cas(spark, spark.range(0, 5), root) == 3
+    assert snapshot_read(spark, root).count() == 5
+    # fresh claim survives vacuum
+    assert snapshot_vacuum(spark, root, keep=5, claim_min_age_s=3600) == []
+    assert fsutil.exists(spark, _marker_path(root, _CLAIMS_DIR, 2))
+    # stale claim is reclaimed even with no data dir
+    assert snapshot_vacuum(spark, root, keep=5, claim_min_age_s=0) == [2]
+    assert not fsutil.exists(spark, _marker_path(root, _CLAIMS_DIR, 2))
+    # numbering stays monotonic past the committed frontier (max+1,
+    # never backfilling a hole behind a committed version) — the
+    # reclaimed 2 simply remains a gap, invisible to readers
+    assert snapshot_write_cas(spark, spark.range(0, 7), root) == 4
+    assert snapshot_read(spark, root).count() == 7
