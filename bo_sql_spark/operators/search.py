@@ -13,13 +13,20 @@ Spark as pure relational ops:
   never the corpus (and against a materialized term-partitioned store
   it becomes partition pruning, the text twin of the IVF served index).
 - BM25's per-term score is a rational function of integer counts
-  (tf, df, dl, avgdl), so with the idf expressed as the same linear
-  integer surrogate text_tfidf_topk uses — (n_docs * 1e6) DIV df,
-  monotone in 1/df like ln(n/df) — the WHOLE score computes in exact
-  BIGINT/DECIMAL arithmetic: no libm, no float summation order, and a
-  DuckDB oracle replays every score bit-for-bit (oracle-determinism
-  doctrine). k1/b are fixed-point micros (k1=1.2, b=0.75 — the
-  textbook defaults, Robertson & Walker '94).
+  (tf, df, dl, avgdl) times an idf. The idf is the TEXTBOOK log form
+  — the Lucene/BM25+ variant idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+  = ln(2N + 2) - ln(2df + 1), always positive — computed with the
+  portable fixed-point ln (functions/fixedpoint.py), so the WHOLE
+  score still runs in exact BIGINT/DECIMAL arithmetic: no libm, no
+  float summation order, and a DuckDB oracle replays every score
+  bit-for-bit (oracle-determinism doctrine). The rounds-1-9 linear
+  surrogate idf = (N * 1e6) DIV df survives as explicit ``_linear``
+  forms (monotone per term, but multi-term sums can order differently
+  from log-idf — which is why the textbook form is now the default).
+  idf lives at TERM grain: the ln steps run on the vocabulary-sized
+  df table before the posting join, never per posting row. k1/b are
+  fixed-point micros (k1=1.2, b=0.75 — the textbook defaults,
+  Robertson & Walker '94).
 
 Tokenization is the registry-wide convention (text_tfidf_topk,
 text_token_count): lowercase, collapse whitespace, split on space.
@@ -79,6 +86,7 @@ def bm25_topk(
     k: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    idf_mode: str = "log",
 ) -> DataFrame:
     """Top-k documents by fixed-point BM25 over ``terms`` (OR query).
 
@@ -86,20 +94,27 @@ def bm25_topk(
         idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
 
     computed entirely in integer micros:
-        idf_micros   = (n_docs * 1e6) DIV df          -- linear-idf
-                       surrogate, same doctrine as text_tfidf_topk
-        dlr_micros   = (dl * 1e6 * n_docs) DIV sum_dl -- dl/avgdl
+        idf_micros   = ln_micros(2*n_docs + 2) - ln_micros(2*df + 1)
+                       -- the textbook (Lucene) BM25 idf
+                       ln((N + 1)/(df + 0.5)), via the portable
+                       fixed-point ln; ``idf_mode='linear'`` selects
+                       the historical (n_docs * 1e6) DIV df surrogate
+        dlr_micros   = (dl * 1e6 * n_docs) DIV sum_dl -- dl/avgdl,
+                       DECIMAL(38)-widened (BIGINT would wrap past
+                       n_docs ~ 1e10 at typical dl)
         denom_micros = tf*1e6 + k1*(1-b)*1e6
                        + (k1_micros * b_micros DIV 1e6 * dlr) DIV 1e6
-        tfpart       = (tf * (k1+1e6) * 1e6) DIV denom -- <= 2.2e6
-        term_score   = (idf * tfpart) DIV 1e6          -- DECIMAL(38)
-                       product: idf grows with n_docs/df
+        tfpart       = (tf * (k1+1e6) * 1e6) DIV denom -- <= 2.2e6,
+                       DECIMAL(38)-widened numerator
+        term_score   = (idf * tfpart) DIV 1e6  -- log idf <= ~44e6 so
+                       the product stays far inside BIGINT
 
     Every DIV is floor division on positives — identical in Spark and
     DuckDB — so scores (and the top-k cut) are cross-engine exact.
     Plan at scale: term filter before any shuffle; df and the length
-    stats are tiny aggregates broadcast back; the final top-k is a
-    TakeOrderedAndProject, never a global sort.
+    stats are tiny aggregates broadcast back; the ln steps run on the
+    |query terms|-row idf table, never per posting; the final top-k
+    is a TakeOrderedAndProject, never a global sort.
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one term")
@@ -112,26 +127,58 @@ def bm25_topk(
     qtoks = toks.filter(F.col("term").isin(list(terms)))
     tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     df_ = qtoks.groupBy("term").agg(F.count_distinct(id_col).cast("long").alias("df"))
-    joined = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-    )
+    idf = bm25_term_idf(df_, corpus, idf_mode=idf_mode)
+    joined = tf.join(F.broadcast(idf), "term").join(dl, id_col)
     return bm25_fold(joined, k=k, id_col=id_col)
+
+
+def bm25_term_idf(df_: DataFrame, corpus: DataFrame, idf_mode: str = "log") -> DataFrame:
+    """Per-term idf table (term, idf_micros, n_docs, sum_dl) from the
+    df table and the 1-row corpus stats — the grain where the
+    fixed-point ln runs (|query terms| rows, broadcast onward; never
+    per posting). Carries the corpus stats columns through so the
+    corpus-aggregate subtree is consumed EXACTLY once in the final
+    plan (a second crossJoin would recompute the whole dl chain —
+    caught by plan lint as an exchange regression).
+
+    'log' (default): the Lucene BM25 idf ln(1 + (N - df + 0.5)/(df + 0.5))
+    = ln(2N + 2) - ln(2df + 1), strictly positive since df <= N.
+    'linear': the historical monotone surrogate (N * 1e6) DIV df."""
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    t = df_.crossJoin(F.broadcast(corpus))
+    if idf_mode == "log":
+        t = with_ln_micros(t, "2 * n_docs + 2", "_ln_n")
+        t = with_ln_micros(t, "2 * df + 1", "_ln_df")
+        t = t.withColumn("idf_micros", F.expr("_ln_n - _ln_df"))
+    elif idf_mode == "linear":
+        t = t.withColumn("idf_micros", F.expr("(n_docs * 1000000L) DIV df"))
+    else:
+        raise ValueError(f"unknown idf_mode {idf_mode!r}")
+    return t.select("term", "idf_micros", "n_docs", "sum_dl")
 
 
 def bm25_fold(joined: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     """The fixed-point BM25 fold over per-(doc, term) rows carrying
-    (tf, df, dl, n_docs, sum_dl) — the shared tail of the one-shot
-    ranker (bm25_topk) and the served ranker (bm25_served), so both
-    produce bit-identical scores by construction."""
+    (tf, idf_micros, dl, n_docs, sum_dl) — the shared tail of the
+    one-shot ranker (bm25_topk) and the served ranker (bm25_served),
+    so both produce bit-identical scores by construction. The idf
+    arrives precomputed at term grain (bm25_term_idf); the dl-ratio
+    and tf-saturation numerators run DECIMAL(38)-widened so nothing
+    wraps at 100 TB row counts (BIGINT dl*1e6*n_docs overflows past
+    n_docs ~ 1e10)."""
     k1_1 = K1_MICROS + _M  # (k1 + 1) in micros
     k1_1mb = K1_MICROS * (_M - B_MICROS) // _M  # k1*(1-b) micros = 300000
     k1b = K1_MICROS * B_MICROS // _M  # k1*b micros = 900000
     scored = (
         joined
-        .withColumn("idf_micros", F.expr("(n_docs * 1000000L) DIV df"))
-        .withColumn("dlr_micros", F.expr("(dl * 1000000L * n_docs) DIV sum_dl"))
+        .withColumn(
+            "dlr_micros",
+            F.expr(
+                "CAST(CAST(dl AS DECIMAL(38,0)) * 1000000 * n_docs"
+                " DIV sum_dl AS BIGINT)"
+            ),
+        )
         .withColumn(
             "denom_micros",
             F.expr(
@@ -140,14 +187,14 @@ def bm25_fold(joined: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
         )
         .withColumn(
             "tfpart_micros",
-            F.expr(f"(tf * {k1_1}L * 1000000L) DIV denom_micros"),
+            F.expr(
+                f"CAST(CAST(tf AS DECIMAL(38,0)) * {k1_1} * 1000000"
+                " DIV denom_micros AS BIGINT)"
+            ),
         )
         .withColumn(
             "term_score",
-            F.expr(
-                "CAST(CAST(idf_micros AS DECIMAL(38,0)) * tfpart_micros"
-                " DIV 1000000 AS BIGINT)"
-            ),
+            F.expr("(idf_micros * tfpart_micros) DIV 1000000L"),
         )
     )
     per_doc = scored.groupBy(id_col).agg(
@@ -366,6 +413,7 @@ def bm25_served(
     k: int = 20,
     n_term_buckets: int = 64,
     id_col: str = "doc_id",
+    idf_mode: str = "log",
 ) -> DataFrame:
     """BM25 top-k answered from a materialized inverted index — the
     amortized twin of bm25_topk, scores bit-identical by construction
@@ -391,10 +439,9 @@ def bm25_served(
     df_ = post.groupBy("term").agg(
         F.count_distinct(id_col).cast("long").alias("df")
     )
-    joined = (
-        post.select(id_col, "term", "tf", "dl")
-        .join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
+    idf = bm25_term_idf(df_, stats, idf_mode=idf_mode)
+    joined = post.select(id_col, "term", "tf", "dl").join(
+        F.broadcast(idf), "term"
     )
     return bm25_fold(joined, k=k, id_col=id_col)
 

@@ -2758,50 +2758,78 @@ def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_collocations_topk",
-    oracle="""
+def _collocations_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    ucnt_ln = duckdb_ln_select(
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM uni"
+        " WHERE term <> '' GROUP BY term",
+        "c",
+        "ln_c",
+    )
+    nu_ln = duckdb_ln_select(
+        "SELECT CAST(greatest(coalesce(SUM(c), 1), 1) AS BIGINT) AS nu FROM ucnt",
+        "nu",
+        "ln_nu",
+    )
+    bcnt_ln = duckdb_ln_select(
+        "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big"
+        " GROUP BY bigram HAVING COUNT(*) >= 5",
+        "c_ab",
+        "ln_ab",
+    )
+    nb_ln = duckdb_ln_select(
+        "SELECT CAST(greatest(COUNT(*), 1) AS BIGINT) AS nb FROM big",
+        "nb",
+        "ln_nb",
+    )
+    return f"""
     WITH toksarr AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
         FROM documents
     ), uni AS (
         SELECT unnest(tok) AS term FROM toksarr
-    ), ucnt AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM uni WHERE term <> '' GROUP BY term
-    ), nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ucnt),
-    big AS (
+    ), ucnt AS ({ucnt_ln}
+    ), nu AS ({nu_ln}
+    ), big AS (
         SELECT unnest(list_transform(range(1, len(tok)),
                                      i -> tok[i] || ' ' || tok[i+1])) AS bigram
         FROM toksarr
-    ), bcnt AS (
-        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big GROUP BY bigram
-        HAVING COUNT(*) >= 5
-    ), nb AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big
-    )
+    ), bcnt AS ({bcnt_ln}
+    ), nb AS ({nb_ln})
     SELECT bigram, c_ab,
-           CAST(CAST(c_ab AS HUGEINT) * nu.n * nu.n * 1000000
-                // (CAST(nb.n AS HUGEINT) * a.c * b.c) AS BIGINT) AS lift_micros
+           ln_ab + 2 * ln_nu - ln_nb - a.ln_c - b.ln_c AS pmi_micros
     FROM bcnt, nu, nb
     JOIN ucnt a ON a.term = string_split(bigram, ' ')[1]
     JOIN ucnt b ON b.term = string_split(bigram, ' ')[2]
-    ORDER BY lift_micros DESC, bigram LIMIT 20
-    """,
-    doc="Collocation extraction: top-20 bigrams by integer LIFT — "
-    "(P(ab) / (P(a)P(b))) * 1e6 computed exactly as "
-    "(c_ab * Nu^2 * 1e6) DIV (Nb * c_a * c_b) in DECIMAL(38)/HUGEINT "
-    "(the monotone integer surrogate for PMI, same doctrine as the "
-    "linear idf: ordering identical to log-PMI, zero libm), with a "
-    "min-count floor of 5 (PMI's classic rare-pair instability). The "
-    "corpus-analysis primitive behind tokenizer merge candidates and "
-    "stopword/boilerplate detection. Plan at scale: bigrams come from "
-    "the zip_with shingle chain (array-level, zero shuffle until the "
-    "count), unigram/bigram count tables are vocabulary-sized, the "
-    "final top-20 is a TakeOrderedAndProject; the two unigram joins "
-    "broadcast the vocabulary-grain count table.",
+    ORDER BY pmi_micros DESC, bigram LIMIT 20
+    """
+
+
+@register(
+    "text_collocations_topk",
+    oracle=_collocations_oracle(),
+    doc="Collocation extraction: top-20 bigrams by TEXTBOOK log-PMI "
+    "in integer micros — pmi = ln(P(ab) / (P(a)P(b))) decomposed as "
+    "ln(c_ab) + 2 ln(Nu) - ln(Nb) - ln(c_a) - ln(c_b), each term via "
+    "the portable fixed-point ln (functions/fixedpoint.py), so the "
+    "score is the real PMI (within ~1 micro per ln term) and still "
+    "bit-identical across engines with zero libm — upgraded from the "
+    "r9 linear-lift surrogate (ordering-identical per pair, but its "
+    "magnitude wasn't PMI; the sum form also dodges the HUGEINT "
+    "c_ab*Nu^2 ceiling at ~1e13-token corpora). Min-count floor of 5 "
+    "(PMI's classic rare-pair instability). The corpus-analysis "
+    "primitive behind tokenizer merge candidates and stopword/"
+    "boilerplate detection. Plan at scale: bigrams come from the "
+    "zip_with shingle chain (array-level, zero shuffle until the "
+    "count), ln runs at VOCABULARY grain (unigram/bigram count "
+    "tables) never per token, the final top-20 is a "
+    "TakeOrderedAndProject; the two unigram joins broadcast the "
+    "vocabulary-grain count table.",
     tags=("pipeline", "text"),
 )
 def text_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
     from bo_sql_spark.functions.textfn import tokens
 
     docs = _t(spark, sf_dir)["documents"]
@@ -2810,8 +2838,18 @@ def text_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
         ).alias("term")
     ).filter(F.col("term") != "")
-    ucnt = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    nu = ucnt.agg(F.sum("c").cast("long").alias("nu"))
+    ucnt = with_ln_micros(
+        toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c")),
+        "c",
+        "ln_c",
+    )
+    nu = with_ln_micros(
+        ucnt.agg(
+            F.expr("CAST(greatest(coalesce(SUM(c), 1), 1) AS BIGINT)").alias("nu")
+        ),
+        "nu",
+        "ln_nu",
+    )
     # RAW adjacent bigrams (word_shingles is per-doc DISTINCT — set
     # semantics for Jaccard; collocation counts need every occurrence):
     # one zip_with of the token array against its own 1-shifted slice,
@@ -2833,37 +2871,46 @@ def text_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.instr("bigram", " ") >= 1)
         .filter(~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" "))
     )
-    nb = big.agg(F.count(F.lit(1)).cast("long").alias("nb"))
-    bcnt = (
+    nb = with_ln_micros(
+        big.agg(
+            F.expr("CAST(greatest(COUNT(*), 1) AS BIGINT)").alias("nb")
+        ),
+        "nb",
+        "ln_nb",
+    )
+    bcnt = with_ln_micros(
         big.groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-        .filter(F.col("c_ab") >= 5)
+        .filter(F.col("c_ab") >= 5),
+        "c_ab",
+        "ln_ab",
     )
     parts = F.split("bigram", " ")
     scored = (
         bcnt.withColumn("_w1", parts.getItem(0))
         .withColumn("_w2", parts.getItem(1))
         .join(
-            F.broadcast(ucnt.select(F.col("term").alias("_w1"), F.col("c").alias("_ca"))),
+            F.broadcast(
+                ucnt.select(F.col("term").alias("_w1"), F.col("ln_c").alias("_lnca"))
+            ),
             "_w1",
         )
         .join(
-            F.broadcast(ucnt.select(F.col("term").alias("_w2"), F.col("c").alias("_cb"))),
+            F.broadcast(
+                ucnt.select(F.col("term").alias("_w2"), F.col("ln_c").alias("_lncb"))
+            ),
             "_w2",
         )
-        .crossJoin(F.broadcast(nu))
-        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu.select("ln_nu")))
+        .crossJoin(F.broadcast(nb.select("ln_nb")))
         .withColumn(
-            "lift_micros",
-            F.expr(
-                "CAST(CAST(c_ab AS DECIMAL(38,0)) * nu * nu * 1000000"
-                " DIV (CAST(nb AS DECIMAL(38,0)) * _ca * _cb) AS BIGINT)"
-            ),
+            "pmi_micros",
+            F.expr("ln_ab + 2 * ln_nu - ln_nb - _lnca - _lncb"),
         )
     )
     return (
-        scored.select("bigram", "c_ab", "lift_micros")
-        .orderBy(F.col("lift_micros").desc(), "bigram")
+        scored.select("bigram", "c_ab", "pmi_micros")
+        .orderBy(F.col("pmi_micros").desc(), "bigram")
         .limit(20)
     )
 
@@ -3154,7 +3201,12 @@ def text_proximity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_served(spark, path, ["dup", "vector"], window=12)
 
 
-_BM25_ORACLE = f"""
+def _bm25_oracle(idf_sql: str) -> str:
+    """DuckDB replay of the shared bm25_fold, parameterized by the idf
+    expression source (log via the fixed-point ln step list, or the
+    historical linear surrogate) — every stage mirrors the Spark fold
+    op-for-op (HUGEINT where Spark widens to DECIMAL(38,0))."""
+    return f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
         FROM documents
@@ -3168,18 +3220,21 @@ _BM25_ORACLE = f"""
         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t2
         WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
         GROUP BY doc_id, term
-    ), df AS (
+    ), dfreq AS (
         SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t2
         WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
         GROUP BY term
+    ), idf AS ({idf_sql}
     ), scored AS (
         SELECT tf.doc_id,
-               CAST(CAST((n_docs * 1000000) // df AS HUGEINT)
-                    * ((tf * 2200000 * 1000000)
+               (idf_micros
+                * CAST(CAST(tf AS HUGEINT) * 2200000 * 1000000
                        // (tf * 1000000 + 300000
-                           + (900000 * ((dl * 1000000 * n_docs) // sum_dl)) // 1000000))
-                    // 1000000 AS BIGINT) AS term_score
-        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+                           + (900000 * CAST(CAST(dl AS HUGEINT) * 1000000 * n_docs
+                                            // sum_dl AS BIGINT)) // 1000000)
+                       AS BIGINT))
+               // 1000000 AS term_score
+        FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
     )
     SELECT doc_id,
            CAST(SUM(term_score) AS BIGINT) AS bm25_micros,
@@ -3189,22 +3244,49 @@ _BM25_ORACLE = f"""
     """
 
 
+def _bm25_log_idf_sql() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    inner = duckdb_ln_select(
+        duckdb_ln_select(
+            "SELECT term, df, n_docs FROM dfreq CROSS JOIN corpus",
+            "2 * n_docs + 2",
+            "_ln_n",
+        ),
+        "2 * df + 1",
+        "_ln_df",
+    )
+    return f"SELECT term, _ln_n - _ln_df AS idf_micros FROM ({inner})"
+
+
+_BM25_ORACLE = _bm25_oracle(_bm25_log_idf_sql())
+_BM25_ORACLE_LINEAR = _bm25_oracle(
+    "SELECT term, (n_docs * 1000000) // df AS idf_micros FROM dfreq CROSS JOIN corpus"
+)
+
+
 @register(
     "text_bm25_topdocs",
     oracle=_BM25_ORACLE,
-    doc="Fixed-point BM25 ranked retrieval (operators/search.py:"
-    "bm25_topk): top-20 documents for a 3-term OR query, scored with "
-    "the BM25 shape (k1=1.2, b=0.75, Robertson & Walker '94) in exact "
-    "integer micros — the idf is the linear integer surrogate "
-    "(n_docs*1e6) DIV df that text_tfidf_topk established (monotone "
-    "in 1/df like ln(n/df), zero libm), the tf saturation and length "
-    "normalization are rational in (tf, dl, avgdl) so every DIV is "
-    "floor-on-positives, identical in both engines; the idf*tfpart "
-    "product runs in DECIMAL(38)/HUGEINT (idf grows with n_docs/df). "
+    doc="TEXTBOOK fixed-point BM25 ranked retrieval (operators/"
+    "search.py:bm25_topk): top-20 documents for a 3-term OR query, "
+    "scored with the BM25 formula (k1=1.2, b=0.75, Robertson & "
+    "Walker '94) in exact integer micros — the idf is the Lucene "
+    "log form ln(1 + (N-df+0.5)/(df+0.5)) = ln(2N+2) - ln(2df+1), "
+    "computed with the portable fixed-point ln (functions/"
+    "fixedpoint.py: argument reduction + atanh series, <= 1 micro "
+    "from math.log, bit-identical across engines), so multi-term "
+    "sums order EXACTLY as the textbook score — the r9 linear "
+    "surrogate's one divergence, closed (kept as "
+    "text_bm25_topdocs_linear). tf saturation and length "
+    "normalization are rational in (tf, dl, avgdl), every DIV "
+    "floor-on-positives; the dl-ratio and tf numerators run "
+    "DECIMAL(38)/HUGEINT so nothing wraps at 100 TB doc counts. "
     "Plan at scale: term filter before any shuffle; df and corpus "
-    "length stats are tiny broadcast aggregates; final top-20 is a "
-    "TakeOrderedAndProject with a doc_id tie-break, never a global "
-    "sort.",
+    "length stats are tiny broadcast aggregates and the ln steps "
+    "run at TERM grain (|query terms| rows), never per posting; "
+    "final top-20 is a TakeOrderedAndProject with a doc_id "
+    "tie-break, never a global sort.",
     tags=("pipeline", "text", "search"),
 )
 def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3212,6 +3294,24 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir)["documents"]
     return bm25_topk(docs, list(_SEARCH_TERMS), k=20)
+
+
+@register(
+    "text_bm25_topdocs_linear",
+    oracle=_BM25_ORACLE_LINEAR,
+    doc="The rounds-1-9 LINEAR-idf BM25 variant, kept as an explicit "
+    "named form (idf = (N*1e6) DIV df — monotone in 1/df per term, "
+    "zero libm, but multi-term sums can order differently from "
+    "log-idf when df ratios are large; text_bm25_topdocs is the "
+    "textbook-faithful default). Same shared bm25_fold, same plan "
+    "shape; only the term-grain idf table differs.",
+    tags=("pipeline", "text", "search"),
+)
+def text_bm25_topdocs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir)["documents"]
+    return bm25_topk(docs, list(_SEARCH_TERMS), k=20, idf_mode="linear")
 
 
 @register(

@@ -1299,59 +1299,79 @@ def test_drift_chisq_cross_engine(ctx, cats):
 def test_bm25_fold_cross_engine(ctx, docs, qterms):
     """Family 14 — the fixed-point BM25 fold on ARBITRARY corpora
     (single-token docs, docs without any query term, repeated-token
-    docs, 1-3 query terms): every integer-micros stage (linear idf,
-    dl/avgdl ratio, saturation denominator, HUGEINT idf*tfpart
-    product) must agree with a DuckDB replay score-for-score."""
+    docs, 1-3 query terms): every integer-micros stage (the
+    fixed-point-ln log idf AND the historical linear idf, dl/avgdl
+    ratio, saturation denominator, widened tf numerator) must agree
+    with a DuckDB replay score-for-score."""
     import pyarrow as pa
 
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
     from bo_sql_spark.operators.search import bm25_topk
 
     spark, con = ctx
     texts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
     terms = sorted(f"t{t}" for t in qterms)
     df = spark.createDataFrame(texts, "doc_id long, text string")
-    got = sorted(
-        tuple(r)
-        for r in bm25_topk(df, terms, k=len(docs) + 5).collect()
-    )
     con.register(
         "fz_b", pa.table({"doc_id": [i for i, _ in texts], "text": [t for _, t in texts]})
     )
     inlist = ", ".join(f"'{t}'" for t in terms)
-    want = sorted(
-        tuple(r)
-        for r in con.execute(
-            f"""
-            WITH toks AS (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fz_b
-            ), dl AS (
-                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
-            ), corpus AS (
-                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                       CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
-            ), tf AS (
-                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-                WHERE term IN ({inlist}) GROUP BY doc_id, term
-            ), dfreq AS (
-                SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks
-                WHERE term IN ({inlist}) GROUP BY term
-            ), scored AS (
-                SELECT tf.doc_id,
-                       CAST(CAST((n_docs * 1000000) // df AS HUGEINT)
-                            * ((tf * 2200000 * 1000000)
-                               // (tf * 1000000 + 300000
-                                   + (900000 * ((dl * 1000000 * n_docs) // sum_dl)) // 1000000))
-                            // 1000000 AS BIGINT) AS term_score
-                FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
-            )
-            SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_micros,
-                   CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-            FROM scored GROUP BY doc_id
-            """
-        ).fetchall()
+    log_idf = duckdb_ln_select(
+        duckdb_ln_select(
+            "SELECT term, df, n_docs FROM dfreq CROSS JOIN corpus",
+            "2 * n_docs + 2",
+            "_ln_n",
+        ),
+        "2 * df + 1",
+        "_ln_df",
     )
+    idf_sqls = {
+        "log": f"SELECT term, _ln_n - _ln_df AS idf_micros FROM ({log_idf})",
+        "linear": "SELECT term, (n_docs * 1000000) // df AS idf_micros"
+        " FROM dfreq CROSS JOIN corpus",
+    }
+    for mode, idf_sql in idf_sqls.items():
+        got = sorted(
+            tuple(r)
+            for r in bm25_topk(df, terms, k=len(docs) + 5, idf_mode=mode).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"""
+                WITH toks AS (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fz_b
+                ), dl AS (
+                    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+                ), corpus AS (
+                    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+                ), tf AS (
+                    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+                    WHERE term IN ({inlist}) GROUP BY doc_id, term
+                ), dfreq AS (
+                    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks
+                    WHERE term IN ({inlist}) GROUP BY term
+                ), idf AS ({idf_sql}
+                ), scored AS (
+                    SELECT tf.doc_id,
+                           (idf_micros
+                            * CAST(CAST(tf AS HUGEINT) * 2200000 * 1000000
+                                   // (tf * 1000000 + 300000
+                                       + (900000 * CAST(CAST(dl AS HUGEINT) * 1000000 * n_docs
+                                                        // sum_dl AS BIGINT)) // 1000000)
+                                   AS BIGINT))
+                           // 1000000 AS term_score
+                    FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+                )
+                SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_micros,
+                       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+                FROM scored GROUP BY doc_id
+                """
+            ).fetchall()
+        )
+        assert got == want, (mode, got, want)
     con.unregister("fz_b")
-    assert got == want
 
 
 @settings(
@@ -1471,16 +1491,17 @@ def test_phrase_and_proximity_folds_cross_engine(
     ),
     min_count=st.integers(min_value=1, max_value=3),
 )
-def test_collocation_lift_cross_engine(ctx, docs, min_count):
-    """Family 16 — the integer-lift collocation fold on ARBITRARY
-    corpora (repeated bigrams within a doc, single-token docs, tiny
+def test_collocation_pmi_cross_engine(ctx, docs, min_count):
+    """Family 16 — the log-PMI collocation fold on ARBITRARY corpora
+    (repeated bigrams within a doc, single-token docs, tiny
     vocabularies where every pair collides): raw bigram counts, the
-    DECIMAL(38)/HUGEINT lift product, and the min-count floor must
-    agree with a DuckDB replay pair-for-pair."""
+    five fixed-point-ln terms of the PMI decomposition, and the
+    min-count floor must agree with a DuckDB replay pair-for-pair."""
     import pyarrow as pa
 
     import pyspark.sql.functions as F
 
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select, with_ln_micros
     from bo_sql_spark.functions.textfn import tokens
 
     spark, con = ctx
@@ -1490,8 +1511,14 @@ def test_collocation_lift_cross_engine(ctx, docs, min_count):
     toks_df = df.select(
         F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("term")
     ).filter(F.col("term") != "")
-    ucnt = toks_df.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    nu = ucnt.agg(F.sum("c").cast("long").alias("nu"))
+    ucnt = with_ln_micros(
+        toks_df.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c")),
+        "c", "ln_c",
+    )
+    nu = with_ln_micros(
+        ucnt.agg(F.expr("CAST(greatest(coalesce(SUM(c), 1), 1) AS BIGINT)").alias("nu")),
+        "nu", "ln_nu",
+    )
     tk = tokens(F.col("text"))
     n = F.size(tk)
     raw = F.slice(
@@ -1500,28 +1527,50 @@ def test_collocation_lift_cross_engine(ctx, docs, min_count):
         1, F.greatest(n - 1, F.lit(0)),
     )
     big = df.select(F.explode(raw).alias("bigram")).filter(F.instr("bigram", " ") >= 1)
-    nb = big.agg(F.count(F.lit(1)).cast("long").alias("nb"))
-    bcnt = big.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c_ab")).filter(
-        F.col("c_ab") >= min_count
+    nb = with_ln_micros(
+        big.agg(F.expr("CAST(greatest(COUNT(*), 1) AS BIGINT)").alias("nb")),
+        "nb", "ln_nb",
+    )
+    bcnt = with_ln_micros(
+        big.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c_ab")).filter(
+            F.col("c_ab") >= min_count
+        ),
+        "c_ab", "ln_ab",
     )
     parts = F.split("bigram", " ")
     got = sorted(
         tuple(r)
         for r in bcnt.withColumn("_w1", parts.getItem(0))
         .withColumn("_w2", parts.getItem(1))
-        .join(F.broadcast(ucnt.select(F.col("term").alias("_w1"), F.col("c").alias("_ca"))), "_w1")
-        .join(F.broadcast(ucnt.select(F.col("term").alias("_w2"), F.col("c").alias("_cb"))), "_w2")
-        .crossJoin(F.broadcast(nu))
-        .crossJoin(F.broadcast(nb))
+        .join(F.broadcast(ucnt.select(F.col("term").alias("_w1"), F.col("ln_c").alias("_lnca"))), "_w1")
+        .join(F.broadcast(ucnt.select(F.col("term").alias("_w2"), F.col("ln_c").alias("_lncb"))), "_w2")
+        .crossJoin(F.broadcast(nu.select("ln_nu")))
+        .crossJoin(F.broadcast(nb.select("ln_nb")))
         .selectExpr(
             "bigram", "c_ab",
-            "CAST(CAST(c_ab AS DECIMAL(38,0)) * nu * nu * 1000000"
-            " DIV (CAST(nb AS DECIMAL(38,0)) * _ca * _cb) AS BIGINT) AS lift",
+            "ln_ab + 2 * ln_nu - ln_nb - _lnca - _lncb AS pmi",
         )
         .collect()
     )
     con.register(
         "fz_c", pa.table({"doc_id": [i for i, _ in texts], "text": [t for _, t in texts]})
+    )
+    uc_ln = duckdb_ln_select(
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM ucnt GROUP BY term",
+        "c", "ln_c",
+    )
+    nu_ln = duckdb_ln_select(
+        "SELECT CAST(greatest(coalesce(SUM(c), 1), 1) AS BIGINT) AS nu FROM uc",
+        "nu", "ln_nu",
+    )
+    bc_ln = duckdb_ln_select(
+        "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big"
+        f" GROUP BY bigram HAVING COUNT(*) >= {min_count}",
+        "c_ab", "ln_ab",
+    )
+    nb_ln = duckdb_ln_select(
+        "SELECT CAST(greatest(COUNT(*), 1) AS BIGINT) AS nb FROM big",
+        "nb", "ln_nb",
     )
     want = sorted(
         tuple(r)
@@ -1530,21 +1579,17 @@ def test_collocation_lift_cross_engine(ctx, docs, min_count):
             WITH t AS (
                 SELECT string_split(text, ' ') AS tok FROM fz_c
             ), ucnt AS (
-                SELECT unnest(tok) AS term, 1 AS one FROM t
-            ), uc AS (
-                SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM ucnt GROUP BY term
-            ), nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
-            big AS (
+                SELECT unnest(tok) AS term FROM t
+            ), uc AS ({uc_ln}
+            ), nu AS ({nu_ln}
+            ), big AS (
                 SELECT unnest(list_transform(range(1, len(tok)),
                                              i -> tok[i] || ' ' || tok[i+1])) AS bigram
                 FROM t
-            ), bc AS (
-                SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big GROUP BY bigram
-                HAVING COUNT(*) >= {min_count}
-            ), nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big)
+            ), bc AS ({bc_ln}
+            ), nb AS ({nb_ln})
             SELECT bigram, c_ab,
-                   CAST(CAST(c_ab AS HUGEINT) * nu.n * nu.n * 1000000
-                        // (CAST(nb.n AS HUGEINT) * a.c * b.c) AS BIGINT)
+                   ln_ab + 2 * ln_nu - ln_nb - a.ln_c - b.ln_c
             FROM bc, nu, nb
             JOIN uc a ON a.term = string_split(bigram, ' ')[1]
             JOIN uc b ON b.term = string_split(bigram, ' ')[2]
@@ -1553,3 +1598,38 @@ def test_collocation_lift_cross_engine(ctx, docs, min_count):
     )
     con.unregister("fz_c")
     assert got == want
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.integers(min_value=1, max_value=9_223_372_036_854_775_807),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_fixedpoint_ln_cross_engine(ctx, xs):
+    """Family 17 — the portable fixed-point ln on ARBITRARY positive
+    BIGINTs: the bin()-bit-length reduction, the HUGEINT/DECIMAL(38)
+    mantissa scaling, and the atanh series must agree bit-for-bit
+    between Spark, DuckDB, and the Python reference."""
+    from bo_sql_spark.functions.fixedpoint import (
+        duckdb_ln_select,
+        ln_micros_py,
+        with_ln_micros,
+    )
+
+    spark, con = ctx
+    xs = sorted(set(xs))
+    df = spark.createDataFrame([(v,) for v in xs], "x long")
+    got = {r["x"]: r["lnx"] for r in with_ln_micros(df, "x", "lnx").collect()}
+    vals = ",".join(f"(CAST({v} AS BIGINT))" for v in xs)
+    sql = duckdb_ln_select(f"SELECT * FROM (VALUES {vals}) v(x)", "x", "lnx")
+    duck = dict(con.execute(sql).fetchall())
+    for v in xs:
+        assert got[v] == ln_micros_py(v) == duck[v], v

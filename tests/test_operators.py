@@ -2114,14 +2114,20 @@ def test_conjunctive_search_and_bm25_reference(spark):
     terms = ["spark", "vector"]
     M = 1_000_000
 
-    def reference_scores():
+    def reference_scores(idf_mode):
+        from bo_sql_spark.functions.fixedpoint import ln_micros_py
+
         toks = {d: t.split() for d, t in corpus.items()}
         dl = {d: len(ts) for d, ts in toks.items()}
         n_docs, sum_dl = len(toks), sum(dl.values())
         out = {}
         for t in terms:
             dfreq = sum(1 for ts in toks.values() if t in ts)
-            idf = (n_docs * M) // dfreq
+            if idf_mode == "log":
+                # Lucene BM25 idf: ln((N + 1)/(df + 0.5))
+                idf = ln_micros_py(2 * n_docs + 2) - ln_micros_py(2 * dfreq + 1)
+            else:
+                idf = (n_docs * M) // dfreq
             for d, ts in toks.items():
                 tf = ts.count(t)
                 if not tf:
@@ -2138,11 +2144,12 @@ def test_conjunctive_search_and_bm25_reference(spark):
                 out[d] = (n + 1, s + score)
         return out
 
-    got = {
-        r["doc_id"]: (r["n_terms_hit"], r["bm25_micros"])
-        for r in bm25_topk(df, terms, k=10).collect()
-    }
-    assert got == reference_scores(), (got, reference_scores())
+    for mode in ("log", "linear"):
+        got = {
+            r["doc_id"]: (r["n_terms_hit"], r["bm25_micros"])
+            for r in bm25_topk(df, terms, k=10, idf_mode=mode).collect()
+        }
+        assert got == reference_scores(mode), (mode, got, reference_scores(mode))
 
 
 def test_phrase_search_anchors_and_repeated_words(spark):
