@@ -207,11 +207,28 @@ def snapshot_read(spark, root: str, version: int | None = None) -> DataFrame:
     free: every version directory is immutable until vacuumed. Resolves
     the latest version across BOTH commit protocols (single-writer
     pointer and multi-writer CAS log), so a table can migrate between
-    them without a rewrite."""
-    v = version if version is not None else _resolve_version(spark, root)
-    if v <= 0:
-        raise FileNotFoundError(f"no committed snapshot under {root}")
-    return spark.read.parquet(root.rstrip("/") + f"/v={v}")
+    them without a rewrite. Latest-resolution SKIPS committed versions
+    whose data directory is missing — the residue of a writer stalled
+    past vacuum's claim age that published after its data was reclaimed
+    (snapshot_write_cas aborts on that race, but the abort check and
+    the marker create aren't one atomic op; the reader-side skip closes
+    the window). An explicitly requested version still fails loudly if
+    vacuumed — the documented time-travel retention trade."""
+    from bo_sql_spark import fsutil
+
+    if version is not None:
+        if version <= 0:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+        return spark.read.parquet(root.rstrip("/") + f"/v={version}")
+    candidates = _marker_versions(spark, root, _COMMITS_DIR)
+    candidates.add(snapshot_version(spark, root))
+    for v in sorted(candidates, reverse=True):
+        if v <= 0:
+            break
+        data_dir = root.rstrip("/") + f"/v={v}"
+        if fsutil.exists(spark, data_dir):
+            return spark.read.parquet(data_dir)
+    raise FileNotFoundError(f"no committed snapshot under {root}")
 
 
 def snapshot_vacuum(
@@ -334,39 +351,109 @@ def _resolve_version(spark, root: str) -> int:
     return max(snapshot_version(spark, root), snapshot_version_committed(spark, root))
 
 
-def snapshot_write_cas(spark, df: DataFrame, root: str, max_attempts: int = 16) -> int:
+def _is_path_exists_write_error(ex: Exception) -> bool:
+    """True iff a DataFrame errorifexists write failed BECAUSE the
+    target path already existed (Spark's PATH_ALREADY_EXISTS error
+    condition), matched structurally — not by message substring."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(ex, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+                break
+            except Exception:
+                pass
+    return cond == "PATH_ALREADY_EXISTS" or "[PATH_ALREADY_EXISTS]" in str(ex)
+
+
+def snapshot_write_cas(
+    spark,
+    df: DataFrame,
+    root: str,
+    max_attempts: int = 16,
+    allow_downgrade: bool = False,
+) -> int:
     """Commit ``df`` as the next version under MULTI-writer contention;
     returns the committed version.
 
-    Protocol per attempt: propose v = (max claimed-or-committed) + 1,
-    try to atomically create the claim marker; if another writer got
-    there first, re-observe and retry at the new next number (bounded
-    by ``max_attempts`` — contention this protocol is wrong for, e.g.
-    dozens of writers per second, should use a real transaction log
-    service). After winning the claim the writer owns v exclusively:
-    data write + commit marker cannot race anyone. Readers resolve
-    max(commit log) so they see old-until-published, never partial."""
+    Guards, in order:
+    - Store-open capability probe (fsutil.cas_create_capability): a
+      filesystem whose create-if-absent cannot arbitrate writers (s3a
+      without conditional PUT, unknown schemes) RAISES — or, with
+      ``allow_downgrade=True``, warns and falls back to the pointer
+      protocol (single-writer semantics, caller's responsibility).
+    - Protocol per attempt: propose v = (max claimed-or-committed) + 1
+      and atomically create the claim marker; lost the marker race →
+      re-observe, retry at the new next number (bounded by
+      ``max_attempts`` — contention this protocol is wrong for, e.g.
+      dozens of writers per second, should use a real transaction log
+      service).
+    - The data write itself runs errorifexists, and a PATH_ALREADY_
+      EXISTS failure is treated as a LOST RACE, not an error: on a
+      check-then-act filesystem (the local FS) two writers can both
+      'win' the same claim marker, and the immutable data directory is
+      the second arbiter — the loser retries at the next number.
+    - Before publishing, the writer re-checks its claim marker still
+      exists: a writer stalled past ``snapshot_vacuum``'s
+      claim_min_age_s may have had its claim AND data reclaimed, and
+      publishing a commit marker for vacuumed data would break every
+      reader of latest (the commit-after-vacuum race). Such a writer
+      aborts loudly; snapshot_read additionally skips committed
+      versions whose data is missing, closing the residual window
+      between this check and the marker create.
+
+    Readers resolve max(commit log with data present) so they see
+    old-until-published, never partial."""
+    import warnings
+
     from bo_sql_spark import fsutil
 
-    v = 0
+    ok, reason = fsutil.cas_create_capability(spark, root)
+    if not ok:
+        if allow_downgrade:
+            warnings.warn(
+                f"snapshot_write_cas: downgrading to single-writer pointer "
+                f"protocol under {root}: {reason}",
+                stacklevel=2,
+            )
+            return snapshot_write(spark, df, root)
+        raise RuntimeError(
+            f"snapshot_write_cas: filesystem cannot arbitrate concurrent "
+            f"writers under {root}: {reason} (pass allow_downgrade=True to "
+            f"fall back to the single-writer pointer protocol)"
+        )
     for _ in range(int(max_attempts)):
         observed = max(
             max(_marker_versions(spark, root, _CLAIMS_DIR), default=0),
             _resolve_version(spark, root),
         )
         v = observed + 1
-        if fsutil.create_atomic(spark, _marker_path(root, _CLAIMS_DIR, v), str(v)):
-            break
-        v = 0
-    if not v:
-        raise RuntimeError(
-            f"snapshot_write_cas: lost the claim race {max_attempts} times under {root}"
-        )
-    data_dir = root.rstrip("/") + f"/v={v}"
-    df.write.mode("errorifexists").parquet(data_dir)
-    if not fsutil.create_atomic(spark, _marker_path(root, _COMMITS_DIR, v), str(v)):
-        raise RuntimeError(f"commit marker for claimed v={v} already exists")
-    return v
+        if not fsutil.create_atomic(spark, _marker_path(root, _CLAIMS_DIR, v), str(v)):
+            continue  # lost the claim-marker race
+        data_dir = root.rstrip("/") + f"/v={v}"
+        try:
+            df.write.mode("errorifexists").parquet(data_dir)
+        except Exception as ex:
+            if _is_path_exists_write_error(ex):
+                # check-then-act FS: another writer also won this claim
+                # and beat us to the data dir — their claim now, ours is
+                # the loss; retry at the next number (never delete the
+                # shared claim marker: the winner owns it).
+                continue
+            raise
+        if not fsutil.exists(spark, _marker_path(root, _CLAIMS_DIR, v)):
+            raise RuntimeError(
+                f"snapshot_write_cas: claim for v={v} was vacuumed mid-write "
+                f"(writer stalled past claim_min_age_s); aborting instead of "
+                f"publishing a dataless commit under {root}"
+            )
+        if not fsutil.create_atomic(spark, _marker_path(root, _COMMITS_DIR, v), str(v)):
+            raise RuntimeError(f"commit marker for claimed v={v} already exists")
+        return v
+    raise RuntimeError(
+        f"snapshot_write_cas: lost the claim race {max_attempts} times under {root}"
+    )
 
 
 def snapshot_compact(spark, root: str, target_rows_per_file: int) -> int:

@@ -384,3 +384,178 @@ def test_snapshot_cas_dataless_claim_vacuumed_and_number_reused(spark, tmp_path)
     # reclaimed 2 simply remains a gap, invisible to readers
     assert snapshot_write_cas(spark, spark.range(0, 7), root) == 4
     assert snapshot_read(spark, root).count() == 7
+
+
+def test_cas_capability_kernel():
+    """The pure decision kernel behind the store-open probe: HDFS-family
+    atomic, local OK (with the collision fallback), s3a ONLY with the
+    conditional-PUT conf enabled, everything else refused."""
+    from bo_sql_spark.fsutil import _cas_capability_for
+
+    none = lambda k: None
+    assert _cas_capability_for("hdfs", none)[0]
+    assert _cas_capability_for("viewfs", none)[0]
+    assert _cas_capability_for("file", none)[0]
+    assert _cas_capability_for(None, none)[0]  # defaults to local
+    ok, reason = _cas_capability_for("s3a", none)
+    assert not ok and "conditional" in reason
+    assert _cas_capability_for(
+        "s3a", {"fs.s3a.create.conditional.enabled": "true"}.get
+    )[0]
+    assert _cas_capability_for(
+        "s3a", {"fs.s3a.create.conditional": "TRUE"}.get
+    )[0]
+    ok, reason = _cas_capability_for(
+        "s3a", {"fs.s3a.create.conditional.enabled": "false"}.get
+    )
+    assert not ok and "disabled" in reason
+    ok, reason = _cas_capability_for("wasb", none)
+    assert not ok and "unverified" in reason
+
+
+def test_cas_refuses_unarbitrable_fs_then_downgrades(spark, tmp_path, monkeypatch):
+    """A filesystem the probe rejects makes snapshot_write_cas fail
+    LOUDLY at store-open (the round-9 'asserted, not validated' S3 gap);
+    allow_downgrade=True instead warns and commits via the single-writer
+    pointer protocol."""
+    import warnings
+
+    import pytest
+
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.sinks import snapshot_read, snapshot_version, snapshot_write_cas
+
+    root = str(tmp_path / "cas_refuse")
+    monkeypatch.setattr(
+        fsutil, "cas_create_capability", lambda s, p: (False, "probe says no")
+    )
+    with pytest.raises(RuntimeError, match="cannot arbitrate"):
+        snapshot_write_cas(spark, spark.range(0, 4), root)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        v = snapshot_write_cas(spark, spark.range(0, 4), root, allow_downgrade=True)
+    assert v == 1 and any("downgrading" in str(x.message) for x in w)
+    assert snapshot_version(spark, root) == 1  # pointer protocol wrote it
+    assert snapshot_read(spark, root).count() == 4
+
+
+def test_cas_data_dir_collision_is_lost_race(spark, tmp_path, monkeypatch):
+    """Simulated check-then-act filesystem: BOTH writers 'win' the same
+    claim marker (create_atomic lies for v=2). The second arbiter — the
+    errorifexists data directory — must turn the loser's collision into
+    a retry at the next number, not a RuntimeError (the ADVICE-flagged
+    broken local multi-process CAS)."""
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.sinks import snapshot_read, snapshot_write_cas
+
+    root = str(tmp_path / "cas_collide")
+    assert snapshot_write_cas(spark, spark.range(0, 10), root) == 1
+    # the "other writer" that also won claim v=2: its claim marker and
+    # its data are already on disk, its commit hasn't landed yet
+    assert fsutil.create_atomic(spark, root + "/_claims/v-2", "2")
+    spark.range(0, 99).write.parquet(root + "/v=2")
+
+    real = fsutil.create_atomic
+
+    def lying_create(s, path, payload=""):
+        if path.endswith("_claims/v-2"):
+            return True  # non-atomic FS: we ALSO think we won this claim
+        return real(s, path, payload)
+
+    monkeypatch.setattr(fsutil, "create_atomic", lying_create)
+    v = snapshot_write_cas(spark, spark.range(0, 7), root, max_attempts=8)
+    assert v == 3  # collided on v=2's data dir, retried, committed v=3
+    assert snapshot_read(spark, root).count() == 7
+    assert snapshot_read(spark, root, version=1).count() == 10
+
+
+def test_cas_commit_after_vacuum_aborts(spark, tmp_path, monkeypatch):
+    """A writer stalled past claim_min_age_s whose claim+data were
+    vacuumed mid-flight must ABORT instead of publishing a dataless
+    commit (the ADVICE-flagged commit-after-vacuum race): the claim
+    re-check before the commit marker catches it."""
+    import pytest
+
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.sinks import snapshot_read, snapshot_vacuum, snapshot_write_cas
+
+    root = str(tmp_path / "cas_stall")
+    assert snapshot_write_cas(spark, spark.range(0, 10), root) == 1
+
+    real = fsutil.create_atomic
+    state = {"vacuumed": False}
+
+    def stalling_create(s, path, payload=""):
+        made = real(s, path, payload)
+        if made and not state["vacuumed"] and "/_claims/v-2" in path:
+            state["vacuumed"] = True  # retention fires while we "stall"
+            snapshot_vacuum(spark, root, keep=2, claim_min_age_s=0)
+        return made
+
+    monkeypatch.setattr(fsutil, "create_atomic", stalling_create)
+    with pytest.raises(RuntimeError, match="vacuumed mid-write"):
+        snapshot_write_cas(spark, spark.range(0, 5), root)
+    assert snapshot_read(spark, root).count() == 10  # store intact
+
+
+def test_snapshot_read_skips_dataless_committed_version(spark, tmp_path):
+    """Latest-resolution skips a committed marker whose data directory
+    is gone (the residual window the writer-side re-check can't close);
+    explicit time travel to it still fails loudly."""
+    import pytest
+
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.sinks import snapshot_read, snapshot_write_cas
+
+    root = str(tmp_path / "cas_dataless")
+    assert snapshot_write_cas(spark, spark.range(0, 10), root) == 1
+    assert snapshot_write_cas(spark, spark.range(0, 20), root) == 2
+    # dataless committed version: marker only (vacuum raced the writer)
+    assert fsutil.create_atomic(spark, root + "/_claims/v-3", "3")
+    assert fsutil.create_atomic(spark, root + "/_commits/v-3", "3")
+    assert snapshot_read(spark, root).count() == 20  # skipped v=3
+    with pytest.raises(Exception):
+        snapshot_read(spark, root, version=3).count()
+
+
+def test_is_already_exists_exception_concrete_classes():
+    """Exists-detection matches the concrete JVM class up the cause
+    chain — a plain Python error whose MESSAGE contains 'exists' is NOT
+    a lost race (the ADVICE-flagged substring misclassification)."""
+    from bo_sql_spark.fsutil import _is_already_exists_exception
+
+    class _JClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _JThrowable:
+        def __init__(self, name, cause=None):
+            self._c = _JClass(name)
+            self._cause = cause
+
+        def getClass(self):
+            return self._c
+
+        def getCause(self):
+            return self._cause
+
+    class _Py4JError(Exception):
+        def __init__(self, je):
+            super().__init__("boom")
+            self.java_exception = je
+
+    hit = _Py4JError(_JThrowable("org.apache.hadoop.fs.FileAlreadyExistsException"))
+    assert _is_already_exists_exception(hit)
+    nested = _Py4JError(
+        _JThrowable(
+            "java.io.IOException",
+            cause=_JThrowable("java.nio.file.FileAlreadyExistsException"),
+        )
+    )
+    assert _is_already_exists_exception(nested)
+    miss = _Py4JError(_JThrowable("java.io.IOException"))
+    assert not _is_already_exists_exception(miss)
+    assert not _is_already_exists_exception(ValueError("path already exists"))
