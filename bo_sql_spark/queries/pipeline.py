@@ -3104,6 +3104,90 @@ def store_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "store_snapshot_vacuum_lifecycle",
+    oracle="""
+    WITH v2 AS (
+        SELECT COUNT(*) AS n, SUM(n_chars) AS c FROM documents WHERE doc_id % 2 = 0
+    ), v3 AS (
+        SELECT COUNT(*) AS n, SUM(n_chars) AS c FROM documents
+    )
+    SELECT CAST(1 AS BIGINT) AS version, 'removed' AS status,
+           CAST(0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS sum_chars
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'kept', CAST(n AS BIGINT), CAST(c AS BIGINT) FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'kept', CAST(n AS BIGINT), CAST(c AS BIGINT) FROM v3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'removed', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT CAST(5 AS BIGINT), 'removed', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY version
+    """,
+    doc="Snapshot-store RETENTION lifecycle, driver-graded (sinks.py:"
+    "snapshot_vacuum — the r9 post-rehearsal commit, now under the "
+    "rehearsal gate): commit three versions through the CAS protocol, "
+    "plant both crashed-writer shapes (a claim with NO data — crash "
+    "between claim and data write — and a stale claim WITH data but "
+    "no commit), then vacuum with keep=2 and age 0. The vacuum must "
+    "remove exactly {v1 (committed, beyond retention), v4 (dataless "
+    "stale claim), v5 (uncommitted stale claim)} and leave v2/v3 "
+    "readable and intact — the emitted rows are the ACTUAL vacuum "
+    "return plus per-survivor profiles re-read from the store, so a "
+    "vacuum that deletes a kept version, spares an orphan, or "
+    "corrupts survivors hash-mismatches against the oracle's "
+    "source-derived expectation. Driver-side list handling is "
+    "metadata-grain (the documented scalar edge: a handful of "
+    "version numbers, never data).",
+    tags=("pipeline", "store"),
+)
+def store_snapshot_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.sinks import (
+        _COMMITS_DIR,
+        _marker_versions,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write_cas,
+    )
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="bosql_vac_") + "/tbl"
+    snapshot_write_cas(spark, docs.filter(F.col("doc_id") % 3 == 0), root)
+    snapshot_write_cas(spark, docs.filter(F.col("doc_id") % 2 == 0), root)
+    snapshot_write_cas(spark, docs, root)
+    # crash between claim and data: dataless claim marker v4
+    fsutil.create_atomic(spark, root + "/_claims/v-4", "4")
+    # crash between data and commit: claim + data, no commit marker v5
+    fsutil.create_atomic(spark, root + "/_claims/v-5", "5")
+    docs.limit(10).write.parquet(root + "/v=5")
+    removed = snapshot_vacuum(spark, root, keep=2, claim_min_age_s=0)
+    survivors = sorted(_marker_versions(spark, root, _COMMITS_DIR))
+    removed_df = spark.createDataFrame(
+        [(v,) for v in removed], "version long"
+    ).select(
+        "version",
+        F.lit("removed").alias("status"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.lit(0).cast("long").alias("sum_chars"),
+    )
+    profiles = [
+        snapshot_read(spark, root, v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.lit("kept").alias("status"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        for v in survivors
+    ]
+    out = removed_df
+    for p in profiles:
+        out = out.unionByName(p)
+    return out.orderBy("version")
+
+
 _PROXIMITY_ORACLE = """
     WITH arrs AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
@@ -3343,9 +3427,7 @@ def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_served(spark, path, list(_SEARCH_TERMS), k=20)
 
 
-@register(
-    "stream_search_index_ingest",
-    oracle=f"""
+_SERVED_CONJ_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
         FROM documents
@@ -3358,31 +3440,24 @@ def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms_hit,
            CAST(SUM(tf) AS BIGINT) AS tf_sum
     FROM tf GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
-    """,
-    doc="STREAMING index maintenance (foreachBatch): documents arrive "
-    "as a file stream and each microbatch APPENDS its postings to the "
-    "term-bucket-partitioned store — postings are per-doc-local "
-    "(tokenize + count within the doc), so the drained store is "
-    "byte-identical to a batch build under ANY batching, and serving "
-    "(search_served, partition-pruned) equals text_search_served's "
-    "oracle verbatim. The freshness story the IVF/minhash incremental "
-    "ingests tell, for text search: new corpus batches become "
-    "searchable at ingest cost O(batch), no index rebuild; per-term "
-    "stats (df) and corpus stats (n_docs, sum_dl) stay exact at serve "
-    "time because df comes from the postings themselves and the "
-    "stats counts are sum-mergeable.",
-    tags=("pipeline", "text", "search", "streaming"),
-)
-def stream_search_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _ingest_postings_stream(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 64
+) -> str:
+    """Shared streaming-ingest leg of stream_search_index_ingest and
+    stream_search_index_compacted: documents as a file stream, each
+    microbatch appending its postings to a fresh term-bucket-
+    partitioned store. Returns the store path."""
     import os
     import tempfile
 
-    from bo_sql_spark.operators.search import doc_positions, search_served
+    from bo_sql_spark.operators.search import doc_positions
 
     docs_schema = _t(spark, sf_dir)["documents"].schema
     root = tempfile.mkdtemp(prefix="bosql_idx_stream_")
     store = os.path.join(root, "index")
-    n_buckets = 64
 
     stream = (
         spark.readStream.schema(docs_schema)
@@ -3417,7 +3492,65 @@ def stream_search_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return search_served(spark, store, list(_SEARCH_TERMS), n_term_buckets=n_buckets)
+    return store
+
+
+@register(
+    "stream_search_index_ingest",
+    oracle=_SERVED_CONJ_ORACLE,
+    doc="STREAMING index maintenance (foreachBatch): documents arrive "
+    "as a file stream and each microbatch APPENDS its postings to the "
+    "term-bucket-partitioned store — postings are per-doc-local "
+    "(tokenize + count within the doc), so the drained store is "
+    "byte-identical to a batch build under ANY batching, and serving "
+    "(search_served, partition-pruned) equals text_search_served's "
+    "oracle verbatim. The freshness story the IVF/minhash incremental "
+    "ingests tell, for text search: new corpus batches become "
+    "searchable at ingest cost O(batch), no index rebuild; per-term "
+    "stats (df) and corpus stats (n_docs, sum_dl) stay exact at serve "
+    "time because df comes from the postings themselves and the "
+    "stats counts are sum-mergeable.",
+    tags=("pipeline", "text", "search", "streaming"),
+)
+def stream_search_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.search import search_served
+
+    store = _ingest_postings_stream(spark, sf_dir, n_buckets=64)
+    return search_served(spark, store, list(_SEARCH_TERMS), n_term_buckets=64)
+
+
+@register(
+    "stream_search_index_compacted",
+    oracle=_SERVED_CONJ_ORACLE,
+    doc="Postings-store COMPACTION closes the streaming-ingest loop "
+    "(operators/search.py:compact_postings_store -> sinks.py:"
+    "compact_table): ingest the corpus through the microbatch "
+    "appender, compact the term-bucket store (per-tb-partition "
+    "rewrite — partition dirs preserved so serving's pruning keeps "
+    "working, per-partition bin keys so no bucket funnels into one "
+    "task), then SERVE FROM THE COMPACTED STORE against the same "
+    "oracle as serve-before-compact (stream_search_index_ingest) — "
+    "the equivalence proof that maintenance never changes answers. "
+    "The query also asserts files_after <= files_before inline (a "
+    "compaction that inflates the store is a bug, not a trade). At "
+    "100 TB this is the difference between a served query paying "
+    "O(history) listing calls and O(data/target) — the lakehouse "
+    "OPTIMIZE loop, for text search.",
+    tags=("pipeline", "text", "search", "streaming", "store"),
+)
+def stream_search_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.search import (
+        compact_postings_store,
+        search_served,
+    )
+
+    store = _ingest_postings_stream(spark, sf_dir, n_buckets=64)
+    before, after = compact_postings_store(spark, store, target_rows_per_file=1 << 20)
+    if after > before:
+        raise RuntimeError(
+            f"postings compaction inflated the store: {before} -> {after} files"
+        )
+    return search_served(spark, store, list(_SEARCH_TERMS), n_term_buckets=64)
 
 
 @register(

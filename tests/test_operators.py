@@ -1984,6 +1984,37 @@ def test_two_sample_chisq_edges_and_reference(spark):
     assert all(r["chisq_micros"] == 0 for r in res)
 
 
+def test_pagerank_convergence_early_stop(spark):
+    """tol_micros stops iteration at the integer fixed point: a
+    symmetric 2-cycle reaches stationarity after one step, so a
+    50-iteration budget must run far fewer — and produce the exact
+    scores of an exhaustive fixed-count run."""
+    from bo_sql_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    converged = pagerank(edges, n_iter=50, tol_micros=0)
+    got = {r["node"]: r["score"] for r in converged.collect()}
+    assert converged._pagerank_iters <= 3, converged._pagerank_iters
+    fixed = pagerank(edges, n_iter=50)
+    want = {r["node"]: r["score"] for r in fixed.collect()}
+    assert got == want
+    # a tolerance coarser than the largest per-step move stops at 1
+    coarse = pagerank(edges, n_iter=50, tol_micros=10_000_000)
+    assert coarse._pagerank_iters == 1
+    # non-trivial chain: early-stopped run equals the run whose fixed
+    # count is the stop point (same iterate sequence by construction)
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    conv = pagerank(chain, n_iter=100, tol_micros=0)
+    k = conv._pagerank_iters
+    assert 1 < k < 100
+    same = pagerank(chain, n_iter=k)
+    assert {r["node"]: r["score"] for r in conv.collect()} == {
+        r["node"]: r["score"] for r in same.collect()
+    }
+
+
 def test_personalized_pagerank_reference(spark):
     """PPR: teleport/init mass on the seed set only; matches a pure-
     Python replay of the integer recurrence; seed-adjacent nodes

@@ -580,3 +580,72 @@ def test_positional_serves_prune_and_match_direct(spark, tmp_path):
     sprox = sorted((r["doc_id"], r["n_matches"]) for r in pr.collect())
     # doc4's gap (8) exceeds the 5-token window; doc2 reversed matches
     assert sprox == dprox and {d for d, _ in sprox} == {1, 2, 3}, (sprox, dprox)
+
+
+def test_compact_postings_store_shrinks_files_and_preserves_serving(spark, tmp_path):
+    """The streaming-ingest small-file fix: many tiny per-batch appends
+    -> one compaction -> strictly fewer files, identical pruned-serve
+    results (conjunctive AND bm25), partition dirs intact."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.operators.search import (
+        bm25_served,
+        compact_postings_store,
+        doc_positions,
+        materialize_inverted_index,
+        search_served,
+    )
+
+    corpus = [
+        (i, f"spark scan t{i % 7} join vector t{i % 5} merge") for i in range(60)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    store = str(tmp_path / "postidx")
+    # simulate N microbatch appends (the foreachBatch ingest shape)
+    for lo in range(0, 60, 10):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        toks = doc_positions(batch)
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        (
+            toks.groupBy("term", "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("tf"),
+                F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                    "positions"
+                ),
+            )
+            .join(dl, "doc_id")
+            .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(16)))
+            .write.mode("append")
+            .partitionBy("tb")
+            .parquet(store)
+        )
+    terms = ["spark", "vector"]
+    pre_conj = sorted(
+        tuple(r)
+        for r in search_served(spark, store, terms, n_term_buckets=16).collect()
+    )
+    before, after = compact_postings_store(spark, store, target_rows_per_file=10_000)
+    assert after < before, (before, after)
+    post_conj = sorted(
+        tuple(r)
+        for r in search_served(spark, store, terms, n_term_buckets=16).collect()
+    )
+    assert post_conj == pre_conj and len(post_conj) == 60
+    # partition dirs survived the rewrite (pruning keeps working)
+    tbs = {name for name, _ in fsutil.ls(spark, store) if name.startswith("tb=")}
+    assert tbs, "compaction must preserve hive partition dirs"
+    # ranked serving off a compacted BATCH-built index also unchanged
+    store2 = str(tmp_path / "postidx_batch")
+    materialize_inverted_index(docs, store2, n_term_buckets=16)
+    pre_bm = sorted(
+        tuple(r)
+        for r in bm25_served(spark, store2, terms, k=100, n_term_buckets=16).collect()
+    )
+    compact_postings_store(spark, store2, target_rows_per_file=10_000)
+    post_bm = sorted(
+        tuple(r)
+        for r in bm25_served(spark, store2, terms, k=100, n_term_buckets=16).collect()
+    )
+    assert post_bm == pre_bm
