@@ -88,6 +88,68 @@ def chisq_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+def two_sample_kl(
+    df: DataFrame, category_col: str, in_b: Column
+) -> DataFrame:
+    """Per-category KL(A || B) contributions between rows where
+    ``in_b`` is false (sample A) and true (sample B) — the
+    information-theoretic drift measure beside the chi-square above
+    (chi-square weights by expected counts; KL is the expected
+    log-likelihood-ratio the monitoring literature thresholds).
+    Same shape: one counting groupBy + the shared fold."""
+    counts = (
+        df.select(F.col(category_col).alias("category"), in_b.alias("_b"))
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    return kl_from_counts(counts)
+
+
+def kl_from_counts(counts: DataFrame) -> DataFrame:
+    """The KL fold over a pre-aggregated (category, n_a, n_b) table —
+    counts are the mergeable summary, same doctrine as
+    chisq_from_counts. Add-one (Laplace) smoothing over the observed
+    category union keeps every ln argument a positive integer and the
+    divergence finite when a category is absent from one side (the
+    textbook guard for MLE KL's infinities):
+
+        a' = n_a + 1, b' = n_b + 1, A' = ta + K, B' = tb + K
+        contrib_micros = (a' * (ln a' - ln A' - ln b' + ln B')) DIV A'
+
+    with every ln the portable fixed-point ln in micros, applied at
+    CATEGORY grain (the counts table) — so both engines replay each
+    contribution bit-for-bit. Contributions can be negative
+    (KL >= 0 only in total); Spark DIV and DuckDB // both truncate
+    toward zero, so the signed DIV is still cross-engine exact.
+    Emits (category, n_a, n_b, kl_contrib_micros); total KL(A||B) =
+    sum over categories."""
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    totals = counts.agg(
+        F.sum("n_a").cast("long").alias("_ta"),
+        F.sum("n_b").cast("long").alias("_tb"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    t = counts.crossJoin(F.broadcast(totals))
+    t = with_ln_micros(t, "n_a + 1", "_ln_a1")
+    t = with_ln_micros(t, "n_b + 1", "_ln_b1")
+    t = with_ln_micros(t, "_ta + _k", "_ln_aa")
+    t = with_ln_micros(t, "_tb + _k", "_ln_bb")
+    return t.select(
+        "category",
+        "n_a",
+        "n_b",
+        F.expr(
+            "((n_a + 1) * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb)) DIV (_ta + _k)"
+        )
+        .cast("long")
+        .alias("kl_contrib_micros"),
+    ).orderBy("category")
+
+
 def robust_group_outliers(
     df: DataFrame, value_col: str, group_col: str
 ) -> DataFrame:

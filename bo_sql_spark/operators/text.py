@@ -112,6 +112,111 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("*", ws.alias("n_words"), pieces.alias("n_subwords"))
 
 
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy in NAT-MICROS, exact:
+
+        H(d) = ln(dl) - (sum_t c_t * ln(c_t)) DIV dl
+
+    (the algebraic rewrite of -sum p ln p with p = c/dl that keeps
+    every term a positive integer), computed with the portable
+    fixed-point ln — the entropy/perplexity surface the round-9
+    ROADMAP said the ln would unlock. Low entropy = repetitive/
+    boilerplate (the Gopher-style repetition signals' information-
+    theoretic counterpart); ``norm_entropy_permille`` = H/ln(dl) in
+    [0, 1000] makes the threshold length-independent (0 for dl <= 1,
+    where entropy is degenerate).
+
+    Plan at scale: one (doc, term) counting aggregate, then ln as a
+    ~40-integer-op codegen'd map over that tf table (no extra shuffle,
+    no Python), then one per-doc aggregate. Emits (id, n_tokens,
+    n_unique_terms, entropy_micros, norm_entropy_permille)."""
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    tk = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tk.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tf = with_ln_micros(tf, "c", "_lnc")
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_terms"),
+        F.sum(F.expr("c * _lnc")).cast("long").alias("_sum_cln"),
+    )
+    per_doc = with_ln_micros(per_doc, "n_tokens", "_lnn")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_unique_terms",
+        F.expr("_lnn - _sum_cln DIV n_tokens").cast("long").alias(
+            "entropy_micros"
+        ),
+        F.expr(
+            "CASE WHEN n_tokens <= 1 THEN 0"
+            " ELSE ((_lnn - _sum_cln DIV n_tokens) * 1000) DIV _lnn END"
+        )
+        .cast("long")
+        .alias("norm_entropy_permille"),
+    )
+
+
+def cross_entropy_lm(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus MLE
+    language model, in NAT-MICROS, exact:
+
+        CE(d) = -(1/dl) sum_t c_t(d) ln(gf_t / N)
+              = ln(N) - (sum_t c_t(d) * ln(gf_t)) DIV dl
+
+    — the perplexity-exact upgrade of text_unigram_doc_score's
+    log-free skeleton (perplexity = e^CE; filtering thresholds live in
+    log space so the exp is never needed). CE = H(d) + KL(d || corpus):
+    docs whose token distribution is unusual for the corpus score
+    high — the classic LM-based quality filter (CCNet/Gopher lineage),
+    here bit-replayable by the oracle because every ln is the shared
+    fixed-point step list.
+
+    Plan at scale: global term counts are a vocabulary-grain aggregate
+    with ln applied THERE (broadcast back), so the per-posting work is
+    one multiply; corpus text never shuffles. Emits (id, n_tokens,
+    cross_entropy_micros)."""
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    tk = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tk.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gf = tf.groupBy("term").agg(F.sum("c").cast("long").alias("gf"))
+    gf = with_ln_micros(gf, "gf", "_lngf")
+    totals = with_ln_micros(
+        gf.agg(F.sum("gf").cast("long").alias("_n_corpus")), "_n_corpus", "_lnN"
+    )
+    per_doc = (
+        tf.join(F.broadcast(gf.select("term", "_lngf")), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.expr("c * _lngf")).cast("long").alias("_sum_clngf"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(totals.select("_lnN")))
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr("_lnN - _sum_clngf DIV n_tokens")
+            .cast("long")
+            .alias("cross_entropy_micros"),
+        )
+    )
+
+
 def fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -2312,6 +2312,63 @@ def drift_chisq_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_sample_chisq(ev, "event_type", F.dayofweek("ts").isin(1, 7))
 
 
+def _kl_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    ln_chain = "SELECT * FROM c2"
+    for x_sql, out in (
+        ("n_a + 1", "_ln_a1"),
+        ("n_b + 1", "_ln_b1"),
+        ("_ta + _k", "_ln_aa"),
+        ("_tb + _k", "_ln_bb"),
+    ):
+        ln_chain = duckdb_ln_select(ln_chain, x_sql, out)
+    return f"""
+    WITH counts AS (
+        SELECT event_type AS category,
+               CAST(COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS BIGINT) AS n_b
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS _ta, CAST(SUM(n_b) AS BIGINT) AS _tb,
+               CAST(COUNT(*) AS BIGINT) AS _k
+        FROM counts
+    ), c2 AS (
+        SELECT category, n_a, n_b, _ta, _tb, _k FROM counts, tot
+    ), c3 AS ({ln_chain})
+    SELECT category, n_a, n_b,
+           CAST(((n_a + 1) * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb)) // (_ta + _k)
+                AS BIGINT) AS kl_contrib_micros
+    FROM c3 ORDER BY category
+    """
+
+
+@register(
+    "drift_kl_event_types",
+    oracle=_kl_oracle(),
+    doc="Distribution-drift detection #3 (operators/drift.py:"
+    "two_sample_kl, beside chi-square and KS): per-category "
+    "KL(weekday || weekend) contributions of the event-type mix, "
+    "exact in nat-micros — add-one-smoothed over the observed "
+    "category union (the textbook guard that keeps MLE KL finite "
+    "when a category is absent from one side), every ln the portable "
+    "fixed-point ln applied at CATEGORY grain. KL is the expected "
+    "log-likelihood ratio monitoring literature thresholds directly "
+    "(chi-square approximates 2N*KL near equality but diverges under "
+    "strong drift); contributions are signed (total is what's "
+    ">= 0) and Spark DIV / DuckDB // both truncate toward zero, so "
+    "the signed fold is still bit-replayed. Same 100 TB shape as the "
+    "chisq: one counting groupBy + a broadcast 1-row totals join, "
+    "nothing else shuffles.",
+    tags=("pipeline", "stats", "monitoring"),
+)
+def drift_kl_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import two_sample_kl
+
+    ev = _t(spark, sf_dir)["events"]
+    return two_sample_kl(ev, "event_type", F.dayofweek("ts").isin(1, 7))
+
+
 @register(
     "graph_ppr_seeded",
     oracle="""
@@ -2913,6 +2970,108 @@ def text_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micros").desc(), "bigram")
         .limit(20)
     )
+
+
+def _token_entropy_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    tf_ln = duckdb_ln_select("SELECT * FROM tf0", "c", "_lnc")
+    pd_ln = duckdb_ln_select("SELECT * FROM pd0", "n_tokens", "_lnn")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tf0 AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        WHERE term <> '' GROUP BY doc_id, term
+    ), tf AS ({tf_ln}
+    ), pd0 AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_terms,
+               CAST(SUM(c * _lnc) AS BIGINT) AS _sum_cln
+        FROM tf GROUP BY doc_id
+    ), pd AS ({pd_ln})
+    SELECT doc_id, n_tokens, n_unique_terms,
+           CAST(_lnn - _sum_cln // n_tokens AS BIGINT) AS entropy_micros,
+           CAST(CASE WHEN n_tokens <= 1 THEN 0
+                ELSE ((_lnn - _sum_cln // n_tokens) * 1000) // _lnn END
+                AS BIGINT) AS norm_entropy_permille
+    FROM pd ORDER BY doc_id
+    """
+
+
+@register(
+    "text_token_entropy",
+    oracle=_token_entropy_oracle(),
+    doc="Per-document unigram Shannon ENTROPY, exact in nat-micros "
+    "(operators/text.py:token_entropy): H = ln(dl) - (sum c ln c) "
+    "DIV dl via the portable fixed-point ln — the information-"
+    "theoretic repetition signal beside the Gopher duplicate-n-gram "
+    "rules (low entropy = boilerplate/keyword-stuffing), with a "
+    "length-independent norm_entropy_permille = H/ln(dl) for "
+    "thresholds that transfer across document lengths. The surface "
+    "the r9 ROADMAP said the fixed-point ln would unlock, delivered: "
+    "both engines replay every per-doc value bit-for-bit. Plan at "
+    "scale: one (doc, term) counting aggregate, ln as a codegen'd "
+    "integer map over the tf table (no added shuffle, no Python), "
+    "one per-doc fold.",
+    tags=("pipeline", "text", "stats"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.text import token_entropy
+
+    return token_entropy(_t(spark, sf_dir)["documents"])
+
+
+def _cross_entropy_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    gf_ln = duckdb_ln_select("SELECT * FROM gf0", "gf", "_lngf")
+    tot_ln = duckdb_ln_select(
+        "SELECT CAST(SUM(gf) AS BIGINT) AS _n_corpus FROM gf", "_n_corpus", "_lnN"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tf0 AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        WHERE term <> '' GROUP BY doc_id, term
+    ), gf0 AS (
+        SELECT term, CAST(SUM(c) AS BIGINT) AS gf FROM tf0 GROUP BY term
+    ), gf AS ({gf_ln}
+    ), tot AS ({tot_ln}
+    ), pd AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(c * _lngf) AS BIGINT) AS _s
+        FROM tf0 JOIN gf USING (term) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(_lnN - _s // n_tokens AS BIGINT) AS cross_entropy_micros
+    FROM pd, tot ORDER BY doc_id
+    """
+
+
+@register(
+    "text_cross_entropy_lm",
+    oracle=_cross_entropy_oracle(),
+    doc="Per-document unigram-LM CROSS-ENTROPY vs the corpus MLE "
+    "model, exact in nat-micros (operators/text.py:cross_entropy_lm): "
+    "CE = ln(N) - (sum c_t ln gf_t) DIV dl — the perplexity-exact "
+    "upgrade of text_unigram_doc_score's log-free skeleton "
+    "(perplexity = e^CE; thresholds live in log space). The "
+    "CCNet/Gopher-style LM quality filter: docs whose token "
+    "distribution is unusual for the corpus score high. Plan at "
+    "scale: ln applied at VOCABULARY grain (the global term-count "
+    "table, broadcast back), so per-posting work is one multiply; "
+    "corpus text never shuffles; the corpus-total ln is a 1-row "
+    "aggregate consumed once.",
+    tags=("pipeline", "text", "stats"),
+)
+def text_cross_entropy_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.text import cross_entropy_lm
+
+    return cross_entropy_lm(_t(spark, sf_dir)["documents"])
 
 
 _SEARCH_TERMS = ("dup", "merge", "vector")

@@ -1633,3 +1633,124 @@ def test_fixedpoint_ln_cross_engine(ctx, xs):
     duck = dict(con.execute(sql).fetchall())
     for v in xs:
         assert got[v] == ln_micros_py(v) == duck[v], v
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=25),
+        min_size=1,
+        max_size=12,
+    ),
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_entropy_and_kl_folds_cross_engine(ctx, docs, counts):
+    """Family 18 — the entropy and smoothed-KL folds on ARBITRARY
+    inputs (single-token docs, all-identical docs, zero-count
+    categories on either side): per-doc entropy/norm and per-category
+    signed KL contributions must agree with DuckDB replays
+    value-for-value (the signed DIV is the delicate part: both engines
+    truncate toward zero)."""
+    import pyarrow as pa
+
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+    from bo_sql_spark.operators.drift import kl_from_counts
+    from bo_sql_spark.operators.text import token_entropy
+
+    spark, con = ctx
+    # --- entropy over arbitrary corpora
+    texts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(tuple(r) for r in token_entropy(df).collect())
+    con.register(
+        "fz_e", pa.table({"doc_id": [i for i, _ in texts], "text": [t for _, t in texts]})
+    )
+    tf_ln = duckdb_ln_select("SELECT * FROM tf0", "c", "_lnc")
+    pd_ln = duckdb_ln_select("SELECT * FROM pd0", "n_tokens", "_lnn")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fz_e
+            ), tf0 AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+                GROUP BY doc_id, term
+            ), tf AS ({tf_ln}
+            ), pd0 AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_unique_terms,
+                       CAST(SUM(c * _lnc) AS BIGINT) AS _sum_cln
+                FROM tf GROUP BY doc_id
+            ), pd AS ({pd_ln})
+            SELECT doc_id, n_tokens, n_unique_terms,
+                   CAST(_lnn - _sum_cln // n_tokens AS BIGINT),
+                   CAST(CASE WHEN n_tokens <= 1 THEN 0
+                        ELSE ((_lnn - _sum_cln // n_tokens) * 1000) // _lnn END
+                        AS BIGINT)
+            FROM pd
+            """
+        ).fetchall()
+    )
+    con.unregister("fz_e")
+    assert got == want
+
+    # --- smoothed KL over arbitrary two-sample count tables
+    cdf = spark.createDataFrame(
+        [(f"c{i}", a, b) for i, (a, b) in enumerate(counts)],
+        "category string, n_a long, n_b long",
+    )
+    got_kl = sorted(tuple(r) for r in kl_from_counts(cdf).collect())
+    con.register(
+        "fz_k",
+        pa.table(
+            {
+                "category": [f"c{i}" for i in range(len(counts))],
+                "n_a": [a for a, _ in counts],
+                "n_b": [b for _, b in counts],
+            }
+        ),
+    )
+    ln_chain = "SELECT * FROM c2"
+    for x_sql, out in (
+        ("n_a + 1", "_ln_a1"),
+        ("n_b + 1", "_ln_b1"),
+        ("_ta + _k", "_ln_aa"),
+        ("_tb + _k", "_ln_bb"),
+    ):
+        ln_chain = duckdb_ln_select(ln_chain, x_sql, out)
+    want_kl = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH tot AS (
+                SELECT CAST(SUM(n_a) AS BIGINT) AS _ta,
+                       CAST(SUM(n_b) AS BIGINT) AS _tb,
+                       CAST(COUNT(*) AS BIGINT) AS _k
+                FROM fz_k
+            ), c2 AS (
+                SELECT category, CAST(n_a AS BIGINT) AS n_a,
+                       CAST(n_b AS BIGINT) AS n_b, _ta, _tb, _k
+                FROM fz_k, tot
+            ), c3 AS ({ln_chain})
+            SELECT category, n_a, n_b,
+                   CAST(((n_a + 1) * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb))
+                        // (_ta + _k) AS BIGINT)
+            FROM c3
+            """
+        ).fetchall()
+    )
+    con.unregister("fz_k")
+    assert got_kl == want_kl

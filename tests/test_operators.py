@@ -2273,3 +2273,98 @@ def test_proximity_search_window_semantics(spark):
         for r in proximity_search(df, ["dup", "vector", "merge"], window=6).collect()
     }
     assert three == {6: 1}, three
+
+
+def test_token_entropy_reference_and_float_agreement(spark):
+    """Entropy in nat-micros vs a float reference: exact fixed points
+    (all-same = 0, all-distinct = ln n) and <= 3 micro agreement with
+    -sum p ln p on mixed docs; norm permille in [0, 1000]."""
+    import math
+
+    from bo_sql_spark.operators.text import token_entropy
+
+    corpus = {
+        1: "a a a a",            # H = 0
+        2: "a b c d",            # H = ln 4
+        3: "a a b",              # H = ln3 - (2 ln2)/3
+        4: "x",                  # dl=1: H = 0, norm pinned 0
+        5: "a a a b b c",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert got[1]["entropy_micros"] == 0
+    assert abs(got[2]["entropy_micros"] / 1e6 - math.log(4)) <= 3e-6
+    assert got[4]["entropy_micros"] == 0 and got[4]["norm_entropy_permille"] == 0
+    for d, text in corpus.items():
+        toks = text.split()
+        n = len(toks)
+        want = -sum(
+            (toks.count(t) / n) * math.log(toks.count(t) / n)
+            for t in set(toks)
+        )
+        assert abs(got[d]["entropy_micros"] / 1e6 - want) <= 3e-6, d
+        assert 0 <= got[d]["norm_entropy_permille"] <= 1000
+        assert got[d]["n_tokens"] == n
+        assert got[d]["n_unique_terms"] == len(set(toks))
+    # all-distinct doc maxes the normalized entropy
+    assert got[2]["norm_entropy_permille"] >= 999
+
+
+def test_cross_entropy_lm_reference(spark):
+    """CE = H + KL >= H; equals the float ln(N) - mean ln(gf) within
+    micro tolerance; a doc of corpus-typical tokens scores lower than
+    a doc of rare tokens."""
+    import math
+
+    from bo_sql_spark.operators.text import cross_entropy_lm
+
+    corpus = {
+        1: "the the the the the of of of a a",
+        2: "the of a the of",
+        3: "zebra quark",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["cross_entropy_micros"] for r in cross_entropy_lm(df).collect()}
+    all_toks = " ".join(corpus.values()).split()
+    N = len(all_toks)
+    for d, text in corpus.items():
+        toks = text.split()
+        want = math.log(N) - sum(
+            math.log(all_toks.count(t)) for t in toks
+        ) / len(toks)
+        assert abs(got[d] / 1e6 - want) <= 5e-6, d
+    assert got[3] > got[2]  # rare-token doc is more surprising
+
+
+def test_two_sample_kl_reference_and_total_nonnegative(spark):
+    """Smoothed KL contributions replay the float formula within
+    micros; the summed divergence is >= 0 and 0 for identical mixes."""
+    import math
+
+    from bo_sql_spark.operators.drift import two_sample_kl
+
+    import pyspark.sql.functions as F
+
+    rows = (
+        [("x", False)] * 30 + [("y", False)] * 10 + [("z", False)] * 5
+        + [("x", True)] * 10 + [("y", True)] * 30 + [("z", True)] * 5
+    )
+    df = spark.createDataFrame(rows, "category string, b boolean")
+    out = {r["category"]: r for r in two_sample_kl(df, "category", F.col("b")).collect()}
+    ta, tb, k = 45, 45, 3
+    total = 0
+    for cat in ("x", "y", "z"):
+        a1, b1 = out[cat]["n_a"] + 1, out[cat]["n_b"] + 1
+        want = (a1 / (ta + k)) * math.log(
+            (a1 / (ta + k)) / (b1 / (tb + k))
+        )
+        assert abs(out[cat]["kl_contrib_micros"] / 1e6 - want) <= 5e-6, cat
+        total += out[cat]["kl_contrib_micros"]
+    assert total >= 0
+    # identical mixes: every contribution exactly 0 (a'=b', A'=B')
+    same = spark.createDataFrame(
+        [("x", False)] * 5 + [("x", True)] * 5 + [("y", False)] * 3 + [("y", True)] * 3,
+        "category string, b boolean",
+    )
+    vals = [r["kl_contrib_micros"] for r in two_sample_kl(same, "category", F.col("b")).collect()]
+    assert vals == [0, 0]
