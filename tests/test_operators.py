@@ -2368,3 +2368,37 @@ def test_two_sample_kl_reference_and_total_nonnegative(spark):
     )
     vals = [r["kl_contrib_micros"] for r in two_sample_kl(same, "category", F.col("b")).collect()]
     assert vals == [0, 0]
+
+
+def test_hybrid_rrf_semantics(spark):
+    """RRF fusion arithmetic on controlled rank lists: a doc on both
+    lists sums both reciprocal contributions, single-list docs get one,
+    and the integer fold is exactly 1e6 DIV (60 + rank) per leg."""
+    import pyspark.sql.functions as F
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, bm25_rank long"
+    )
+    sem = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, cos_rank long"
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.expr("1000000L DIV (60 + bm25_rank)"), F.lit(0))
+                + F.coalesce(F.expr("1000000L DIV (60 + cos_rank)"), F.lit(0))
+            ).cast("long").alias("rrf_micros"),
+        )
+    )
+    got = {r["doc_id"]: r["rrf_micros"] for r in fused.collect()}
+    assert got == {
+        1: 1_000_000 // 61,
+        2: 1_000_000 // 62 + 1_000_000 // 61,
+        3: 1_000_000 // 63,
+        4: 1_000_000 // 62,
+    }
+    # both-lists doc outranks the lexical #1 (the fusion property RRF
+    # exists for: agreement beats a single strong signal)
+    assert got[2] > got[1]
