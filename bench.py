@@ -78,6 +78,11 @@ PIPELINE = [
     "text_bm25_topdocs",
     "text_search_served",
     "events_anomaly_mad",
+    # round 10: entropy family (fixed-point ln) + hybrid retrieval
+    "text_token_entropy",
+    "text_cross_entropy_lm",
+    "drift_kl_event_types",
+    "search_hybrid_rrf",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.

@@ -2523,34 +2523,11 @@ def drift_ks_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_sample_ks(ev, "value", F.dayofweek("ts").isin(1, 7))
 
 
-@register(
-    "stream_drift_chisq",
-    oracle="""
-    WITH counts AS (
-        SELECT event_type AS category,
-               COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)) AS n_a,
-               COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS n_b
-        FROM events GROUP BY event_type
-    ), tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
-    SELECT category,
-           CAST(n_a AS BIGINT) AS n_a,
-           CAST(n_b AS BIGINT) AS n_b,
-           CAST(CASE WHEN (n_a + n_b) = 0 OR ta = 0 THEN 0 ELSE CAST((n_a * (ta + tb) - (n_a + n_b) * ta) AS HUGEINT) * (n_a * (ta + tb) - (n_a + n_b) * ta) * 1000000 // (CAST((ta + tb) AS HUGEINT) * (n_a + n_b) * ta) END
-                + CASE WHEN (n_a + n_b) = 0 OR tb = 0 THEN 0 ELSE CAST((n_b * (ta + tb) - (n_a + n_b) * tb) AS HUGEINT) * (n_b * (ta + tb) - (n_a + n_b) * tb) * 1000000 // (CAST((ta + tb) AS HUGEINT) * (n_a + n_b) * tb) END AS BIGINT) AS chisq_micros
-    FROM counts, tot ORDER BY category
-    """,
-    doc="STREAMING drift monitor (foreachBatch): each microbatch "
-    "appends its per-(category, sample) COUNTS to a store — counts "
-    "are the mergeable summary (sum-merge, like the CM grid) — and "
-    "the drained store folds into the same integer-exact chi-square "
-    "as the batch twin (drift_chisq_event_types' oracle verbatim): "
-    "continuous composition monitoring over an unbounded ingest with "
-    "O(categories) state per batch and no rescans. At 100 TB the "
-    "reference mix would be a pinned snapshot's counts; here both "
-    "samples stream in (weekday vs weekend split).",
-    tags=("pipeline", "streaming", "stats", "monitoring"),
-)
-def stream_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ingest_drift_counts_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Shared ingest leg of stream_drift_chisq / stream_drift_kl:
+    events as a file stream, each microbatch appending its
+    (category, n_a, n_b) counts — the mergeable summary — to a fresh
+    store. Returns the store path."""
     import os
     import tempfile
 
@@ -2592,10 +2569,11 @@ def stream_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return store
 
-    from bo_sql_spark.operators.drift import chisq_from_counts
 
-    merged = (
+def _merged_drift_counts(spark: SparkSession, store: str) -> DataFrame:
+    return (
         spark.read.parquet(store)
         .groupBy("category")
         .agg(
@@ -2603,7 +2581,60 @@ def stream_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_b").cast("long").alias("n_b"),
         )
     )
-    return chisq_from_counts(merged)
+
+
+@register(
+    "stream_drift_chisq",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type AS category,
+               COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)) AS n_a,
+               COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS n_b
+        FROM events GROUP BY event_type
+    ), tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
+    SELECT category,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(CASE WHEN (n_a + n_b) = 0 OR ta = 0 THEN 0 ELSE CAST((n_a * (ta + tb) - (n_a + n_b) * ta) AS HUGEINT) * (n_a * (ta + tb) - (n_a + n_b) * ta) * 1000000 // (CAST((ta + tb) AS HUGEINT) * (n_a + n_b) * ta) END
+                + CASE WHEN (n_a + n_b) = 0 OR tb = 0 THEN 0 ELSE CAST((n_b * (ta + tb) - (n_a + n_b) * tb) AS HUGEINT) * (n_b * (ta + tb) - (n_a + n_b) * tb) * 1000000 // (CAST((ta + tb) AS HUGEINT) * (n_a + n_b) * tb) END AS BIGINT) AS chisq_micros
+    FROM counts, tot ORDER BY category
+    """,
+    doc="STREAMING drift monitor (foreachBatch): each microbatch "
+    "appends its per-(category, sample) COUNTS to a store — counts "
+    "are the mergeable summary (sum-merge, like the CM grid) — and "
+    "the drained store folds into the same integer-exact chi-square "
+    "as the batch twin (drift_chisq_event_types' oracle verbatim): "
+    "continuous composition monitoring over an unbounded ingest with "
+    "O(categories) state per batch and no rescans. At 100 TB the "
+    "reference mix would be a pinned snapshot's counts; here both "
+    "samples stream in (weekday vs weekend split).",
+    tags=("pipeline", "streaming", "stats", "monitoring"),
+)
+def stream_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import chisq_from_counts
+
+    store = _ingest_drift_counts_stream(spark, sf_dir)
+    return chisq_from_counts(_merged_drift_counts(spark, store))
+
+
+@register(
+    "stream_drift_kl",
+    oracle=_kl_oracle(),
+    doc="STREAMING KL drift monitor: the same mergeable per-"
+    "(category, sample) counts ingest as stream_drift_chisq (one "
+    "store shape serves every count-based drift statistic), drained "
+    "through the shared kl_from_counts fold — so this entry runs "
+    "drift_kl_event_types' oracle VERBATIM, the served-equals-batch "
+    "statement for the information-theoretic monitor. O(categories) "
+    "state per microbatch, no rescans; at 100 TB the A side would be "
+    "a pinned reference snapshot's counts, sum-merged identically.",
+    tags=("pipeline", "streaming", "stats", "monitoring"),
+)
+def stream_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import kl_from_counts
+
+    store = _ingest_drift_counts_stream(spark, sf_dir)
+    return kl_from_counts(_merged_drift_counts(spark, store))
 
 
 @register(
