@@ -3798,6 +3798,126 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_micros").desc(), "doc_id").limit(20)
 
 
+def _hybrid_rrf_served_oracle() -> str:
+    return f"""
+    WITH {_bm25_ctes(_bm25_log_idf_sql())},
+    lex AS (
+        SELECT doc_id, r_lex FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25_micros DESC, doc_id) AS r_lex
+            FROM bmdoc
+        ) WHERE r_lex <= 50
+    ),
+    cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), pruned AS (
+        SELECT a.vec_id,
+               list_dot_product(e.v, q.v)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS sim
+        FROM assigned a
+        JOIN vecs e USING (vec_id)
+        CROSS JOIN (SELECT v FROM vecs WHERE vec_id = 0) q
+        WHERE a.cell = (SELECT cell FROM assigned WHERE vec_id = 0)
+          AND a.vec_id <> 0
+        ORDER BY sim DESC, a.vec_id LIMIT 50
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY ROUND(sim, 6) DESC, vec_id) AS r_sem
+        FROM pruned
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           CAST(lex.r_lex AS BIGINT) AS bm25_rank,
+           CAST(sem.r_sem AS BIGINT) AS cos_rank,
+           CAST(COALESCE(1000000 // (60 + lex.r_lex), 0)
+                + COALESCE(1000000 // (60 + sem.r_sem), 0) AS BIGINT) AS rrf_micros
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_micros DESC, doc_id LIMIT 20
+    """
+
+
+@register(
+    "search_hybrid_rrf_served",
+    oracle=_hybrid_rrf_served_oracle(),
+    doc="SERVED hybrid retrieval — the 100 TB form of "
+    "search_hybrid_rrf, BOTH legs answered from materialized "
+    "partition-pruned indexes: lexical = bm25_served off the "
+    "term-bucket postings store (bit-identical to the one-shot fold, "
+    "so the oracle's lexical leg is unchanged), semantic = "
+    "ivf_topk_served off the cell-partitioned assignment (the probed "
+    "cell's directory only — the oracle replays the SAME cell "
+    "restriction, so the approximation is graded, not hidden; "
+    "recall-vs-probes economics in SCALE.md's ANN ledger). Fusion is "
+    "the identical integer RRF fold. A query pays O(query-term "
+    "buckets) + O(probed cells) of the stores and never touches "
+    "corpus text or the full vector set — the drop-in-index claim "
+    "the one-shot entry's doc makes, demonstrated end to end.",
+    tags=("pipeline", "text", "search", "similarity"),
+)
+def search_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from bo_sql_spark.operators.search import (
+        bm25_served,
+        materialize_inverted_index,
+    )
+
+    t = _t(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    ipath = tempfile.mkdtemp(prefix="bosql_hyb_idx_") + "/index"
+    materialize_inverted_index(docs, ipath)
+    lex = bm25_served(spark, ipath, list(_SEARCH_TERMS), k=50)
+    wl = Window.orderBy(F.col("bm25_micros").desc(), "doc_id")
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("bm25_rank")
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    apath = tempfile.mkdtemp(prefix="bosql_hyb_ivf_") + "/assignment"
+    S.materialize_ivf_assignment(emb, cents, apath)
+    assigned = spark.read.parquet(apath)
+    qrow = assigned.filter(F.col("vec_id") == 0).first()
+    sem = (
+        S.ivf_topk_served(
+            spark,
+            apath,
+            [float(x) for x in qrow["embedding"]],
+            query_cells=[qrow["cell"]],
+            k=50,
+            exclude_id=0,
+        )
+        # no-op aggregate on the unique key: bounded-window lint marker
+        .groupBy("vec_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    ws = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(ws).cast("long").alias("cos_rank"),
+    )
+    fused = lex_r.join(sem_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.coalesce(F.expr("1000000L DIV (60 + bm25_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000L DIV (60 + cos_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micros"),
+    )
+    return fused.orderBy(F.col("rrf_micros").desc(), "doc_id").limit(20)
+
+
 @register(
     "stream_search_index_ingest",
     oracle=_SERVED_CONJ_ORACLE,
