@@ -3105,6 +3105,183 @@ def text_cross_entropy_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_entropy_lm(_t(spark, sf_dir)["documents"])
 
 
+_ENTROPY_REASONS_SQL = (
+    "CASE WHEN norm_entropy_permille < 600"
+    " AND cross_entropy_micros * 100 > mean_ce * 115"
+    " THEN 'low_entropy,high_perplexity'"
+    " WHEN norm_entropy_permille < 600 THEN 'low_entropy'"
+    " WHEN cross_entropy_micros * 100 > mean_ce * 115"
+    " THEN 'high_perplexity'"
+    " ELSE '' END"
+)
+
+
+def _entropy_filter_oracle() -> str:
+    return f"""
+    WITH ent AS ({_token_entropy_oracle()}),
+    ce AS ({_cross_entropy_oracle()}),
+    m AS (
+        SELECT CAST(SUM(cross_entropy_micros) // COUNT(*) AS BIGINT) AS mean_ce
+        FROM ce
+    )
+    SELECT ent.doc_id, ent.n_tokens, ent.norm_entropy_permille,
+           ce.cross_entropy_micros,
+           ({_ENTROPY_REASONS_SQL}) = '' AS keep,
+           {_ENTROPY_REASONS_SQL} AS drop_reasons
+    FROM ent JOIN ce USING (doc_id), m
+    ORDER BY ent.doc_id
+    """
+
+
+@register(
+    "corpus_filter_entropy",
+    oracle=_entropy_filter_oracle(),
+    doc="Information-theoretic corpus filter (the entropy family wired "
+    "into the gopher_keep keep/drop-with-reasons shape): drop "
+    "'low_entropy' when the normalized per-doc entropy falls below "
+    "600 permille (repetitive/boilerplate — the Shannon counterpart "
+    "of the dup-n-gram rules) and 'high_perplexity' when the doc's "
+    "LM cross-entropy exceeds the corpus mean by >15% (unusual token "
+    "distribution, the CCNet-style LM cut) — the mean is a RELATIVE "
+    "threshold, so the rule transfers across corpora without "
+    "retuning. Both signals and the mean are integer-exact (shared "
+    "fixed-point-ln folds), so keep decisions and reason strings "
+    "replay bit-for-bit. Plan at scale: the two per-doc folds over "
+    "the tf table + a broadcast 1-row mean; at production scale the "
+    "two folds would share one tf lineage — composed here from the "
+    "two graded operators so each stays independently oracle-checked.",
+    tags=("pipeline", "text", "filter", "stats"),
+)
+def corpus_filter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.text import cross_entropy_lm, token_entropy
+
+    docs = _t(spark, sf_dir)["documents"]
+    ent = token_entropy(docs).select(
+        "doc_id", "n_tokens", "norm_entropy_permille"
+    )
+    ce = cross_entropy_lm(docs).select("doc_id", "cross_entropy_micros")
+    m = ce.agg(
+        F.expr(
+            "CAST(SUM(cross_entropy_micros) DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_ce")
+    )
+    # _ENTROPY_REASONS_SQL is div-free, so the text is valid in both
+    # engines verbatim
+    reasons = _ENTROPY_REASONS_SQL
+    return (
+        ent.join(ce, "doc_id")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "norm_entropy_permille",
+            "cross_entropy_micros",
+            F.expr(f"({reasons}) = ''").alias("keep"),
+            F.expr(reasons).alias("drop_reasons"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _zipf_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    ln_chain = duckdb_ln_select(
+        duckdb_ln_select("SELECT * FROM ranked", "rank", "_x"), "c", "_y"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), ucnt AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        WHERE term <> '' GROUP BY term
+    ), ranked AS (
+        SELECT * FROM (
+            SELECT term, c,
+                   CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS rank
+            FROM ucnt
+        ) WHERE rank <= 1000
+    ), lns AS ({ln_chain}
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(_x) AS BIGINT) AS sx,
+               CAST(SUM(_y) AS BIGINT) AS sy,
+               CAST(SUM(_x * _y) AS BIGINT) AS sxy,
+               CAST(SUM(_x * _x) AS BIGINT) AS sxx
+        FROM lns
+    )
+    SELECT n AS n_terms_fit,
+           CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                AS BIGINT) AS slope_micros,
+           CAST((sy - CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                           // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                           AS BIGINT) * sx // 1000000) // n
+                AS BIGINT) AS intercept_micros
+    FROM s
+    """
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle=_zipf_oracle(),
+    doc="Zipf's-law fit of the corpus frequency spectrum, exact in "
+    "integer micros: least-squares slope of ln(count) on ln(rank) "
+    "over the top-1000 head ranks — slope ~ -1 is the healthy "
+    "natural-language signature; departures flag boilerplate floods, "
+    "template spam, or tokenizer damage in an ingested crawl (the "
+    "corpus-health dashboard number, now computable without libm "
+    "because both ln's are the fixed-point step list and the "
+    "normal-equation products run in DECIMAL(38)/HUGEINT — signed "
+    "DIVs truncate identically in both engines). Plan at scale: one "
+    "vocabulary-grain count aggregate; the rank window sorts "
+    "|vocab| POST-AGGREGATE rows (never tokens) and the fit "
+    "consumes <= 1000 of them into a 1-row normal-equation fold.",
+    tags=("pipeline", "text", "stats"),
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    ucnt = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = (
+        ucnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 1000)
+    )
+    ranked = with_ln_micros(ranked, "rank", "_x")
+    ranked = with_ln_micros(ranked, "c", "_y")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.expr("_x * _y")).cast("long").alias("sxy"),
+        F.sum(F.expr("_x * _x")).cast("long").alias("sxx"),
+    )
+    slope = (
+        "CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+        " * 1000000"
+        " DIV (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+        " AS BIGINT)"
+    )
+    return s.select(
+        F.col("n").alias("n_terms_fit"),
+        F.expr(slope).alias("slope_micros"),
+        F.expr(
+            f"CAST((sy - CAST({slope} AS DECIMAL(38,0)) * sx DIV 1000000) DIV n"
+            " AS BIGINT)"
+        ).alias("intercept_micros"),
+    )
+
+
 _SEARCH_TERMS = ("dup", "merge", "vector")
 
 

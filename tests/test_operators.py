@@ -2402,3 +2402,52 @@ def test_hybrid_rrf_semantics(spark):
     # both-lists doc outranks the lexical #1 (the fusion property RRF
     # exists for: agreement beats a single strong signal)
     assert got[2] > got[1]
+
+
+def test_zipf_slope_recovers_planted_exponent(spark):
+    """The integer log-log least-squares fit recovers a planted Zipf
+    exponent: counts c(r) = round(C / r^s) for s in {1.0, 0.5} give
+    slope_micros within 2% of -s*1e6, matching a float least-squares
+    reference within 5 micros."""
+    import math
+
+    from bo_sql_spark.queries.pipeline import corpus_zipf_slope  # noqa: F401
+    from pyspark.sql import Window
+
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    for s_true in (1.0, 0.5):
+        rows = []
+        for r in range(1, 301):
+            c = max(1, round(100000 / (r ** s_true)))
+            rows.append((f"t{r}", c))
+        ucnt = spark.createDataFrame(rows, "term string, c long")
+        w = Window.orderBy(F.col("c").desc(), "term")
+        ranked = (
+            ucnt.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 1000)
+        )
+        ranked = with_ln_micros(ranked, "rank", "_x")
+        ranked = with_ln_micros(ranked, "c", "_y")
+        agg = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_x").cast("long").alias("sx"),
+            F.sum("_y").cast("long").alias("sy"),
+            F.sum(F.expr("_x * _y")).cast("long").alias("sxy"),
+            F.sum(F.expr("_x * _x")).cast("long").alias("sxx"),
+        ).first()
+        n, sx, sy, sxy, sxx = (agg[k] for k in ("n", "sx", "sy", "sxy", "sxx"))
+        slope = ((n * sxy - sx * sy) * 1_000_000) // (n * sxx - sx * sx)
+        # float reference over the same points
+        pts = [(math.log(r), math.log(max(1, round(100000 / (r ** s_true)))))
+               for r in range(1, 301)]
+        fn = len(pts)
+        fsx = sum(x for x, _ in pts)
+        fsy = sum(y for _, y in pts)
+        fsxy = sum(x * y for x, y in pts)
+        fsxx = sum(x * x for x, _ in pts)
+        fslope = (fn * fsxy - fsx * fsy) / (fn * fsxx - fsx * fsx)
+        assert abs(slope / 1e6 - fslope) <= 5e-6, (s_true, slope, fslope)
+        assert abs(slope / 1e6 + s_true) < 0.02 * max(s_true, 1), (s_true, slope)
