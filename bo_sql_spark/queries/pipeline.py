@@ -6488,6 +6488,117 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_xent_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    c2_ln = duckdb_ln_select(
+        "SELECT shingle, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY shingle",
+        "c2",
+        "_ln2",
+    )
+    c1_ln = duckdb_ln_select(
+        "SELECT string_split(shingle, ' ')[1] AS w1,"
+        " CAST(SUM(c2) AS BIGINT) AS c1 FROM c2t GROUP BY 1",
+        "c1",
+        "_ln1",
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       CASE WHEN len(tok) < 2 THEN [] ELSE range(1, len(tok)) END,
+                       i -> tok[i] || ' ' || tok[i + 1])) AS shingle
+            FROM toks
+        )
+        WHERE shingle IS NOT NULL AND shingle <> '' AND shingle <> ' '
+    ), c2t AS ({c2_ln}
+    ), c1t AS ({c1_ln})
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c1t._ln1 - c2t._ln2) // COUNT(*) AS BIGINT)
+               AS bigram_ce_micros
+    FROM bg
+    JOIN c2t USING (shingle)
+    JOIN c1t ON c1t.w1 = string_split(shingle, ' ')[1]
+    GROUP BY bg.doc_id
+    """
+
+
+@register(
+    "text_bigram_cross_entropy",
+    oracle=_bigram_xent_oracle(),
+    doc="Per-document BIGRAM cross-entropy vs the corpus 2-gram MLE "
+    "model, exact in nat-micros: CE2 = -(1/B) sum over bigram "
+    "occurrences of ln P(w2|w1) = (sum (ln c1 - ln c2)) DIV B — the "
+    "2-gram-order completion of text_cross_entropy_lm and the exact "
+    "form of text_bigram_lm_score's log-free skeleton (docs whose "
+    "word TRANSITIONS are unusual score high; every term >= 0 since "
+    "c1 = sum of its c2's). ln runs at bigram-vocabulary grain (the "
+    "c2/c1 count tables, broadcast back), so per-occurrence work is "
+    "one subtraction; corpus text never shuffles beyond the bigram "
+    "counting aggregate.",
+    tags=("pipeline", "text", "stats"),
+)
+def text_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+    from bo_sql_spark.functions.textfn import tokens
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = tokens(F.col("text"))
+    grams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bg = (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle").contains(" "))
+        .filter(~F.col("shingle").startswith(" "))
+        .filter(~F.col("shingle").endswith(" "))
+    )
+    c2 = with_ln_micros(
+        bg.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("c2")),
+        "c2",
+        "_ln2",
+    )
+    c1 = with_ln_micros(
+        c2.select(
+            F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)).alias("w1"),
+            "c2",
+        )
+        .groupBy("w1")
+        .agg(F.sum("c2").cast("long").alias("c1")),
+        "c1",
+        "_ln1",
+    )
+    scored = (
+        bg.join(F.broadcast(c2.select("shingle", "_ln2")), "shingle")
+        .withColumn("w1", F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c1.select("w1", "_ln1")), "w1")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.expr("_ln1 - _ln2")).cast("long").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("_s DIV n_bigrams").cast("long").alias("bigram_ce_micros"),
+        )
+    )
+
+
 @register(
     "stream_heavy_hitters",
     oracle="""
