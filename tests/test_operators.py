@@ -2451,3 +2451,31 @@ def test_zipf_slope_recovers_planted_exponent(spark):
         fslope = (fn * fsxy - fsx * fsy) / (fn * fsxx - fsx * fsx)
         assert abs(slope / 1e6 - fslope) <= 5e-6, (s_true, slope, fslope)
         assert abs(slope / 1e6 + s_true) < 0.02 * max(s_true, 1), (s_true, slope)
+
+
+def test_bm25_fold_ansi_overflow_guard(spark):
+    """The ADVICE-flagged dlr/tfpart BIGINT wrap: with ANSI mode ON
+    (overflow raises instead of wrapping), the widened fold must run
+    clean on a synthetic stats table with n_docs = 2e10 and dl = 1e4 —
+    past the old (dl * 1e6 * n_docs) int64 ceiling (~9.2e18 < 2e20)."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.search import bm25_fold
+
+    joined = spark.createDataFrame(
+        [(1, 7, 123456, 10_000, 20_000_000_000, 150_000_000_000_000)],
+        "doc_id long, tf long, idf_micros long, dl long, n_docs long, sum_dl long",
+    )
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = bm25_fold(joined, k=5).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert len(rows) == 1 and rows[0]["bm25_micros"] > 0
+    # cross-check the widened dlr against pure-Python big-int math
+    dl, n_docs, sum_dl, tf, idf = 10_000, 20_000_000_000, 150_000_000_000_000, 7, 123456
+    dlr = (dl * 1_000_000 * n_docs) // sum_dl
+    denom = tf * 1_000_000 + 300_000 + (900_000 * dlr) // 1_000_000
+    tfpart = (tf * 2_200_000 * 1_000_000) // denom
+    assert rows[0]["bm25_micros"] == (idf * tfpart) // 1_000_000
