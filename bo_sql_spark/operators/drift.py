@@ -150,6 +150,55 @@ def kl_from_counts(counts: DataFrame) -> DataFrame:
     ).orderBy("category")
 
 
+def entropy_from_counts(counts: DataFrame, count_col: str = "n") -> DataFrame:
+    """Shannon entropy of a categorical MIX from its count table —
+    1 row (n_total, n_categories, entropy_micros, norm_entropy_permille),
+    exact in nat-micros via the fixed-point ln:
+
+        H = ln(N) - (sum_c c * ln(c)) DIV N
+        norm = (H * 1000) DIV ln(K)      -- K = #categories; max
+                                            entropy is ln K, so norm
+                                            is the uniformity index in
+                                            [0, 1000] (0 for K <= 1)
+
+    The monitoring number for source/language/quality-bucket
+    composition: a collapsing mix (one source flooding the corpus)
+    drives norm toward 0 long before any single category's share
+    alarms. Counts are the mergeable summary — sum-merge across
+    microbatches/shards/days and fold once (same doctrine as
+    chisq_from_counts / kl_from_counts; the streaming twin drains the
+    SAME store the chi-square/KL monitors use). Zero-count rows are
+    ignored (ln needs positives; an absent category contributes 0 to
+    H by the usual 0 ln 0 = 0 convention)."""
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    pos = counts.filter(F.col(count_col) >= 1).select(
+        F.col(count_col).cast("long").alias("_c")
+    )
+    pos = with_ln_micros(pos, "_c", "_lnc")
+    agg = pos.agg(
+        F.sum("_c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.expr("_c * _lnc")).cast("long").alias("_sum_cln"),
+    )
+    agg = with_ln_micros(agg, "greatest(n_total, 1)", "_lnn")
+    agg = with_ln_micros(agg, "greatest(n_categories, 1)", "_lnk")
+    return agg.select(
+        "n_total",
+        "n_categories",
+        F.expr("_lnn - _sum_cln DIV greatest(n_total, 1)")
+        .cast("long")
+        .alias("entropy_micros"),
+        F.expr(
+            "CASE WHEN n_categories <= 1 THEN 0"
+            " ELSE ((_lnn - _sum_cln DIV greatest(n_total, 1)) * 1000)"
+            " DIV _lnk END"
+        )
+        .cast("long")
+        .alias("norm_entropy_permille"),
+    )
+
+
 def robust_group_outliers(
     df: DataFrame, value_col: str, group_col: str
 ) -> DataFrame:

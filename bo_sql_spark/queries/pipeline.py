@@ -2369,6 +2369,88 @@ def drift_kl_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_sample_kl(ev, "event_type", F.dayofweek("ts").isin(1, 7))
 
 
+def _mix_entropy_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    lc = duckdb_ln_select("SELECT * FROM pos", "_c", "_lnc")
+    a1 = duckdb_ln_select(
+        "SELECT * FROM agg0", "greatest(n_total, 1)", "_lnn"
+    )
+    a2 = duckdb_ln_select(
+        "SELECT * FROM a1", "greatest(n_categories, 1)", "_lnk"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    ), pos AS (
+        SELECT n AS _c FROM counts WHERE n >= 1
+    ), lc AS ({lc}
+    ), agg0 AS (
+        SELECT CAST(SUM(_c) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_categories,
+               CAST(SUM(_c * _lnc) AS BIGINT) AS _sum_cln
+        FROM lc
+    ), a1 AS ({a1}
+    ), a2 AS ({a2})
+    SELECT n_total, n_categories,
+           CAST(_lnn - _sum_cln // greatest(n_total, 1) AS BIGINT)
+               AS entropy_micros,
+           CAST(CASE WHEN n_categories <= 1 THEN 0
+                ELSE ((_lnn - _sum_cln // greatest(n_total, 1)) * 1000)
+                     // _lnk END AS BIGINT) AS norm_entropy_permille
+    FROM a2
+    """
+
+
+@register(
+    "events_entropy_mix",
+    oracle=_mix_entropy_oracle(),
+    doc="Mix-entropy monitor (operators/drift.py:entropy_from_counts): "
+    "Shannon entropy of the event-type composition, exact in "
+    "nat-micros, with the UNIFORMITY INDEX norm = H/ln(K) in permille "
+    "— the corpus-composition health number (a collapsing mix, one "
+    "source flooding the corpus, drives norm toward 0 long before "
+    "any single share alarms). Counts are the mergeable summary, so "
+    "this is the same one-counting-groupBy shape as the chi-square/"
+    "KL monitors; the entropy fold runs at category grain plus two "
+    "1-row ln's. Completes the entropy family at MIX grain beside "
+    "the per-document (token_entropy) and per-model "
+    "(cross_entropy_lm) grains.",
+    tags=("pipeline", "stats", "monitoring"),
+)
+def events_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import entropy_from_counts
+
+    ev = _t(spark, sf_dir)["events"]
+    counts = ev.groupBy(F.col("event_type").alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return entropy_from_counts(counts)
+
+
+@register(
+    "stream_entropy_mix",
+    oracle=_mix_entropy_oracle(),
+    doc="STREAMING mix-entropy monitor: drains the SAME mergeable "
+    "(category, n_a, n_b) counts store the chi-square/KL streaming "
+    "monitors append to (one store shape serves every count-based "
+    "statistic — n here is n_a + n_b), folds through the shared "
+    "entropy_from_counts => runs events_entropy_mix's oracle "
+    "VERBATIM. Continuous composition-collapse detection over an "
+    "unbounded ingest with O(categories) state per microbatch.",
+    tags=("pipeline", "streaming", "stats", "monitoring"),
+)
+def stream_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import entropy_from_counts
+
+    store = _ingest_drift_counts_stream(spark, sf_dir)
+    counts = _merged_drift_counts(spark, store).select(
+        "category", F.expr("n_a + n_b").cast("long").alias("n")
+    )
+    return entropy_from_counts(counts)
+
+
 @register(
     "graph_ppr_seeded",
     oracle="""

@@ -2479,3 +2479,39 @@ def test_bm25_fold_ansi_overflow_guard(spark):
     denom = tf * 1_000_000 + 300_000 + (900_000 * dlr) // 1_000_000
     tfpart = (tf * 2_200_000 * 1_000_000) // denom
     assert rows[0]["bm25_micros"] == (idf * tfpart) // 1_000_000
+
+
+def test_entropy_from_counts_uniform_and_degenerate(spark):
+    """Mix entropy fold: uniform mix => H = ln K exactly and norm =
+    1000; single category => 0/0; skewed mix sits strictly between
+    and matches the float formula within micros."""
+    import math
+
+    from bo_sql_spark.operators.drift import entropy_from_counts
+
+    uni = spark.createDataFrame(
+        [(f"c{i}", 4) for i in range(4)], "category string, n long"
+    )
+    r = entropy_from_counts(uni).first()
+    assert r["n_total"] == 16 and r["n_categories"] == 4
+    assert abs(r["entropy_micros"] / 1e6 - math.log(4)) <= 3e-6
+    assert r["norm_entropy_permille"] == 1000
+
+    one = spark.createDataFrame([("only", 9)], "category string, n long")
+    r1 = entropy_from_counts(one).first()
+    assert r1["entropy_micros"] == 0 and r1["norm_entropy_permille"] == 0
+
+    skew = spark.createDataFrame(
+        [("a", 90), ("b", 9), ("c", 1)], "category string, n long"
+    )
+    rs = entropy_from_counts(skew).first()
+    n = 100
+    want = -sum((c / n) * math.log(c / n) for c in (90, 9, 1))
+    assert abs(rs["entropy_micros"] / 1e6 - want) <= 3e-6
+    assert 0 < rs["norm_entropy_permille"] < 1000
+    # zero-count rows are ignored, not fatal
+    withzero = spark.createDataFrame(
+        [("a", 5), ("b", 0), ("c", 5)], "category string, n long"
+    )
+    rz = entropy_from_counts(withzero).first()
+    assert rz["n_categories"] == 2 and rz["norm_entropy_permille"] == 1000
