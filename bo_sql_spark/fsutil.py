@@ -106,17 +106,40 @@ def _is_already_exists_exception(ex: Exception) -> bool:
 
 
 def create_atomic(spark: SparkSession, path: str, payload: str = "") -> bool:
-    """Create ``path`` with ``overwrite=False``; True if THIS caller
-    created it, False if it already existed — the create-if-absent
-    primitive a compare-and-swap commit needs. 'Already existed' is
-    detected by the CONCRETE JVM exception class (FileAlreadyExists /
-    PathExists, cause chain walked), never message text. Atomicity is
-    the filesystem's — see ``cas_create_capability`` for what each
-    scheme guarantees; callers that need multi-writer safety on a
-    check-then-act FS (the local FS) must ALSO treat a collision on
-    the guarded resource itself as a lost race (snapshot_write_cas
-    does). Parent dirs are created implicitly (Hadoop semantics)."""
+    """Create ``path`` with create-if-absent semantics; True if THIS
+    caller created it, False if it already existed — the primitive a
+    compare-and-swap commit needs. 'Already existed' is detected by
+    the CONCRETE exception class (JVM FileAlreadyExists/PathExists
+    with the cause chain walked, or posix EEXIST), never message text.
+
+    Atomicity is scheme-dispatched: on the LOCAL filesystem Hadoop's
+    ``create(overwrite=false)`` is check-then-act (two threads racing
+    through Py4J — which releases the GIL during JVM calls — can BOTH
+    win), so local paths go through posix ``open(O_CREAT|O_EXCL)``,
+    which the kernel arbitrates atomically. HDFS-family schemes keep
+    the Hadoop create (one atomic namenode op). S3A needs conditional
+    PUT — see ``cas_create_capability``, which snapshot_write_cas
+    probes at store-open. Parent dirs are created implicitly."""
     fs, hpath = _fs_and_path(spark, path)
+    scheme = fs.getUri().getScheme()
+    if scheme in (None, "", "file", "local"):
+        import os
+
+        local = path
+        if local.startswith("file://"):
+            local = local[len("file://"):]
+        elif local.startswith("file:"):
+            local = local[len("file:"):]
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload.encode("ascii"))
+        finally:
+            os.close(fd)
+        return True
     try:
         out = fs.create(hpath, False)
     except Exception as ex:
@@ -139,9 +162,9 @@ def _cas_capability_for(scheme: str, conf_lookup) -> tuple[bool, str]:
         return True, f"{scheme}: create(overwrite=false) is one atomic namenode op"
     if scheme in ("file", "local"):
         return True, (
-            "local FS: create is check-then-act, but snapshot_write_cas "
-            "also treats a data-dir collision as a lost race, so racing "
-            "local writers serialize correctly"
+            "local FS: claims go through posix open(O_CREAT|O_EXCL) — "
+            "kernel-atomic — and snapshot_write_cas additionally treats "
+            "a data-dir collision as a lost race (defense in depth)"
         )
     if scheme in ("s3a", "s3"):
         for key in ("fs.s3a.create.conditional.enabled", "fs.s3a.create.conditional"):
