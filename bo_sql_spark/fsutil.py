@@ -124,19 +124,29 @@ def create_atomic(spark: SparkSession, path: str, payload: str = "") -> bool:
     scheme = fs.getUri().getScheme()
     if scheme in (None, "", "file", "local"):
         import os
+        from urllib.parse import unquote, urlparse
 
-        local = path
-        if local.startswith("file://"):
-            local = local[len("file://"):]
-        elif local.startswith("file:"):
-            local = local[len("file:"):]
+        if path.startswith("file:"):
+            # parse as a URI, never strip prefixes textually: the
+            # authority form 'file://host/path' would otherwise become
+            # the RELATIVE path 'host/path' (a claim file created in
+            # the CWD — breaking CAS arbitration for that store)
+            parsed = urlparse(path)
+            if parsed.netloc not in ("", "localhost"):
+                raise ValueError(
+                    "authority-form file URI is not a local path: "
+                    f"{path!r} (netloc {parsed.netloc!r})"
+                )
+            local = unquote(parsed.path)
+        else:
+            local = path
         os.makedirs(os.path.dirname(local), exist_ok=True)
         try:
             fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return False
         try:
-            os.write(fd, payload.encode("ascii"))
+            os.write(fd, payload.encode("utf-8"))
         finally:
             os.close(fd)
         return True
@@ -147,7 +157,7 @@ def create_atomic(spark: SparkSession, path: str, payload: str = "") -> bool:
             return False
         raise
     try:
-        out.write(bytearray(payload.encode("ascii")))
+        out.write(bytearray(payload.encode("utf-8")))
     finally:
         out.close()
     return True

@@ -142,8 +142,14 @@ def kl_from_counts(counts: DataFrame) -> DataFrame:
         "category",
         "n_a",
         "n_b",
+        # (n_a + 1) * (4-ln sum, |.| <= ~176e6) wraps BIGINT at
+        # n_a ~ 5e10 — DECIMAL(38)-widened like the BM25 fold; the
+        # signed quotient's magnitude is <= 176e6 so the DIV is exact
+        # (truncation toward zero matches DuckDB HUGEINT // and
+        # Python-int semantics for this fold — unit-pinned).
         F.expr(
-            "((n_a + 1) * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb)) DIV (_ta + _k)"
+            "(CAST(n_a + 1 AS DECIMAL(38,0))"
+            " * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb)) DIV (_ta + _k)"
         )
         .cast("long")
         .alias("kl_contrib_micros"),
@@ -176,10 +182,14 @@ def entropy_from_counts(counts: DataFrame, count_col: str = "n") -> DataFrame:
         F.col(count_col).cast("long").alias("_c")
     )
     pos = with_ln_micros(pos, "_c", "_lnc")
+    # c * ln(c) runs DECIMAL(38)-widened: plain BIGINT wraps at
+    # c ~ 3e11 (c * 44e6 > 2^63) and the running sum at ~3e11 total —
+    # below claimed scale. The quotient _sum_cln DIV N is <= ln(max c)
+    # micros (~44e6) so the DECIMAL DIV's long result never wraps.
     agg = pos.agg(
         F.sum("_c").cast("long").alias("n_total"),
         F.count(F.lit(1)).cast("long").alias("n_categories"),
-        F.sum(F.expr("_c * _lnc")).cast("long").alias("_sum_cln"),
+        F.sum(F.expr("CAST(_c AS DECIMAL(38,0)) * _lnc")).alias("_sum_cln"),
     )
     agg = with_ln_micros(agg, "greatest(n_total, 1)", "_lnn")
     agg = with_ln_micros(agg, "greatest(n_categories, 1)", "_lnk")

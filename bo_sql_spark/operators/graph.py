@@ -60,7 +60,8 @@ def pagerank(
     meaningful 'run to stationarity'. The default (None) keeps the
     fixed-count behavior: graded queries declare their iteration count
     so a SQL oracle can replay the same number of steps. The returned
-    DataFrame carries the actual count as ``_pagerank_iters``.
+    DataFrame carries the actual count as a literal ``_pagerank_iters``
+    column (constant across rows; select it away if unwanted).
 
     PERSONALIZED variant: pass ``seeds`` (a DataFrame with a ``node``
     column) and the teleport mass goes to the seed set instead of
@@ -172,8 +173,10 @@ def pagerank(
                 break
         elif checkpoint_every and (i + 1) % int(checkpoint_every) == 0:
             scores = scores.localCheckpoint(eager=True)
-    scores._pagerank_iters = iters_run
-    return scores
+    # the actual iteration count rides along as a literal column (a
+    # Python attribute on the DataFrame would vanish on the next
+    # transformation); callers that don't want it select (node, score)
+    return scores.withColumn("_pagerank_iters", F.lit(iters_run).cast("int"))
 
 
 def label_propagate(

@@ -193,8 +193,17 @@ def bm25_fold(joined: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
             ),
         )
         .withColumn(
+            # idf * tfpart runs DECIMAL(38)-widened: log idf is bounded
+            # (<= ~44e6 micros) but this fold is SHARED with
+            # idf_mode='linear', where idf_micros = (n_docs * 1e6) DIV df
+            # reaches ~1e16 at n_docs ~ 1e10 / df = 1 and the plain
+            # BIGINT product would wrap silently in non-ANSI Spark
+            # (the oracle mirrors with HUGEINT).
             "term_score",
-            F.expr("(idf_micros * tfpart_micros) DIV 1000000L"),
+            F.expr(
+                "CAST(CAST(idf_micros AS DECIMAL(38,0)) * tfpart_micros"
+                " DIV 1000000 AS BIGINT)"
+            ),
         )
     )
     per_doc = scored.groupBy(id_col).agg(

@@ -141,10 +141,12 @@ def token_entropy(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     tf = with_ln_micros(tf, "c", "_lnc")
+    # c * ln(c) DECIMAL(38)-widened (BIGINT wraps at c ~ 3e11); the
+    # quotient _sum_cln DIV n_tokens is <= ~44e6 so DIV stays exact.
     per_doc = tf.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_unique_terms"),
-        F.sum(F.expr("c * _lnc")).cast("long").alias("_sum_cln"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * _lnc")).alias("_sum_cln"),
     )
     per_doc = with_ln_micros(per_doc, "n_tokens", "_lnn")
     return per_doc.select(
@@ -202,7 +204,11 @@ def cross_entropy_lm(
         .groupBy(id_col)
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
-            F.sum(F.expr("c * _lngf")).cast("long").alias("_sum_clngf"),
+            # widened like token_entropy: c * ln(gf) wraps BIGINT once
+            # c * 44e6 > 2^63; quotient below is <= ~44e6 micros
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * _lngf")).alias(
+                "_sum_clngf"
+            ),
         )
     )
     return (

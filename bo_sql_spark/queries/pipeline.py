@@ -2337,8 +2337,8 @@ def _kl_oracle() -> str:
         SELECT category, n_a, n_b, _ta, _tb, _k FROM counts, tot
     ), c3 AS ({ln_chain})
     SELECT category, n_a, n_b,
-           CAST(((n_a + 1) * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb)) // (_ta + _k)
-                AS BIGINT) AS kl_contrib_micros
+           CAST((CAST(n_a + 1 AS HUGEINT) * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb))
+                // (_ta + _k) AS BIGINT) AS kl_contrib_micros
     FROM c3 ORDER BY category
     """
 
@@ -2389,7 +2389,7 @@ def _mix_entropy_oracle() -> str:
     ), agg0 AS (
         SELECT CAST(SUM(_c) AS BIGINT) AS n_total,
                CAST(COUNT(*) AS BIGINT) AS n_categories,
-               CAST(SUM(_c * _lnc) AS BIGINT) AS _sum_cln
+               SUM(CAST(_c AS HUGEINT) * _lnc) AS _sum_cln
         FROM lc
     ), a1 AS ({a1}
     ), a2 AS ({a2})
@@ -3101,7 +3101,7 @@ def _token_entropy_oracle() -> str:
     ), pd0 AS (
         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_unique_terms,
-               CAST(SUM(c * _lnc) AS BIGINT) AS _sum_cln
+               SUM(CAST(c AS HUGEINT) * _lnc) AS _sum_cln
         FROM tf GROUP BY doc_id
     ), pd AS ({pd_ln})
     SELECT doc_id, n_tokens, n_unique_terms,
@@ -3156,7 +3156,7 @@ def _cross_entropy_oracle() -> str:
     ), tot AS ({tot_ln}
     ), pd AS (
         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-               CAST(SUM(c * _lngf) AS BIGINT) AS _s
+               SUM(CAST(c AS HUGEINT) * _lngf) AS _s
         FROM tf0 JOIN gf USING (term) GROUP BY doc_id
     )
     SELECT doc_id, n_tokens,
@@ -3762,13 +3762,13 @@ def _bm25_ctes(idf_sql: str) -> str:
     ), idf AS ({idf_sql}
     ), scored AS (
         SELECT tf.doc_id,
-               (idf_micros
-                * CAST(CAST(tf AS HUGEINT) * 2200000 * 1000000
-                       // (tf * 1000000 + 300000
-                           + (900000 * CAST(CAST(dl AS HUGEINT) * 1000000 * n_docs
-                                            // sum_dl AS BIGINT)) // 1000000)
-                       AS BIGINT))
-               // 1000000 AS term_score
+               CAST(CAST(idf_micros AS HUGEINT)
+                    * CAST(CAST(tf AS HUGEINT) * 2200000 * 1000000
+                           // (tf * 1000000 + 300000
+                               + (900000 * CAST(CAST(dl AS HUGEINT) * 1000000 * n_docs
+                                                // sum_dl AS BIGINT)) // 1000000)
+                           AS BIGINT)
+                    // 1000000 AS BIGINT) AS term_score
         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
     ), bmdoc AS (
         SELECT doc_id,

@@ -1993,24 +1993,26 @@ def test_pagerank_convergence_early_stop(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     converged = pagerank(edges, n_iter=50, tol_micros=0)
-    got = {r["node"]: r["score"] for r in converged.collect()}
-    assert converged._pagerank_iters <= 3, converged._pagerank_iters
+    crows = converged.collect()
+    got = {r["node"]: r["score"] for r in crows}
+    assert crows[0]["_pagerank_iters"] <= 3, crows[0]["_pagerank_iters"]
     fixed = pagerank(edges, n_iter=50)
     want = {r["node"]: r["score"] for r in fixed.collect()}
     assert got == want
     # a tolerance coarser than the largest per-step move stops at 1
     coarse = pagerank(edges, n_iter=50, tol_micros=10_000_000)
-    assert coarse._pagerank_iters == 1
+    assert coarse.first()["_pagerank_iters"] == 1
     # non-trivial chain: early-stopped run equals the run whose fixed
     # count is the stop point (same iterate sequence by construction)
     chain = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
     )
     conv = pagerank(chain, n_iter=100, tol_micros=0)
-    k = conv._pagerank_iters
+    conv_rows = conv.collect()
+    k = conv_rows[0]["_pagerank_iters"]
     assert 1 < k < 100
     same = pagerank(chain, n_iter=k)
-    assert {r["node"]: r["score"] for r in conv.collect()} == {
+    assert {r["node"]: r["score"] for r in conv_rows} == {
         r["node"]: r["score"] for r in same.collect()
     }
 
@@ -2478,6 +2480,35 @@ def test_bm25_fold_ansi_overflow_guard(spark):
     dlr = (dl * 1_000_000 * n_docs) // sum_dl
     denom = tf * 1_000_000 + 300_000 + (900_000 * dlr) // 1_000_000
     tfpart = (tf * 2_200_000 * 1_000_000) // denom
+    assert rows[0]["bm25_micros"] == (idf * tfpart) // 1_000_000
+
+
+def test_bm25_fold_ansi_overflow_guard_linear_idf(spark):
+    """The fold is shared with idf_mode='linear', where
+    idf_micros = (n_docs * 1e6) DIV df: with df = 1 and n_docs = 1e10,
+    idf_micros = 1e16 and idf * tfpart (tfpart up to 2.2e6) reaches
+    ~2.2e22 — past int64. The DECIMAL(38)-widened term_score product
+    must survive ANSI mode and match big-int Python exactly."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.search import bm25_fold
+
+    n_docs, df_term, dl, sum_dl, tf = 10_000_000_000, 1, 100, 1_000_000_000_000, 5
+    idf = (n_docs * 1_000_000) // df_term  # 1e16: the linear surrogate
+    joined = spark.createDataFrame(
+        [(1, tf, idf, dl, n_docs, sum_dl)],
+        "doc_id long, tf long, idf_micros long, dl long, n_docs long, sum_dl long",
+    )
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = bm25_fold(joined, k=5).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    dlr = (dl * 1_000_000 * n_docs) // sum_dl
+    denom = tf * 1_000_000 + 300_000 + (900_000 * dlr) // 1_000_000
+    tfpart = (tf * 2_200_000 * 1_000_000) // denom
+    assert tfpart * idf > 2**63, "fixture must exceed the int64 ceiling"
     assert rows[0]["bm25_micros"] == (idf * tfpart) // 1_000_000
 
 

@@ -259,6 +259,34 @@ def test_snapshot_cas_contention_and_read(spark, tmp_path):
     assert snapshot_read(spark, root, version=1).count() == 10  # time travel
 
 
+def test_create_atomic_uri_forms_and_utf8_payload(spark, tmp_path):
+    """ADVICE regression (fsutil.create_atomic local branch): file:
+    URIs are parsed as URIs, never prefix-stripped — 'file:///abs'
+    and 'file:/abs' both land at /abs (the old textual strip turned
+    authority-form 'file://host/path' into the CWD-RELATIVE path
+    'host/path', silently breaking CAS arbitration for that store,
+    so authority forms now raise) — and payloads write as utf-8
+    (the old ascii encode raised on non-ASCII)."""
+    import pytest
+
+    from bo_sql_spark import fsutil
+
+    p = tmp_path / "claims" / "v-1"
+    assert fsutil.create_atomic(spark, "file://" + str(p), "café ✓")
+    assert p.read_text(encoding="utf-8") == "café ✓"
+    # the same file through the other two URI spellings: already exists
+    assert not fsutil.create_atomic(spark, "file:" + str(p), "x")
+    assert not fsutil.create_atomic(spark, str(p), "x")
+    with pytest.raises(ValueError, match="authority-form"):
+        fsutil.create_atomic(
+            spark, "file://remotehost" + str(tmp_path / "claim"), "x"
+        )
+    # localhost authority is the documented local alias
+    p2 = tmp_path / "claims" / "v-2"
+    assert fsutil.create_atomic(spark, "file://localhost" + str(p2), "2")
+    assert p2.read_text() == "2"
+
+
 def test_snapshot_cas_crash_invisible_and_age_gated_vacuum(spark, tmp_path):
     """A claimed-but-uncommitted version is invisible to readers, is
     NOT vacuumed while the claim is fresh (it could be a slow in-flight
