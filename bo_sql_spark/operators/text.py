@@ -112,6 +112,24 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("*", ws.alias("n_words"), pieces.alias("n_subwords"))
 
 
+def doc_term_freq(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The tokenized (id, term, c) term-frequency table — the ONE
+    corpus tokenization every downstream per-doc information measure
+    folds over. token_entropy and cross_entropy_lm both start here;
+    callers that need several measures over the same corpus compute
+    this once (localCheckpoint it for multi-consumer plans — the
+    one-consumer rule at DOC grain: two folds re-deriving this table
+    is two full corpus tokenizations at 100 TB)."""
+    tk = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    return tk.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
 def token_entropy(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -132,14 +150,15 @@ def token_entropy(
     ~40-integer-op codegen'd map over that tf table (no extra shuffle,
     no Python), then one per-doc aggregate. Emits (id, n_tokens,
     n_unique_terms, entropy_micros, norm_entropy_permille)."""
+    return token_entropy_from_tf(doc_term_freq(docs, id_col, text_col), id_col)
+
+
+def token_entropy_from_tf(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """token_entropy's fold over a pre-tokenized (id, term, c) table
+    (doc_term_freq) — the shared-tail split that lets a multi-measure
+    consumer (corpus_filter_entropy) tokenize the corpus ONCE."""
     from bo_sql_spark.functions.fixedpoint import with_ln_micros
 
-    tk = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
-    ).filter(F.col("term") != "")
-    tf = tk.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
     tf = with_ln_micros(tf, "c", "_lnc")
     # c * ln(c) DECIMAL(38)-widened (BIGINT wraps at c ~ 3e11); the
     # quotient _sum_cln DIV n_tokens is <= ~44e6 so DIV stays exact.
@@ -186,14 +205,15 @@ def cross_entropy_lm(
     with ln applied THERE (broadcast back), so the per-posting work is
     one multiply; corpus text never shuffles. Emits (id, n_tokens,
     cross_entropy_micros)."""
+    return cross_entropy_from_tf(doc_term_freq(docs, id_col, text_col), id_col)
+
+
+def cross_entropy_from_tf(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """cross_entropy_lm's fold over a pre-tokenized (id, term, c)
+    table (doc_term_freq) — shared-tail split, same single-scan story
+    as token_entropy_from_tf."""
     from bo_sql_spark.functions.fixedpoint import with_ln_micros
 
-    tk = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
-    ).filter(F.col("term") != "")
-    tf = tk.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
     gf = tf.groupBy("term").agg(F.sum("c").cast("long").alias("gf"))
     gf = with_ln_micros(gf, "gf", "_lngf")
     totals = with_ln_micros(

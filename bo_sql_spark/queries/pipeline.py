@@ -3228,20 +3228,33 @@ def _entropy_filter_oracle() -> str:
     "threshold, so the rule transfers across corpora without "
     "retuning. Both signals and the mean are integer-exact (shared "
     "fixed-point-ln folds), so keep decisions and reason strings "
-    "replay bit-for-bit. Plan at scale: the two per-doc folds over "
-    "the tf table + a broadcast 1-row mean; at production scale the "
-    "two folds would share one tf lineage — composed here from the "
-    "two graded operators so each stays independently oracle-checked.",
+    "replay bit-for-bit. Plan at scale: ONE corpus tokenization "
+    "(doc_term_freq, checkpointed) feeds both per-doc folds — the "
+    "one-consumer rule at doc grain: the pre-r11 composition "
+    "re-derived the (doc,term,tf) table inside each operator, i.e. "
+    "two full corpus scans for one keep/drop decision; the ce table "
+    "is likewise checkpointed because the mean and the join both "
+    "consume it. The broadcast 1-row mean keeps the threshold "
+    "relative without a second pass over anything doc-sized.",
     tags=("pipeline", "text", "filter", "stats"),
 )
 def corpus_filter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bo_sql_spark.operators.text import cross_entropy_lm, token_entropy
+    from bo_sql_spark.operators.text import (
+        cross_entropy_from_tf,
+        doc_term_freq,
+        token_entropy_from_tf,
+    )
 
     docs = _t(spark, sf_dir)["documents"]
-    ent = token_entropy(docs).select(
+    tf = doc_term_freq(docs).localCheckpoint(eager=False)
+    ent = token_entropy_from_tf(tf).select(
         "doc_id", "n_tokens", "norm_entropy_permille"
     )
-    ce = cross_entropy_lm(docs).select("doc_id", "cross_entropy_micros")
+    ce = (
+        cross_entropy_from_tf(tf)
+        .select("doc_id", "cross_entropy_micros")
+        .localCheckpoint(eager=False)
+    )
     m = ce.agg(
         F.expr(
             "CAST(SUM(cross_entropy_micros) DIV COUNT(*) AS BIGINT)"
