@@ -2237,11 +2237,29 @@ def test_bm25_served_equals_one_shot(spark, tmp_path):
         (r["doc_id"], r["bm25_micros"], r["n_terms_hit"])
         for r in bm25_topk(docs, terms, k=10).collect()
     )
+    served_df = bm25_served(spark, path, terms, k=10, n_term_buckets=16)
     served = sorted(
+        (r["doc_id"], r["bm25_micros"], r["n_terms_hit"])
+        for r in served_df.collect()
+    )
+    assert served == one_shot and len(served) == 5, (served, one_shot)
+    # the build wrote the precomputed idf table, and the served plan
+    # reads it instead of re-running the ln step-chains per query
+    from bo_sql_spark import fsutil
+
+    assert fsutil.exists(spark, path + "_terms")
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    assert "_ln_n" not in plan and "_ln_df" not in plan, (
+        "served BM25 must read build-time idf, not recompute the ln chain"
+    )
+    # fallback (streaming-appended stores have no _terms table):
+    # identical scores via the on-the-fly idf path
+    fsutil.delete(spark, path + "_terms")
+    fallback = sorted(
         (r["doc_id"], r["bm25_micros"], r["n_terms_hit"])
         for r in bm25_served(spark, path, terms, k=10, n_term_buckets=16).collect()
     )
-    assert served == one_shot and len(served) == 5, (served, one_shot)
+    assert fallback == one_shot
 
 
 def test_proximity_search_window_semantics(spark):
