@@ -3,7 +3,8 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "queries": {"q1": sec, ...}, "spread": {"q1": [min, med, max], ...},
+   "sf": <sf>}
 
 Methodology (BASELINE.md notes): warmed session on local[$SPARK_GRAFT_CPUS];
 we time query EXECUTION (build plan + collect) — session startup and
@@ -413,16 +414,30 @@ def main() -> None:
     anchor_s = _anchor()
 
     times: dict[str, float] = {}
+    # per-query spread [min, median, max] over the timed reps: a
+    # best-of-N point number carries no noise band, so a 1.5x delta
+    # between rounds couldn't self-classify as noise vs signal (the
+    # r10 text_bm25_topdocs attribution problem). The median-to-min
+    # gap IS the within-session noise estimate; cross-round deltas
+    # smaller than that gap are weather, not code.
+    spread: dict[str, list[float]] = {}
 
     def _time(name: str, runs: int) -> float:
-        best = float("inf")
+        import statistics
+
+        reps: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             df = builders[name](spark, SF_DIR)
             n = _run(df, name)
-            best = min(best, time.perf_counter() - t0)
+            reps.append(time.perf_counter() - t0)
             assert n >= 0
-        return round(best, 4)
+        spread[name] = [
+            round(min(reps), 4),
+            round(statistics.median(reps), 4),
+            round(max(reps), 4),
+        ]
+        return round(min(reps), 4)
 
     # Warm + time strictly per tier (core first): see tier-isolation
     # note in the module docstring. Core queries are sub-second, so a
@@ -481,6 +496,7 @@ def main() -> None:
                 "value": tiers["core"],
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "tiers": tiers,
                 "streaming_rows_per_sec": streaming_rows_per_sec or None,
                 "anchor_s": anchor_s,
