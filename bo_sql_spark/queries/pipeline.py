@@ -3239,14 +3239,25 @@ def _entropy_filter_oracle() -> str:
     tags=("pipeline", "text", "filter", "stats"),
 )
 def corpus_filter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.text import doc_term_freq
+
+    docs = _t(spark, sf_dir)["documents"]
+    return _entropy_filter_from_tf(doc_term_freq(docs))
+
+
+def _entropy_filter_from_tf(tf: DataFrame) -> DataFrame:
+    """The keep/drop-with-reasons fold over a (doc_id, term, c) table —
+    the shared tail of the batch filter (in-query tokenization) and
+    the streaming twin (drained postings-count store). tf and the
+    per-doc ce table are checkpointed here because each is consumed
+    twice (tf by both folds; ce by the mean and the join) — the
+    one-consumer rule at doc grain."""
     from bo_sql_spark.operators.text import (
         cross_entropy_from_tf,
-        doc_term_freq,
         token_entropy_from_tf,
     )
 
-    docs = _t(spark, sf_dir)["documents"]
-    tf = doc_term_freq(docs).localCheckpoint(eager=False)
+    tf = tf.localCheckpoint(eager=False)
     ent = token_entropy_from_tf(tf).select(
         "doc_id", "n_tokens", "norm_entropy_permille"
     )
@@ -3276,6 +3287,56 @@ def corpus_filter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_corpus_filter_entropy",
+    oracle=_entropy_filter_oracle(),
+    doc="STREAMING twin of corpus_filter_entropy (foreachBatch): "
+    "documents arrive as a file stream and each microbatch appends "
+    "its (doc, term, c) counts — doc_term_freq is doc-LOCAL, so the "
+    "drained store equals the batch tokenization under ANY batching "
+    "(the postings-ingest invariant) — then the identical "
+    "_entropy_filter_from_tf fold replays the batch oracle verbatim. "
+    "The per-doc entropy signal is decidable at ARRIVAL (doc-local); "
+    "the perplexity cut is relative to the corpus-mean CE, which "
+    "this bounded replay folds at drain — a production deployment "
+    "would pin the mean (and the ln(gf) model) from the previous "
+    "corpus snapshot to decide in-flight, same counts store either "
+    "way. Completes the batch+streaming pairing the chisq/KL/entropy "
+    "monitors already have, for the FILTER family. State per batch "
+    "is O(batch vocabulary); the corpus text never re-scans.",
+    tags=("pipeline", "text", "filter", "stats", "streaming"),
+)
+def stream_corpus_filter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators.text import doc_term_freq
+
+    docs_schema = _t(spark, sf_dir)["documents"].schema
+    root = tempfile.mkdtemp(prefix="bosql_entfilter_stream_")
+    store = os.path.join(root, "tf")
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        doc_term_freq(batch_df).write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _entropy_filter_from_tf(spark.read.parquet(store))
 
 
 def _zipf_oracle() -> str:

@@ -1321,6 +1321,48 @@ def test_temperature_mix_sample_rates_and_determinism(spark):
     assert again == {r["doc_id"] for r in kept}
 
 
+def test_temperature_mix_flattens_entropy_monotonically(spark):
+    """The sampler is the ACTUATOR for the mix-entropy monitor
+    (r10 verdict pairing): flattening temperature up raises the
+    uniformity index. On a 64/256/1024 skewed corpus the kept mix's
+    norm_entropy_permille must be natural < alpha=3/4 (half_powers=2)
+    < alpha=1/2 (half_powers=1) < full flattening (half_powers=0,
+    rate n_min/n_s), and full flattening sits near 1000 (uniform);
+    many half_powers approaches the natural shares again (r_s -> 1
+    keeps everything)."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.drift import entropy_from_counts
+    from bo_sql_spark.operators.sampling import temperature_mix_sample
+
+    sizes = {"a": 64, "b": 256, "c": 1024}
+    rows = []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i * 37 + 11, s))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def norm_entropy(sampled):
+        counts = sampled.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        return entropy_from_counts(counts).first()["norm_entropy_permille"]
+
+    natural = norm_entropy(df)
+    by_hp = {
+        hp: norm_entropy(
+            temperature_mix_sample(df, "lang", "doc_id", half_powers=hp)
+        )
+        for hp in (0, 1, 2, 10)
+    }
+    assert natural < by_hp[2] < by_hp[1] < by_hp[0], (natural, by_hp)
+    assert by_hp[0] >= 980, by_hp  # full flattening ~ uniform
+    # hp -> infinity recovers the natural mix (keep-everything limit)
+    assert abs(by_hp[10] - natural) <= 25, (natural, by_hp)
+
+
 def test_knn_graph_matches_per_query_topk_within_cell(spark, sf_dir):
     """Exact-twin property: a vector's graph neighbors must equal
     cosine_topk over its own cell's members (same ranking, same
