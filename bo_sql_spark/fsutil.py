@@ -121,7 +121,7 @@ def create_atomic(spark: SparkSession, path: str, payload: str = "") -> bool:
     PUT — see ``cas_create_capability``, which snapshot_write_cas
     probes at store-open. Parent dirs are created implicitly."""
     fs, hpath = _fs_and_path(spark, path)
-    scheme = fs.getUri().getScheme()
+    scheme = _path_scheme(path, fs)
     if scheme in (None, "", "file", "local"):
         import os
         from urllib.parse import unquote, urlparse
@@ -161,6 +161,19 @@ def create_atomic(spark: SparkSession, path: str, payload: str = "") -> bool:
     finally:
         out.close()
     return True
+
+
+def _path_scheme(path: str, fs) -> str:
+    """Scheme of ``path``'s URI, falling back to the filesystem's own
+    URI for schemeless paths. The PATH is authoritative: a registered
+    test double (fs.<scheme>.impl) or a viewfs mount can serve a
+    scheme whose FileSystem instance reports a different native URI —
+    capability and atomicity decisions must key on the scheme the
+    caller addressed."""
+    from urllib.parse import urlparse
+
+    s = urlparse(path).scheme
+    return s if s else fs.getUri().getScheme()
 
 
 def _cas_capability_for(scheme: str, conf_lookup) -> tuple[bool, str]:
@@ -203,7 +216,7 @@ def cas_create_capability(spark: SparkSession, path: str) -> tuple[bool, str]:
     now probed at store-open so a misconfigured store fails loudly
     instead of corrupting silently."""
     fs, _ = _fs_and_path(spark, path)
-    scheme = fs.getUri().getScheme()
+    scheme = _path_scheme(path, fs)
     conf = spark._jsc.hadoopConfiguration()
     return _cas_capability_for(scheme, conf.get)
 
