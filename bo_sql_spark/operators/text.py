@@ -243,6 +243,76 @@ def cross_entropy_from_tf(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def lm_smoothed_model(tf: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Laplace-smoothed (add-one) unigram LM from a (id, term, c)
+    table — the FREEZABLE form of cross_entropy_lm's in-corpus model:
+    returns ``(terms, total)`` where terms = (term, _lngf1 =
+    ln(gf + 1) micros) and total = one row (n_corpus, n_vocab,
+    _lnNV = ln(N + V) micros). Smoothing is what makes the model
+    servable: a frozen model must score ARRIVAL docs containing terms
+    it never saw, and gf + 1 keeps every ln argument a positive
+    integer (unseen term => ln(1) = 0 contribution; the +V in the
+    normalizer is the matching Laplace mass). All ln's are the shared
+    fixed-point step list, so a DuckDB oracle replays scores
+    bit-for-bit. Plan at scale: both outputs are VOCABULARY grain —
+    one counting aggregate over the model corpus, ln as a codegen'd
+    map over it."""
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    gf = tf.groupBy("term").agg(F.sum("c").cast("long").alias("gf"))
+    terms = with_ln_micros(gf, "gf + 1", "_lngf1").select("term", "_lngf1")
+    tot = gf.agg(
+        F.sum("gf").cast("long").alias("n_corpus"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    total = with_ln_micros(tot, "n_corpus + n_vocab", "_lnNV")
+    return terms, total
+
+
+def cross_entropy_served(
+    tf: DataFrame,
+    model_terms: DataFrame,
+    model_total: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy against a FROZEN smoothed model
+    (lm_smoothed_model), in nat-micros, exact:
+
+        CE(d) = ln(N + V) - (sum_t c_t(d) * ln(gf_t + 1)) DIV dl
+
+    with gf_t = 0 for terms the model never saw — the arrival-time
+    (train->serve) form of cross_entropy_lm: score new documents
+    without touching the model corpus again, the LM-filter analogue
+    of ivf_topk_served's economics. The model join is TERM-keyed
+    (vocabulary grain — bounded, but not driver-small at web scale,
+    so no forced broadcast; AQE picks one when it fits). Emits
+    (id, n_tokens, cross_entropy_micros)."""
+    per_doc = (
+        tf.join(model_terms, "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            # widened like the in-corpus fold; unseen terms coalesce
+            # to ln(1) = 0
+            F.sum(
+                F.expr(
+                    "CAST(c AS DECIMAL(38,0))"
+                    " * coalesce(_lngf1, CAST(0 AS BIGINT))"
+                )
+            ).alias("_s"),
+        )
+    )
+    return per_doc.crossJoin(
+        F.broadcast(model_total.select("_lnNV"))
+    ).select(
+        id_col,
+        "n_tokens",
+        F.expr("_lnNV - _s DIV n_tokens").cast("long").alias(
+            "cross_entropy_micros"
+        ),
+    )
+
+
 def fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3339,6 +3339,134 @@ def stream_corpus_filter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entropy_filter_from_tf(spark.read.parquet(store))
 
 
+def _entropy_filter_served_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    gf_ln = duckdb_ln_select("SELECT * FROM gf0", "gf + 1", "_lngf1")
+    tot_ln = duckdb_ln_select(
+        "SELECT CAST(SUM(gf) AS BIGINT) AS n_corpus,"
+        " CAST(COUNT(*) AS BIGINT) AS n_vocab FROM gf0",
+        "n_corpus + n_vocab",
+        "_lnNV",
+    )
+    tf_ln = duckdb_ln_select("SELECT * FROM tfa0", "c", "_lnc")
+    pd_ln = duckdb_ln_select("SELECT * FROM pd0", "n_tokens", "_lnn")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tfall AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        WHERE term <> '' GROUP BY doc_id, term
+    ), tfm AS (
+        SELECT * FROM tfall WHERE doc_id % 10 <> 0
+    ), tfa0 AS (
+        SELECT * FROM tfall WHERE doc_id % 10 = 0
+    ), gf0 AS (
+        SELECT term, CAST(SUM(c) AS BIGINT) AS gf FROM tfm GROUP BY term
+    ), gfl AS ({gf_ln}
+    ), tot AS ({tot_ln}
+    ), mpd AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl,
+               SUM(CAST(c AS HUGEINT) * _lngf1) AS _s
+        FROM tfm JOIN gfl USING (term) GROUP BY doc_id
+    ), m AS (
+        SELECT CAST(SUM(CAST(_lnNV - _s // dl AS BIGINT)) // COUNT(*)
+                    AS BIGINT) AS mean_ce
+        FROM mpd, tot
+    ), apd AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(CAST(c AS HUGEINT) * COALESCE(_lngf1, 0)) AS _s
+        FROM tfa0 LEFT JOIN gfl USING (term) GROUP BY doc_id
+    ), ce AS (
+        SELECT doc_id, n_tokens,
+               CAST(_lnNV - _s // n_tokens AS BIGINT) AS cross_entropy_micros
+        FROM apd, tot
+    ), tfl AS ({tf_ln}
+    ), pd0 AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(CAST(c AS HUGEINT) * _lnc) AS _sum_cln
+        FROM tfl GROUP BY doc_id
+    ), pd AS ({pd_ln}
+    ), ent AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN n_tokens <= 1 THEN 0
+                    ELSE ((_lnn - _sum_cln // n_tokens) * 1000) // _lnn END
+                    AS BIGINT) AS norm_entropy_permille
+        FROM pd
+    )
+    SELECT ent.doc_id, ent.n_tokens, ent.norm_entropy_permille,
+           ce.cross_entropy_micros,
+           ({_ENTROPY_REASONS_SQL}) = '' AS keep,
+           {_ENTROPY_REASONS_SQL} AS drop_reasons
+    FROM ent JOIN ce USING (doc_id), m
+    ORDER BY ent.doc_id
+    """
+
+
+@register(
+    "corpus_filter_entropy_served",
+    oracle=_entropy_filter_served_oracle(),
+    doc="TRAIN->SERVE form of the entropy/perplexity corpus filter — "
+    "the arrival-time decision the streaming twin's doc promises: "
+    "freeze a Laplace-smoothed unigram LM (lm_smoothed_model: "
+    "ln(gf+1) at vocab grain, ln(N+V) normalizer — add-one smoothing "
+    "is what makes the model SERVABLE, unseen arrival terms score "
+    "ln(1)=0 instead of breaking the ln) and the model corpus's mean "
+    "CE under that same model (the frozen relative threshold), then "
+    "score each arriving doc per-doc-locally: entropy needs nothing "
+    "but the doc, CE needs one term-keyed join against the frozen "
+    "vocab table (cross_entropy_served). Model = doc_id % 10 != 0, "
+    "arrivals = the rest — the similarity train/serve split, for the "
+    "LM filter. Integer-exact end to end, so the oracle replays "
+    "every keep decision and reason string. Plan at scale: ONE "
+    "corpus tokenization (checkpointed, filtered twice); model "
+    "tables are vocabulary grain; arrivals never touch the model "
+    "corpus again.",
+    tags=("pipeline", "text", "filter", "stats"),
+)
+def corpus_filter_entropy_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.text import (
+        cross_entropy_served,
+        doc_term_freq,
+        lm_smoothed_model,
+        token_entropy_from_tf,
+    )
+
+    docs = _t(spark, sf_dir)["documents"]
+    tf_all = doc_term_freq(docs).localCheckpoint(eager=False)
+    model_tf = tf_all.filter(F.expr("doc_id % 10 != 0"))
+    arr_tf = tf_all.filter(F.expr("doc_id % 10 = 0"))
+    terms, total = lm_smoothed_model(model_tf)
+    terms = terms.localCheckpoint(eager=False)
+    total = total.localCheckpoint(eager=False)
+    mean = cross_entropy_served(model_tf, terms, total).agg(
+        F.expr(
+            "CAST(SUM(cross_entropy_micros) DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_ce")
+    )
+    ent = token_entropy_from_tf(arr_tf).select(
+        "doc_id", "n_tokens", "norm_entropy_permille"
+    )
+    ce = cross_entropy_served(arr_tf, terms, total).select(
+        "doc_id", "cross_entropy_micros"
+    )
+    reasons = _ENTROPY_REASONS_SQL
+    return (
+        ent.join(ce, "doc_id")
+        .crossJoin(F.broadcast(mean))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "norm_entropy_permille",
+            "cross_entropy_micros",
+            F.expr(f"({reasons}) = ''").alias("keep"),
+            F.expr(reasons).alias("drop_reasons"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _zipf_oracle() -> str:
     from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
 

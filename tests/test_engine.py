@@ -2,7 +2,7 @@
 
 Mirrors the reference's CLI smoke scenarios (reference smoke.sh:72-90)
 at the Engine API level; the subprocess-level CLI is exercised by the
-verify flow (see .claude/skills/verify).
+CLI smoke script (smoke.sh at the repo root).
 """
 
 from __future__ import annotations

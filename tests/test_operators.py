@@ -2515,6 +2515,45 @@ def test_zipf_slope_recovers_planted_exponent(spark):
         assert abs(slope / 1e6 + s_true) < 0.02 * max(s_true, 1), (s_true, slope)
 
 
+def test_cross_entropy_served_frozen_model(spark):
+    """Train->serve LM scoring: the frozen Laplace-smoothed model
+    scores arrivals exactly per the big-int formula, an all-unseen-
+    terms doc scores exactly ln(N + V) (every smoothed contribution
+    is ln(1) = 0 — the smoothing is what makes serving total), and a
+    mixed doc sits strictly between."""
+    from bo_sql_spark.functions.fixedpoint import ln_micros_py
+    from bo_sql_spark.operators.text import (
+        cross_entropy_served,
+        doc_term_freq,
+        lm_smoothed_model,
+    )
+
+    model_docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    terms, total = lm_smoothed_model(doc_term_freq(model_docs))
+    trow = total.first()
+    # gf: a=3, b=2, c=1 -> N=6, V=3
+    assert (trow["n_corpus"], trow["n_vocab"]) == (6, 3)
+    arrivals = spark.createDataFrame(
+        [(10, "a b"), (11, "z z q"), (12, "a z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["cross_entropy_micros"]
+        for r in cross_entropy_served(
+            doc_term_freq(arrivals), terms, total
+        ).collect()
+    }
+    ln9 = ln_micros_py(9)
+    want_seen = ln9 - (1 * ln_micros_py(4) + 1 * ln_micros_py(3)) // 2
+    want_mixed = ln9 - (1 * ln_micros_py(4) + 1 * 0) // 2
+    assert got[10] == want_seen
+    assert got[11] == ln9  # all unseen: pure smoothed mass
+    assert got[12] == want_mixed
+    assert got[10] < got[12] < got[11]
+
+
 def test_bm25_fold_ansi_overflow_guard(spark):
     """The ADVICE-flagged dlr/tfpart BIGINT wrap: with ANSI mode ON
     (overflow raises instead of wrapping), the widened fold must run

@@ -460,6 +460,30 @@ def test_plan_lint_catches_unpartitioned_window(spark):
     assert lint_plan(plan(post_agg)) == []
 
 
+def test_plan_lint_flags_undocumented_bounded_window():
+    """The documented-whitelist guard (r10 verdict hygiene ask): a
+    post-agg global window is only whitelisted when its query carries
+    a one-line bound argument in BOUNDED_GLOBAL_WINDOWS — an
+    undocumented query, or a documented one growing beyond its count,
+    flags; every current entry stays within its documented count."""
+    from tools_plan_lint import (
+        BOUNDED_GLOBAL_WINDOWS,
+        undocumented_window_flags,
+    )
+
+    # seeded: unknown query with a bounded window -> flag
+    assert undocumented_window_flags("brand_new_query", 1), "must flag"
+    # seeded: documented query growing past its count -> flag
+    assert undocumented_window_flags("corpus_zipf_slope", 2)
+    # within bounds -> clean
+    assert undocumented_window_flags("corpus_zipf_slope", 1) == []
+    assert undocumented_window_flags("search_hybrid_rrf", 2) == []
+    assert undocumented_window_flags("no_windows_at_all", 0) == []
+    # every registry entry documents a non-empty bound argument
+    for name, (n, why) in BOUNDED_GLOBAL_WINDOWS.items():
+        assert n >= 1 and why.strip(), name
+
+
 def test_plan_baseline_diff_catches_seeded_regression():
     """The PLAN_BASELINE guard: a grown exchange count flags, a grown
     broadcast-join count does not (broadcasts usually replace worse

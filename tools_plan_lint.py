@@ -7,12 +7,14 @@ plan at sf0.001 and flag anti-patterns:
   window's entire input to ONE task ("WARN WindowExec: No Partition
   Defined"), the classic silent scale-killer — it never shows up in
   local wall-time, which is exactly why it must be lint-caught.
-  Whitelisted automatically: global windows whose subtree contains an
-  aggregate (HashAggregate/SortAggregate/ObjectHashAggregate) — those
-  run over a GROUPED, bounded input (ranking 25 nation rows, sharing
-  over ~150 p_type rows, cumulating 32 shard offsets), where a single
-  task is the right plan. The heuristic is unit-tested against seeded
-  good/bad plans in tests/test_plans.py.
+  Whitelisted when BOTH halves hold: (a) the heuristic half — the
+  window's subtree contains an aggregate (HashAggregate/SortAggregate/
+  ObjectHashAggregate), so it runs over a GROUPED, bounded input where
+  a single task is the right plan; AND (b) the documented half — the
+  query has a one-line bound argument in BOUNDED_GLOBAL_WINDOWS below
+  saying WHY that grouped input is small. An undocumented addition
+  (new query, or a documented query growing more windows) FLAGS. Both
+  halves are unit-tested against seeded plans in tests/test_plans.py.
 
 (Global-sort detection is NOT implemented — Sort nodes also appear
 inside windows and fused top-ks, so a naive check would be all false
@@ -114,6 +116,75 @@ def global_windows(plan: str) -> list[tuple[str, bool]]:
     return out
 
 
+# Documented bounded post-aggregation global windows: query name ->
+# (max count, why the window's input is bounded). The agg-below
+# heuristic proves the window runs over GROUPED input; this registry
+# is the human half of the whitelist — each entry argues WHY that
+# grouped input is small (the r10 verdict's auditability ask). A
+# post-agg global window in a query missing here, or beyond its
+# documented count, FLAGS: growth stays explained or fails the lint.
+BOUNDED_GLOBAL_WINDOWS: dict[str, tuple[int, str]] = {
+    "corpus_zipf_slope": (
+        1,
+        "rank over the VOCAB-grain count aggregate; the ln-ln fit then "
+        "keeps rank <= 1000 rows",
+    ),
+    "drift_ks_purchase_values": (
+        1,
+        "cumulative offsets over <= n_shards (32) per-shard totals",
+    ),
+    "pack_sequences_2048": (
+        1,
+        "cumulative offsets over <= 16 per-shard token totals",
+    ),
+    "ratio_to_report": (
+        1,
+        "share-of-total over the grouped aggregate (category "
+        "cardinality rows, O(10))",
+    ),
+    "search_hybrid_rrf": (
+        2,
+        "two rank windows, each over one retrieval leg's k <= 50 "
+        "post-aggregate rows before RRF fusion",
+    ),
+    "search_hybrid_rrf_served": (
+        2,
+        "same two k <= 50 rank windows as search_hybrid_rrf, legs "
+        "answered from pruned indexes",
+    ),
+    "shuffle_deterministic_order": (
+        1,
+        "cumulative offsets over <= 16 per-shard totals",
+    ),
+    "sketch_quantile_sampled": (
+        1,
+        "cumulative offsets over <= 32 per-shard sample counts",
+    ),
+    "stream_sketch_quantiles": (
+        1,
+        "cumulative offsets over <= 32 per-shard sample counts "
+        "(drained-store twin of sketch_quantile_sampled)",
+    ),
+    "window_rank_dense": (
+        1,
+        "rank over the 25-nation grouped count aggregate",
+    ),
+}
+
+
+def undocumented_window_flags(name: str, n_found: int) -> list[str]:
+    """Flags for post-agg global windows beyond the documented bound
+    registry — pure so the seeded-regression test can drive it."""
+    allowed, _ = BOUNDED_GLOBAL_WINDOWS.get(name, (0, ""))
+    if n_found > allowed:
+        return [
+            f"undocumented post-agg global window(s): {n_found} found, "
+            f"{allowed} documented — justify the bound in "
+            "BOUNDED_GLOBAL_WINDOWS or repartition the window"
+        ]
+    return []
+
+
 def lint_plan(plan: str) -> list[str]:
     """Anti-pattern findings for one physical plan string."""
     found = []
@@ -201,10 +272,18 @@ def main() -> None:
         sigs[name] = plan_signature(plan)
         for f in lint_plan(plan):
             flags.setdefault(name, []).append(f)
+        n_bounded = 0
         for line, agg_below in global_windows(plan):
             if agg_below:
-                whitelisted += 1
-                print(f"INFO {name}: post-aggregation global window (bounded): {line[:100]}")
+                n_bounded += 1
+                why = BOUNDED_GLOBAL_WINDOWS.get(name, (0, "UNDOCUMENTED"))[1]
+                print(
+                    f"INFO {name}: post-aggregation global window"
+                    f" (bounded: {why}): {line[:100]}"
+                )
+        whitelisted += n_bounded
+        for f in undocumented_window_flags(name, n_bounded):
+            flags.setdefault(name, []).append(f)
     if write_baseline:
         with open(BASELINE_PATH, "w") as fh:
             json.dump(sigs, fh, indent=1, sort_keys=True)
