@@ -84,6 +84,10 @@ PIPELINE = [
     "text_cross_entropy_lm",
     "drift_kl_event_types",
     "search_hybrid_rrf",
+    # round 11: ranked serving off the precomputed-idf index (amortized
+    # builder below) and the single-scan entropy/perplexity filter
+    "text_bm25_served",
+    "corpus_filter_entropy",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.
@@ -201,6 +205,32 @@ def _search_served_builder():
             state["path"] = tempfile.mkdtemp(prefix="bosql_bench_idx_") + "/index"
             materialize_inverted_index(docs, state["path"])
         return search_served(spark, state["path"], ["dup", "merge", "vector"])
+
+    return build
+
+
+def _bm25_served_builder():
+    """Amortized builder for RANKED text serving: the term-bucket index
+    (postings + stats + the round-11 precomputed per-term idf table)
+    is materialized once at warm-up; timed runs measure the pure
+    serve — partition-pruned postings + idf reads into the shared
+    BM25 fold, no per-query ln chain, never the corpus."""
+    import tempfile
+
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators.search import (
+        bm25_served,
+        materialize_inverted_index,
+    )
+
+    state: dict = {}
+
+    def build(spark, sf_dir):
+        if "path" not in state:
+            docs = load_tables(spark, sf_dir)["documents"]
+            state["path"] = tempfile.mkdtemp(prefix="bosql_bench_bm25_") + "/index"
+            materialize_inverted_index(docs, state["path"])
+        return bm25_served(spark, state["path"], ["dup", "merge", "vector"], k=20)
 
     return build
 
@@ -385,6 +415,8 @@ def main() -> None:
         builders["similarity_pq_trained256"] = _pq256_served_builder()
     if "text_search_served" in builders:
         builders["text_search_served"] = _search_served_builder()
+    if "text_bm25_served" in builders:
+        builders["text_bm25_served"] = _bm25_served_builder()
 
     spark = get_session(app_name="bo-sql-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

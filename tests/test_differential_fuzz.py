@@ -1692,7 +1692,7 @@ def test_entropy_and_kl_folds_cross_engine(ctx, docs, counts):
             ), pd0 AS (
                 SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                        CAST(COUNT(*) AS BIGINT) AS n_unique_terms,
-                       CAST(SUM(c * _lnc) AS BIGINT) AS _sum_cln
+                       SUM(CAST(c AS HUGEINT) * _lnc) AS _sum_cln
                 FROM tf GROUP BY doc_id
             ), pd AS ({pd_ln})
             SELECT doc_id, n_tokens, n_unique_terms,
@@ -1746,7 +1746,8 @@ def test_entropy_and_kl_folds_cross_engine(ctx, docs, counts):
                 FROM fz_k, tot
             ), c3 AS ({ln_chain})
             SELECT category, n_a, n_b,
-                   CAST(((n_a + 1) * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb))
+                   CAST((CAST(n_a + 1 AS HUGEINT)
+                         * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb))
                         // (_ta + _k) AS BIGINT)
             FROM c3
             """
