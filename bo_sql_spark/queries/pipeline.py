@@ -3430,7 +3430,6 @@ def corpus_filter_entropy_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross_entropy_served,
         doc_term_freq,
         lm_smoothed_model,
-        token_entropy_from_tf,
     )
 
     docs = _t(spark, sf_dir)["documents"]
@@ -3445,6 +3444,23 @@ def corpus_filter_entropy_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(cross_entropy_micros) DIV COUNT(*) AS BIGINT)"
         ).alias("mean_ce")
     )
+    return _lm_filter_decisions(arr_tf, terms, total, mean).orderBy("doc_id")
+
+
+def _lm_filter_decisions(
+    arr_tf: DataFrame, terms: DataFrame, total: DataFrame, mean: DataFrame
+) -> DataFrame:
+    """The arrival-side decision fold against a FROZEN model — shared
+    by the one-shot train->serve query and the streaming server's
+    per-microbatch decide: per-doc entropy (doc-local), CE via one
+    term-keyed join against the model vocab, the mean-relative reason
+    rule. ``mean`` is a 1-row (mean_ce) table; ``total`` carries
+    ``_lnNV``."""
+    from bo_sql_spark.operators.text import (
+        cross_entropy_served,
+        token_entropy_from_tf,
+    )
+
     ent = token_entropy_from_tf(arr_tf).select(
         "doc_id", "n_tokens", "norm_entropy_permille"
     )
@@ -3463,8 +3479,89 @@ def corpus_filter_entropy_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({reasons}) = ''").alias("keep"),
             F.expr(reasons).alias("drop_reasons"),
         )
-        .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_filter_entropy_served",
+    oracle=_entropy_filter_served_oracle(),
+    doc="FULLY-SERVED streaming corpus filter — the production "
+    "arrival-time decision the other two family members build toward: "
+    "TRAIN freezes the Laplace-smoothed LM to a model STORE (vocab "
+    "table + 1-row stats carrying ln(N+V) and the frozen mean-CE "
+    "threshold), then documents stream in and each microbatch is "
+    "DECIDED AT ARRIVAL — per-doc entropy is doc-local, CE is one "
+    "term-keyed join against the frozen vocab store, keep/drop rows "
+    "append to a decisions store; no drain-time fold, no state beyond "
+    "the frozen model. Decisions are pure per-doc functions of the "
+    "model, so the drained decision log replays the one-shot "
+    "train->serve oracle verbatim under ANY batching. Completes the "
+    "filter triangle: batch (corpus_filter_entropy), train->serve "
+    "one-shot (corpus_filter_entropy_served), streaming-at-arrival "
+    "(this). At 100 TB: the model store is vocabulary grain, arrivals "
+    "cost O(batch) each, and re-training is a periodic batch job that "
+    "atomically swaps the model store (snapshot_write_cas's job).",
+    tags=("pipeline", "text", "filter", "stats", "streaming"),
+)
+def stream_filter_entropy_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators.text import (
+        cross_entropy_served,
+        doc_term_freq,
+        lm_smoothed_model,
+    )
+
+    docs = _t(spark, sf_dir)["documents"]
+    root = tempfile.mkdtemp(prefix="bosql_lmserve_stream_")
+    # TRAIN: freeze model + threshold to the store, once
+    model_tf = doc_term_freq(
+        docs.filter(F.expr("doc_id % 10 != 0"))
+    ).localCheckpoint(eager=False)
+    terms, total = lm_smoothed_model(model_tf)
+    terms = terms.localCheckpoint(eager=False)
+    total = total.localCheckpoint(eager=False)
+    mean = cross_entropy_served(model_tf, terms, total).agg(
+        F.expr(
+            "CAST(SUM(cross_entropy_micros) DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_ce")
+    )
+    terms.write.mode("overwrite").parquet(root + "/model_terms")
+    total.select("_lnNV").crossJoin(mean).write.mode("overwrite").parquet(
+        root + "/model_stats"
+    )
+    # SERVE: every microbatch decides its arrivals against the store
+    decisions = root + "/decisions"
+
+    def decide(batch_df, batch_id):
+        arr_tf = doc_term_freq(
+            batch_df.filter(F.expr("doc_id % 10 = 0"))
+        ).localCheckpoint(eager=False)
+        mterms = spark.read.parquet(root + "/model_terms")
+        stats = spark.read.parquet(root + "/model_stats")
+        _lm_filter_decisions(
+            arr_tf,
+            mterms,
+            stats.select("_lnNV"),
+            stats.select("mean_ce"),
+        ).write.mode("append").parquet(decisions)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(decide)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions).orderBy("doc_id")
 
 
 def _zipf_oracle() -> str:
