@@ -3564,6 +3564,160 @@ def stream_filter_entropy_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(decisions).orderBy("doc_id")
 
 
+def _lm_swap_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    reasons = _ENTROPY_REASONS_SQL
+
+    def block(v: int, mpred: str, apred: str) -> str:
+        gf_ln = duckdb_ln_select(f"SELECT * FROM gf0_{v}", "gf + 1", "_lngf1")
+        tot_ln = duckdb_ln_select(
+            f"SELECT CAST(SUM(gf) AS BIGINT) AS n_corpus,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_vocab FROM gf0_{v}",
+            "n_corpus + n_vocab",
+            "_lnNV",
+        )
+        tf_ln = duckdb_ln_select(f"SELECT * FROM tfa_{v}", "c", "_lnc")
+        pd_ln = duckdb_ln_select(f"SELECT * FROM pd0_{v}", "n_tokens", "_lnn")
+        return f""", tfm_{v} AS (
+        SELECT * FROM tfall WHERE {mpred}
+    ), tfa_{v} AS (
+        SELECT * FROM tfall WHERE {apred}
+    ), gf0_{v} AS (
+        SELECT term, CAST(SUM(c) AS BIGINT) AS gf FROM tfm_{v} GROUP BY term
+    ), gfl_{v} AS ({gf_ln}
+    ), tot_{v} AS ({tot_ln}
+    ), mpd_{v} AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl,
+               SUM(CAST(c AS HUGEINT) * _lngf1) AS _s
+        FROM tfm_{v} JOIN gfl_{v} USING (term) GROUP BY doc_id
+    ), m_{v} AS (
+        SELECT CAST(SUM(CAST(_lnNV - _s // dl AS BIGINT)) // COUNT(*)
+                    AS BIGINT) AS mean_ce
+        FROM mpd_{v}, tot_{v}
+    ), apd_{v} AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(CAST(c AS HUGEINT) * COALESCE(_lngf1, 0)) AS _s
+        FROM tfa_{v} LEFT JOIN gfl_{v} USING (term) GROUP BY doc_id
+    ), ce_{v} AS (
+        SELECT doc_id, n_tokens,
+               CAST(_lnNV - _s // n_tokens AS BIGINT) AS cross_entropy_micros
+        FROM apd_{v}, tot_{v}
+    ), tfl_{v} AS ({tf_ln}
+    ), pd0_{v} AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(CAST(c AS HUGEINT) * _lnc) AS _sum_cln
+        FROM tfl_{v} GROUP BY doc_id
+    ), pd_{v} AS ({pd_ln}
+    ), ent_{v} AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN n_tokens <= 1 THEN 0
+                    ELSE ((_lnn - _sum_cln // n_tokens) * 1000) // _lnn END
+                    AS BIGINT) AS norm_entropy_permille
+        FROM pd_{v}
+    ), dec_{v} AS (
+        SELECT ent_{v}.doc_id, ent_{v}.n_tokens, ent_{v}.norm_entropy_permille,
+               ce_{v}.cross_entropy_micros,
+               ({reasons}) = '' AS keep,
+               {reasons} AS drop_reasons,
+               CAST({v} AS BIGINT) AS model_version
+        FROM ent_{v} JOIN ce_{v} USING (doc_id), m_{v}
+    )"""
+
+    b1 = block(
+        1,
+        "doc_id % 10 IN (1, 2, 3, 4)",
+        "doc_id % 10 = 0 AND (doc_id // 10) % 2 = 0",
+    )
+    b2 = block(
+        2,
+        "doc_id % 10 <> 0",
+        "doc_id % 10 = 0 AND (doc_id // 10) % 2 = 1",
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tfall AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        WHERE term <> '' GROUP BY doc_id, term
+    ){b1}{b2}
+    SELECT * FROM dec_1 UNION ALL SELECT * FROM dec_2 ORDER BY doc_id
+    """
+
+
+@register(
+    "store_lm_model_swap",
+    oracle=_lm_swap_oracle(),
+    doc="Versioned model lifecycle — the LM filter closed through the "
+    "CAS snapshot store: TRAIN v1 on the early corpus slice "
+    "(doc_id%10 in 1..4) and PUBLISH it as ONE snapshot table (the "
+    "vocab rows with ln(N+V) and the frozen mean-CE denormalized "
+    "onto them — a model is just a table, so the store's atomic "
+    "commit, time travel, and multi-writer arbitration all apply "
+    "verbatim); serve the first arrival wave against v1; RE-TRAIN on "
+    "the full model corpus and snapshot_write_cas the v2 swap — old "
+    "readers keep v1 (old-until-published), new serves read v2; "
+    "serve the second wave. Every decision row carries "
+    "model_version, the provenance a production filter needs for "
+    "backfills ('which model dropped this doc?'). Fully "
+    "deterministic: versions are 1 and 2 on a fresh store, waves "
+    "split by (doc_id DIV 10) parity, so the oracle replays both "
+    "models, both waves, and every reason string. At 100 TB: "
+    "re-training is the periodic batch job; the swap is one CAS "
+    "commit; decisions are append-only with the version column.",
+    tags=("pipeline", "text", "filter", "store", "stats"),
+)
+def store_lm_model_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.operators.text import (
+        cross_entropy_served,
+        doc_term_freq,
+        lm_smoothed_model,
+    )
+    from bo_sql_spark.sinks import snapshot_read, snapshot_write_cas
+
+    docs = _t(spark, sf_dir)["documents"]
+    root = tempfile.mkdtemp(prefix="bosql_lm_swap_") + "/model"
+
+    def train(model_pred: str) -> DataFrame:
+        tf = doc_term_freq(docs.filter(F.expr(model_pred))).localCheckpoint(
+            eager=False
+        )
+        terms, total = lm_smoothed_model(tf)
+        terms = terms.localCheckpoint(eager=False)
+        total = total.localCheckpoint(eager=False)
+        mean = cross_entropy_served(tf, terms, total).agg(
+            F.expr(
+                "CAST(SUM(cross_entropy_micros) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_ce")
+        )
+        return terms.crossJoin(F.broadcast(total.select("_lnNV"))).crossJoin(
+            F.broadcast(mean)
+        )
+
+    def serve(version: int, arr_pred: str) -> DataFrame:
+        model = snapshot_read(spark, root, version=version).localCheckpoint(
+            eager=False
+        )
+        arr_tf = doc_term_freq(docs.filter(F.expr(arr_pred))).localCheckpoint(
+            eager=False
+        )
+        return _lm_filter_decisions(
+            arr_tf,
+            model.select("term", "_lngf1"),
+            model.select("_lnNV").limit(1),
+            model.select("mean_ce").limit(1),
+        ).withColumn("model_version", F.lit(version).cast("long"))
+
+    v1 = snapshot_write_cas(spark, train("doc_id % 10 IN (1, 2, 3, 4)"), root)
+    d1 = serve(v1, "doc_id % 10 = 0 AND (doc_id DIV 10) % 2 = 0")
+    v2 = snapshot_write_cas(spark, train("doc_id % 10 != 0"), root)
+    d2 = serve(v2, "doc_id % 10 = 0 AND (doc_id DIV 10) % 2 = 1")
+    return d1.unionByName(d2).orderBy("doc_id")
+
+
 def _zipf_oracle() -> str:
     from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
 
