@@ -1755,3 +1755,105 @@ def test_entropy_and_kl_folds_cross_engine(ctx, docs, counts):
     )
     con.unregister("fz_k")
     assert got_kl == want_kl
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    model_docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=20),
+        min_size=1,
+        max_size=10,
+    ),
+    arr_docs=st.lists(
+        # arrivals draw from a WIDER alphabet (t0..t9) so unseen terms
+        # (the COALESCE(ln(gf+1), 0) leg) occur routinely
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=20),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_lm_served_filter_cross_engine(ctx, model_docs, arr_docs):
+    """Family 19 — the train->serve LM fold on ARBITRARY corpora:
+    freeze the Laplace-smoothed model from random model docs, score
+    random arrival docs (wider alphabet => unseen terms exercise the
+    LEFT JOIN + COALESCE smoothing leg; single-token docs exercise the
+    dl=1 division edge) — per-doc served CE must agree with a DuckDB
+    replay value-for-value."""
+    import pyarrow as pa
+
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+    from bo_sql_spark.operators.text import (
+        cross_entropy_served,
+        doc_term_freq,
+        lm_smoothed_model,
+    )
+
+    spark, con = ctx
+    mtexts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(model_docs)]
+    atexts = [
+        (1000 + i, " ".join(f"t{t}" for t in toks))
+        for i, toks in enumerate(arr_docs)
+    ]
+    mdf = spark.createDataFrame(mtexts, "doc_id long, text string")
+    adf = spark.createDataFrame(atexts, "doc_id long, text string")
+    terms, total = lm_smoothed_model(doc_term_freq(mdf))
+    got = sorted(
+        tuple(r)
+        for r in cross_entropy_served(doc_term_freq(adf), terms, total).collect()
+    )
+    con.register(
+        "fz_m",
+        pa.table(
+            {"doc_id": [i for i, _ in mtexts], "text": [t for _, t in mtexts]}
+        ),
+    )
+    con.register(
+        "fz_a",
+        pa.table(
+            {"doc_id": [i for i, _ in atexts], "text": [t for _, t in atexts]}
+        ),
+    )
+    gf_ln = duckdb_ln_select("SELECT * FROM gf0", "gf + 1", "_lngf1")
+    tot_ln = duckdb_ln_select(
+        "SELECT CAST(SUM(gf) AS BIGINT) AS n_corpus,"
+        " CAST(COUNT(*) AS BIGINT) AS n_vocab FROM gf0",
+        "n_corpus + n_vocab",
+        "_lnNV",
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH mt AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fz_m
+            ), tfm AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM mt
+                GROUP BY doc_id, term
+            ), gf0 AS (
+                SELECT term, CAST(SUM(c) AS BIGINT) AS gf FROM tfm GROUP BY term
+            ), gfl AS ({gf_ln}
+            ), tot AS ({tot_ln}
+            ), at AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fz_a
+            ), tfa AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM at
+                GROUP BY doc_id, term
+            ), apd AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       SUM(CAST(c AS HUGEINT) * COALESCE(_lngf1, 0)) AS _s
+                FROM tfa LEFT JOIN gfl USING (term) GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(_lnNV - _s // n_tokens AS BIGINT)
+            FROM apd, tot
+            """
+        ).fetchall()
+    )
+    con.unregister("fz_m")
+    con.unregister("fz_a")
+    assert got == want
