@@ -287,6 +287,33 @@ def test_orc_partition_pruning(spark, sf_dir):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200], plan
 
 
+def test_bm25_served_prunes_both_stores(spark, sf_dir, tmp_path):
+    """Ranked serving reads exactly the query terms' buckets from BOTH
+    stores: the postings scan AND the precomputed-idf terms table must
+    each carry a tb PartitionFilter (two pruned parquet scans), and no
+    corpus scan or ln-chain projection appears anywhere in the plan."""
+    from bo_sql_spark.catalog import load_tables
+    from bo_sql_spark.operators.search import (
+        bm25_served,
+        materialize_inverted_index,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = str(tmp_path / "bm25planidx")
+    materialize_inverted_index(docs, path, n_term_buckets=16)
+    df = bm25_served(spark, path, ["dup", "vector"], k=10, n_term_buckets=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        seg
+        for seg in plan.split("PartitionFilters")[1:]
+        if "tb" in seg[:200]
+    ]
+    assert len(pruned) >= 2, plan  # postings scan + terms-table scan
+    assert "_ln_n" not in plan and "_ln_df" not in plan, plan
+    if "ReadSchema" in plan:  # no corpus text column reaches any scan
+        assert "text" not in plan.split("ReadSchema")[1][:200], plan
+
+
 def test_sq8_batch_served_one_plan_no_serial(spark, sf_dir):
     """Batch SQ8 serving: both queries answered by one plan with
     broadcast probes onto the code store and a windowed top-k — no
