@@ -209,6 +209,55 @@ def entropy_from_counts(counts: DataFrame, count_col: str = "n") -> DataFrame:
     )
 
 
+def gini_from_counts(counts: DataFrame, count_col: str = "n") -> DataFrame:
+    """Gini concentration of a categorical MIX from its count table —
+    1 row (n_total, n_categories, gini_micros), exact in micros via
+    the sorted-rank identity (counts c_(1) <= ... <= c_(K) ascending):
+
+        G = (2 * sum_i i * c_(i) - (K + 1) * N) DIV (K * N)
+
+    0 = perfectly uniform, rising toward 1 - 1/K as one category takes
+    everything (K = 1 is 0 by definition). The Lorenz-curve
+    counterpart of entropy_from_counts' uniformity index — the pair
+    disagree exactly where it matters: a long tail of tiny sources
+    barely moves H (each contributes ~0 mass) but stretches the
+    Lorenz curve, so Gini flags tail-starvation that norm-entropy
+    misses. Counts stay the mergeable summary (same store as the
+    chi-square/KL/entropy monitors). S1 is invariant under permuting
+    TIED counts (equal c across a rank block sums identically), so
+    the rank window needs no tie-break for value-determinism.
+    Products run DECIMAL(38)-widened (2 * S1 * 1e6 wraps int64 once
+    K * N ~ 1e13); the quotient is <= 1e6 micros so the widened DIV's
+    long result is exact. Plan at scale: one counting aggregate
+    upstream; the rank window sorts K POST-AGGREGATE rows (never
+    events) — the documented bounded-global-window shape."""
+    from pyspark.sql import Window
+
+    pos = counts.filter(F.col(count_col) >= 1).select(
+        F.col(count_col).cast("long").alias("_c")
+    )
+    ranked = pos.withColumn(
+        "_i", F.row_number().over(Window.orderBy("_c")).cast("long")
+    )
+    agg = ranked.agg(
+        F.sum("_c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.expr("CAST(_i AS DECIMAL(38,0)) * _c")).alias("_s1"),
+    )
+    return agg.select(
+        F.expr("coalesce(n_total, CAST(0 AS BIGINT))").alias("n_total"),
+        "n_categories",
+        F.expr(
+            "CASE WHEN coalesce(n_total, 0) = 0 THEN 0"
+            " ELSE ((2 * _s1 - CAST(n_categories + 1 AS DECIMAL(38,0))"
+            " * n_total) * 1000000)"
+            " DIV (CAST(n_categories AS DECIMAL(38,0)) * n_total) END"
+        )
+        .cast("long")
+        .alias("gini_micros"),
+    )
+
+
 def robust_group_outliers(
     df: DataFrame, value_col: str, group_col: str
 ) -> DataFrame:

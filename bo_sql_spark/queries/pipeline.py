@@ -2451,6 +2451,81 @@ def stream_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_from_counts(counts)
 
 
+_GINI_ORACLE = """
+    WITH counts AS (
+        SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    ), pos AS (
+        SELECT n AS _c FROM counts WHERE n >= 1
+    ), ranked AS (
+        SELECT _c, CAST(row_number() OVER (ORDER BY _c) AS BIGINT) AS _i
+        FROM pos
+    ), agg AS (
+        SELECT CAST(SUM(_c) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_categories,
+               SUM(CAST(_i AS HUGEINT) * _c) AS _s1
+        FROM ranked
+    )
+    SELECT COALESCE(n_total, 0) AS n_total, n_categories,
+           CAST(CASE WHEN COALESCE(n_total, 0) = 0 THEN 0
+                ELSE ((2 * _s1 - CAST(n_categories + 1 AS HUGEINT) * n_total)
+                      * 1000000)
+                     // (CAST(n_categories AS HUGEINT) * n_total) END
+                AS BIGINT) AS gini_micros
+    FROM agg
+    """
+
+
+@register(
+    "events_gini_mix",
+    oracle=_GINI_ORACLE,
+    doc="Gini concentration of the event-type mix, exact in micros "
+    "(operators/drift.py:gini_from_counts): the Lorenz-curve "
+    "companion to events_entropy_mix's uniformity index — a long "
+    "tail of starved sources barely moves normalized entropy (each "
+    "contributes ~zero mass) but stretches the Lorenz curve, so the "
+    "monitor pair separates 'one source flooding' (both alarm) from "
+    "'tail starving' (Gini alarms first). Sorted-rank identity keeps "
+    "it window-light and integer-exact: S1 is invariant under "
+    "permuting tied counts, so no tie-break is needed for "
+    "value-determinism. Plan at scale: one counting aggregate; the "
+    "rank window sorts K post-aggregate category rows, never events "
+    "(documented bounded global window).",
+    tags=("pipeline", "stats", "monitoring"),
+)
+def events_gini_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import gini_from_counts
+
+    ev = _t(spark, sf_dir)["events"]
+    counts = ev.groupBy(F.col("event_type").alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return gini_from_counts(counts)
+
+
+@register(
+    "stream_gini_mix",
+    oracle=_GINI_ORACLE,
+    doc="STREAMING Gini concentration monitor: drains the SAME "
+    "mergeable (category, n_a, n_b) counts store the chi-square/KL/"
+    "entropy streaming monitors append to (one store shape serves "
+    "every count-based statistic) and folds through the shared "
+    "gini_from_counts => replays events_gini_mix's oracle VERBATIM. "
+    "With entropy and Gini over one drained store, the composition "
+    "dashboard gets both uniformity numbers from a single O(categories)"
+    " state, no rescans.",
+    tags=("pipeline", "streaming", "stats", "monitoring"),
+)
+def stream_gini_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import gini_from_counts
+
+    store = _ingest_drift_counts_stream(spark, sf_dir)
+    counts = _merged_drift_counts(spark, store).select(
+        "category", F.expr("n_a + n_b").cast("long").alias("n")
+    )
+    return gini_from_counts(counts)
+
+
 @register(
     "graph_ppr_seeded",
     oracle="""

@@ -2611,6 +2611,57 @@ def test_bm25_fold_ansi_overflow_guard_linear_idf(spark):
     assert rows[0]["bm25_micros"] == (idf * tfpart) // 1_000_000
 
 
+def test_gini_from_counts_uniform_skew_and_invariance(spark):
+    """Gini fold: uniform mix => exactly 0; skewed mix matches the
+    float Lorenz formula within a micro; value is invariant under row
+    order and count-tie permutations; single category => 0; zero
+    counts ignored; and Gini vs norm-entropy separate on a starved
+    tail (the monitor-pair rationale)."""
+    from bo_sql_spark.operators.drift import entropy_from_counts, gini_from_counts
+
+    uni = spark.createDataFrame(
+        [(f"c{i}", 7) for i in range(5)], "category string, n long"
+    )
+    r = gini_from_counts(uni).first()
+    assert (r["n_total"], r["n_categories"], r["gini_micros"]) == (35, 5, 0)
+
+    skew = [("a", 90), ("b", 9), ("c", 1)]
+    rs = gini_from_counts(
+        spark.createDataFrame(skew, "category string, n long")
+    ).first()
+    cs = sorted(c for _, c in skew)
+    K, N = len(cs), sum(cs)
+    want = (2 * sum((i + 1) * c for i, c in enumerate(cs)) - (K + 1) * N) / (K * N)
+    assert abs(rs["gini_micros"] / 1e6 - want) <= 1e-6
+    # order/tie invariance: shuffled rows + tied counts
+    tied = [("x", 5), ("y", 5), ("z", 20), ("w", 5)]
+    g1 = gini_from_counts(
+        spark.createDataFrame(tied, "category string, n long")
+    ).first()["gini_micros"]
+    g2 = gini_from_counts(
+        spark.createDataFrame(list(reversed(tied)), "category string, n long")
+        .repartition(3)
+    ).first()["gini_micros"]
+    assert g1 == g2 > 0
+    one = gini_from_counts(
+        spark.createDataFrame([("only", 9)], "category string, n long")
+    ).first()
+    assert one["gini_micros"] == 0
+    withzero = gini_from_counts(
+        spark.createDataFrame(
+            [("a", 5), ("b", 0), ("c", 5)], "category string, n long"
+        )
+    ).first()
+    assert withzero["n_categories"] == 2 and withzero["gini_micros"] == 0
+    # starved tail: one big + many tiny sources — norm-entropy stays
+    # high (tiny sources carry ~no mass) while Gini goes large
+    tail = [("big", 10_000)] + [(f"t{i}", 10) for i in range(20)]
+    tdf = spark.createDataFrame(tail, "category string, n long")
+    ent = entropy_from_counts(tdf).first()["norm_entropy_permille"]
+    gin = gini_from_counts(tdf).first()["gini_micros"]
+    assert gin > 900_000 and ent < 400, (gin, ent)
+
+
 def test_entropy_from_counts_uniform_and_degenerate(spark):
     """Mix entropy fold: uniform mix => H = ln K exactly and norm =
     1000; single category => 0/0; skewed mix sits strictly between

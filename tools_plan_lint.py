@@ -133,6 +133,14 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, tuple[int, str]] = {
         1,
         "cumulative offsets over <= n_shards (32) per-shard totals",
     ),
+    "events_gini_mix": (
+        1,
+        "rank over the category-count aggregate (K = #event types)",
+    ),
+    "stream_gini_mix": (
+        1,
+        "rank over the drained category-count store (K = #event types)",
+    ),
     "pack_sequences_2048": (
         1,
         "cumulative offsets over <= 16 per-shard token totals",
