@@ -737,6 +737,54 @@ def semantic_dedup(
     )
 
 
+def semantic_pair_cosines(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All within-cell (higher-id, lower-id) pairs with their exact
+    cosine — the CALIBRATION surface under semantic_dedup: before
+    committing to a threshold over 100 TB, the operating question is
+    'how much drops at 0.95 vs 0.9?', and the answer lives in exactly
+    the candidate-pair population the dedup actually scores (within
+    cells — the cross-cell pairs are unreachable by construction, so
+    sweeping them would calibrate against pairs the operator can
+    never drop). Same cell-keyed self-join shape and the same
+    norm-once cosine expression as _pairwise_dup_ids, so a sweep over
+    this table IS the dedup's decision boundary moved along the grid.
+    Emits (ida, idb, cos) with ida > idb."""
+    from bo_sql_spark.functions import dot
+    from bo_sql_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    withn = _with_norms(assigned, id_col, vec_col)
+    hi = withn.select(
+        "cell",
+        F.col(id_col).alias("ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    lo = withn.select(
+        "cell",
+        F.col(id_col).alias("idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    return (
+        hi.join(lo, "cell")
+        .filter(F.col("ida") > F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cos"),
+        )
+    )
+
+
 def semantic_dedup_incremental(
     corpus_assigned: DataFrame,
     batch: DataFrame,

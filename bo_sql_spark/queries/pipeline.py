@@ -6527,6 +6527,100 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_threshold_sweep",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), aug AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(v, (x, i) ->
+                   x * (CAST(1 AS DOUBLE)
+                        + CAST(0.0002 AS DOUBLE) * ((i - 1 + vec_id) % 5)))
+        FROM base WHERE vec_id % 7 = 0
+    ), cents AS (
+        SELECT vec_id AS c_id, v AS cv FROM aug WHERE vec_id < 16
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM aug CROSS JOIN cents GROUP BY vec_id
+    ), pairs AS (
+        SELECT a.vec_id AS ida,
+               list_dot_product(va.v, vb.v)
+               / (sqrt(list_dot_product(va.v, va.v))
+                  * sqrt(list_dot_product(vb.v, vb.v))) AS cos
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id > b.vec_id
+        JOIN aug va ON va.vec_id = a.vec_id
+        JOIN aug vb ON vb.vec_id = b.vec_id
+    ), grid AS (
+        SELECT unnest([300, 350, 400, 450, 500, 950, 990]) AS threshold_permille
+    )
+    SELECT CAST(threshold_permille AS BIGINT) AS threshold_permille,
+           CAST(COUNT(*) FILTER (WHERE cos >= threshold_permille / 1000.0)
+                AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN cos >= threshold_permille / 1000.0
+                                    THEN ida END) AS BIGINT) AS n_dropped_docs
+    FROM grid, pairs GROUP BY threshold_permille ORDER BY threshold_permille
+    """,
+    doc="Threshold CALIBRATION sweep for SemDeDup "
+    "(operators/dedup.py:semantic_pair_cosines): before committing a "
+    "cosine cutoff over 100 TB, sweep a threshold grid over exactly "
+    "the candidate-pair population the dedup scores — the within-cell "
+    "pairs (cross-cell pairs are unreachable by construction, so "
+    "including them would calibrate against pairs the operator can "
+    "never drop). Emits per grid point (n_dup_pairs, n_dropped_docs): "
+    "the drop-rate curve an operator reads before picking epsilon. "
+    "Pairs are computed ONCE (cell-keyed self-join, the dedup's own "
+    "shape) and the grid is a broadcast 7-row table, so the sweep "
+    "costs one pairwise pass regardless of grid size. On this corpus "
+    "the curve separates cleanly: natural within-cell cosines top out "
+    "~0.49 (the low grid points count them) while the planted "
+    "near-copies (same closed form as dedup_semantic) sit above "
+    "0.99 — the wide flat gap IS the evidence 0.95 is a safe cutoff.",
+    tags=("pipeline", "dedup", "similarity", "monitoring"),
+)
+def dedup_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.0002)
+                * ((i + F.col("vec_id")) % 5).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionAll(planted)
+    cents = aug.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    pairs = D.semantic_pair_cosines(aug, cents)
+    grid = spark.createDataFrame(
+        [(t,) for t in (300, 350, 400, 450, 500, 950, 990)],
+        "threshold_permille long",
+    )
+    hit = F.col("cos") >= F.col("threshold_permille") / 1000.0
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("threshold_permille")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_dup_pairs"),
+            F.count_distinct(F.when(hit, F.col("ida")))
+            .cast("long")
+            .alias("n_dropped_docs"),
+        )
+        .orderBy("threshold_permille")
+    )
+
+
+@register(
     "similarity_sq8_topk",
     oracle="""
     WITH vecs AS (
