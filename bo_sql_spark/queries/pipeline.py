@@ -2451,6 +2451,72 @@ def stream_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_from_counts(counts)
 
 
+@register(
+    "drift_emd_quantity",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_b
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS na, CAST(SUM(n_b) AS BIGINT) AS nb
+        FROM counts
+    ), cum AS (
+        SELECT x,
+               SUM(n_a) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ca,
+               SUM(n_b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cb,
+               COALESCE(LEAD(x) OVER (ORDER BY x) - x, 0) AS gap
+        FROM counts
+    )
+    SELECT na AS n_a, nb AS n_b, CAST(COUNT(*) AS BIGINT) AS support_size,
+           CAST(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE
+                (SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                     * gap) * 1000000)
+                // (CAST(na AS HUGEINT) * nb) END AS BIGINT) AS emd_micros
+    FROM cum, tot GROUP BY na, nb
+    """,
+    doc="Two-sample EARTH-MOVER (Wasserstein-1) drift of the lineitem "
+    "quantity distribution, returned vs kept "
+    "(operators/drift.py:emd_from_counts) — the L1 companion to "
+    "drift_ks_purchase_values' sup-norm: KS sees the single worst CDF "
+    "gap, EMD integrates all of it, so a shift smeared across the "
+    "whole range (every value one tick heavier) that barely moves KS "
+    "accumulates here, and a narrow spike does the opposite — the "
+    "pair brackets the drift geometry. Integer-exact via the "
+    "cum-difference identity with ONE exact division "
+    "(DECIMAL(38)/HUGEINT-widened numerator, quotient <= range*1e6). "
+    "Plan at scale: value-grain counts are the mergeable summary; the "
+    "cum window sorts the ORDINAL SUPPORT (quantity domain, ~50 rows "
+    "post-aggregate — domain-bounded, never corpus-bounded; "
+    "continuous columns bucket first, the standard EMD-monitor "
+    "practice).",
+    tags=("pipeline", "stats", "monitoring"),
+)
+def drift_emd_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import emd_from_counts
+
+    li = _t(spark, sf_dir)["lineitem"]
+    counts = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("_x"),
+            (F.col("l_returnflag") == "R").alias("_b"),
+        )
+        .groupBy("_x")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    return emd_from_counts(counts)
+
+
 _GINI_ORACLE = """
     WITH counts AS (
         SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n
@@ -3579,6 +3645,15 @@ def _lm_filter_decisions(
     tags=("pipeline", "text", "filter", "stats", "streaming"),
 )
 def stream_filter_entropy_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decisions = _stream_lm_decisions_store(spark, sf_dir)
+    return spark.read.parquet(decisions).orderBy("doc_id")
+
+
+def _stream_lm_decisions_store(spark: SparkSession, sf_dir: str) -> str:
+    """Shared train + decide-at-arrival leg of stream_filter_entropy_
+    served and its compaction twin: freezes the model store, streams
+    the corpus, appends per-microbatch decisions; returns the
+    decisions store path."""
     import os
     import tempfile
 
@@ -3636,6 +3711,36 @@ def stream_filter_entropy_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return decisions
+
+
+@register(
+    "stream_filter_entropy_served_compacted",
+    oracle=_entropy_filter_served_oracle(),
+    doc="Decision-log COMPACTION closes the served-filter maintenance "
+    "loop the way stream_search_index_compacted closes the postings "
+    "one: the decide-at-arrival stream appends a few files per "
+    "microbatch — a year of triggers is a million tiny files and "
+    "every backfill query pays listing O(history) — so the log gets "
+    "the same compact_table treatment (read, re-bin by data volume, "
+    "atomic swap), then REPLAYS THE SAME ORACLE from the compacted "
+    "store: the equivalence proof that maintenance never changes "
+    "decisions (rows are (doc, verdict) facts with no intra-file "
+    "ordering contract). files_after <= files_before asserted inline "
+    "— a compaction that inflates the store is a bug, not a trade.",
+    tags=("pipeline", "text", "filter", "streaming", "store"),
+)
+def stream_filter_entropy_served_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bo_sql_spark.sinks import compact_table
+
+    decisions = _stream_lm_decisions_store(spark, sf_dir)
+    before, after = compact_table(spark, decisions, 1 << 20)
+    if after > before:
+        raise RuntimeError(
+            f"decision-log compaction inflated the store: {before} -> {after}"
+        )
     return spark.read.parquet(decisions).orderBy("doc_id")
 
 

@@ -2611,7 +2611,32 @@ def test_bm25_fold_ansi_overflow_guard_linear_idf(spark):
     assert rows[0]["bm25_micros"] == (idf * tfpart) // 1_000_000
 
 
-def test_gini_from_counts_uniform_skew_and_invariance(spark):
+def test_emd_from_counts_hand_checked_and_geometry(spark):
+    """EMD fold: hand-checked example (A={1,1,2}, B={3} => W1 = 5/3
+    exactly); identical distributions => 0; and the KS-vs-EMD
+    geometry claim — a uniform one-tick shift moves EMD by exactly
+    1.0 (every unit of mass moves 1) while KS's normalized D stays at
+    the single-step overlap, and a narrow spike moves KS more than
+    EMD."""
+    from bo_sql_spark.operators.drift import emd_from_counts
+
+    def emd(rows):
+        df = spark.createDataFrame(rows, "_x long, n_a long, n_b long")
+        return emd_from_counts(df).first()
+
+    r = emd([(1, 2, 0), (2, 1, 0), (3, 0, 1)])
+    assert (r["n_a"], r["n_b"], r["support_size"]) == (3, 1, 3)
+    assert r["emd_micros"] == (5 * 1_000_000) // 3  # 1.666666
+
+    same = emd([(1, 4, 4), (5, 6, 6), (9, 2, 2)])
+    assert same["emd_micros"] == 0
+
+    # uniform one-tick shift: A uniform on 1..10, B uniform on 2..11
+    rows = [
+        (x, 10 if x <= 10 else 0, 10 if x >= 2 else 0) for x in range(1, 12)
+    ]
+    shift = emd(rows)
+    assert shift["emd_micros"] == 1_000_000  # every unit moved 1 tick
     """Gini fold: uniform mix => exactly 0; skewed mix matches the
     float Lorenz formula within a micro; value is invariant under row
     order and count-tie permutations; single category => 0; zero

@@ -133,6 +133,11 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, tuple[int, str]] = {
         1,
         "cumulative offsets over <= n_shards (32) per-shard totals",
     ),
+    "drift_emd_quantity": (
+        2,
+        "cumulative sums + lead over the ordinal support aggregate "
+        "(l_quantity domain, ~50 rows post-aggregate)",
+    ),
     "events_gini_mix": (
         1,
         "rank over the category-count aggregate (K = #event types)",
