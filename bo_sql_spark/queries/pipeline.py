@@ -2517,6 +2517,123 @@ def drift_emd_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emd_from_counts(counts)
 
 
+_RBO_P_MICROS = [round(0.1 * 0.9 ** (d - 1) * 1_000_000) for d in range(1, 21)]
+
+
+def _rbo_oracle() -> str:
+    wvals = ", ".join(
+        f"({d}, {w})" for d, w in enumerate(_RBO_P_MICROS, start=1)
+    )
+    return f"""
+    WITH counts AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS BIGINT) AS n_b
+        FROM events GROUP BY user_id
+    ), ra AS (
+        SELECT user_id, r FROM (
+            SELECT user_id,
+                   CAST(row_number() OVER (ORDER BY n_a DESC, user_id) AS BIGINT) AS r
+            FROM counts WHERE n_a > 0
+        ) WHERE r <= 20
+    ), rb AS (
+        SELECT user_id, r FROM (
+            SELECT user_id,
+                   CAST(row_number() OVER (ORDER BY n_b DESC, user_id) AS BIGINT) AS r
+            FROM counts WHERE n_b > 0
+        ) WHERE r <= 20
+    ), joined AS (
+        SELECT ra.r AS r_a, rb.r AS r_b
+        FROM ra JOIN rb USING (user_id)
+    ), weights(d, w) AS (VALUES {wvals}),
+    inter AS (
+        SELECT d, w,
+               CAST(COUNT(*) FILTER (WHERE r_a <= d AND r_b <= d) AS BIGINT) AS i
+        FROM weights, joined GROUP BY d, w
+    )
+    SELECT CAST(20 AS BIGINT) AS k_depth,
+           CAST(COALESCE(SUM((w * i) // d), 0) AS BIGINT) AS rbo_micros,
+           CAST(COALESCE(MAX(CASE WHEN d = 20 THEN i END), 0) AS BIGINT)
+               AS n_common_topk
+    FROM inter
+    """
+
+
+@register(
+    "drift_topk_churn_rbo",
+    oracle=_rbo_oracle(),
+    doc="HEAD-churn monitor: truncated Rank-Biased Overlap (Webber et "
+    "al. 2010, p=0.9, depth 20) between the weekday and weekend "
+    "top-20 users by event count — the ranked-list companion to the "
+    "mix monitors: Gini/entropy watch the SHAPE of the distribution, "
+    "RBO watches WHO is on top (a stable shape can hide a complete "
+    "head rotation — new dominant sources with the same concentration "
+    "— and RBO alarms exactly then). Integer-exact: the geometric "
+    "weights (1-p)p^(d-1) are pre-rounded micros LITERALS shared by "
+    "both engines, each depth contributes (w_d * |A_d intersect B_d|) "
+    "DIV d, and ties rank deterministically (count DESC, id ASC), so "
+    "the oracle replays every term. Max value 1 - p^k ~ 0.878e6 "
+    "(truncated RBO, documented). Plan at scale: per-side top-20 is "
+    "TakeOrderedAndProject over the user-count aggregate (distributed "
+    "top-k, never a global sort of all users); the rank windows and "
+    "the 20x20 depth sweep run over <= 20-row tables.",
+    tags=("pipeline", "stats", "monitoring"),
+)
+def drift_topk_churn_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir)["events"]
+    counts = ev.groupBy("user_id").agg(
+        F.sum(F.when(~F.dayofweek("ts").isin(1, 7), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    ).localCheckpoint(eager=False)
+
+    def topk(side: str) -> DataFrame:
+        head = (
+            counts.filter(F.col(side) > 0)
+            .orderBy(F.col(side).desc(), "user_id")
+            .limit(20)
+        )
+        w = Window.orderBy(F.col(side).desc(), "user_id")
+        return head.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias(f"r_{side[-1]}"),
+        )
+
+    joined = topk("n_a").join(topk("n_b"), "user_id").select("r_a", "r_b")
+    weights = spark.createDataFrame(
+        [(d, w) for d, w in enumerate(_RBO_P_MICROS, start=1)],
+        "d long, w long",
+    )
+    inter = (
+        joined.crossJoin(F.broadcast(weights))
+        .groupBy("d", "w")
+        .agg(
+            F.sum(
+                F.when((F.col("r_a") <= F.col("d")) & (F.col("r_b") <= F.col("d")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("i")
+        )
+    )
+    out = inter.agg(
+        F.coalesce(F.expr("SUM((w * i) DIV d)"), F.lit(0))
+        .cast("long")
+        .alias("rbo_micros"),
+        F.coalesce(F.max(F.expr("CASE WHEN d = 20 THEN i END")), F.lit(0))
+        .cast("long")
+        .alias("n_common_topk"),
+    )
+    return out.select(
+        F.lit(20).cast("long").alias("k_depth"), "rbo_micros", "n_common_topk"
+    )
+
+
 _GINI_ORACLE = """
     WITH counts AS (
         SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n

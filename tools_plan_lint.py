@@ -133,6 +133,11 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, tuple[int, str]] = {
         1,
         "cumulative offsets over <= n_shards (32) per-shard totals",
     ),
+    "drift_topk_churn_rbo": (
+        2,
+        "two rank windows, each over a TakeOrderedAndProject top-20 of "
+        "the user-count aggregate",
+    ),
     "drift_emd_quantity": (
         2,
         "cumulative sums + lead over the ordinal support aggregate "
