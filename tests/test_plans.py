@@ -486,6 +486,19 @@ def test_plan_lint_catches_unpartitioned_window(spark):
     )
     assert lint_plan(plan(post_agg)) == []
 
+    # a LIMIT below the window bounds it the same way an aggregate
+    # does — including when a localCheckpoint CUTS the lineage so the
+    # upstream aggregate is invisible (the drift_topk_churn_rbo shape)
+    post_limit = (
+        df.groupBy("g")
+        .agg(F.sum("id").alias("s"))
+        .localCheckpoint(eager=False)
+        .orderBy(F.col("s").desc())
+        .limit(3)
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("s").desc())))
+    )
+    assert lint_plan(plan(post_limit)) == []
+
 
 def test_plan_lint_flags_undocumented_bounded_window():
     """The documented-whitelist guard (r10 verdict hygiene ask): a

@@ -45,6 +45,13 @@ _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF = _pos[0] if _pos else "/root/testdata/sf0.001"
 
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+# A window whose subtree contains a row-LIMIT is bounded by the limit
+# itself — TakeOrderedAndProject / GlobalLimit cap the window's input
+# the same way a grouped aggregate does (and a localCheckpoint between
+# the window and an upstream aggregate CUTS the visible lineage, so
+# the limit is sometimes the only bound still in the plan — the
+# drift_topk_churn_rbo shape).
+_BOUND_NODES = _AGG_NODES + ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
 _WINDOW_RE = re.compile(r"(?<![A-Za-z])Window(?:Exec)? \[")
 
 
@@ -109,7 +116,7 @@ def global_windows(plan: str) -> list[tuple[str, bool]]:
         for nxt in lines[i + 1:]:
             if nxt.strip() and _depth(nxt) <= d:
                 break  # left the subtree
-            if any(a in nxt for a in _AGG_NODES):
+            if any(a in nxt for a in _BOUND_NODES):
                 agg_below = True
                 break
         out.append((line.strip(), agg_below))
