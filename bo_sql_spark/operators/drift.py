@@ -144,9 +144,12 @@ def kl_from_counts(counts: DataFrame) -> DataFrame:
         "n_b",
         # (n_a + 1) * (4-ln sum, |.| <= ~176e6) wraps BIGINT at
         # n_a ~ 5e10 — DECIMAL(38)-widened like the BM25 fold; the
-        # signed quotient's magnitude is <= 176e6 so the DIV is exact
-        # (truncation toward zero matches DuckDB HUGEINT // and
-        # Python-int semantics for this fold — unit-pinned).
+        # signed quotient's magnitude is <= 176e6 so the DIV is exact.
+        # Signedness: Spark DIV and DuckDB HUGEINT // both truncate
+        # toward zero (verified by the cross-engine fuzz family), which
+        # is what keeps negative KL contributions bit-identical. NOTE
+        # this is NOT Python-int semantics — Python // floors, which
+        # differs from truncation for negative quotients.
         F.expr(
             "(CAST(n_a + 1 AS DECIMAL(38,0))"
             " * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb)) DIV (_ta + _k)"
@@ -234,9 +237,19 @@ def emd_from_counts(counts: DataFrame) -> DataFrame:
     The one exact division keeps the fold integer-exact: the numerator
     runs DECIMAL(38)-widened (|dcum| <= Na*Nb and gaps multiply in),
     and the quotient is <= range * 1e6, inside the DECIMAL DIV's long
-    ceiling."""
+    ceiling.
+
+    Input grain: the operator sum-merges duplicate ``_x`` rows itself
+    (one bounded-support groupBy) rather than assuming value grain —
+    counts tables are mergeable summaries, so a store merged from
+    shards/microbatches legitimately carries several rows per value,
+    and a silent duplicate would double-count the cumulative sums."""
     from pyspark.sql import Window
 
+    counts = counts.groupBy("_x").agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+    )
     agg = counts.agg(
         F.sum("n_a").cast("long").alias("_na"),
         F.sum("n_b").cast("long").alias("_nb"),

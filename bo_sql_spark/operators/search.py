@@ -395,6 +395,72 @@ def materialize_inverted_index(
     )
 
 
+def append_postings(
+    batch_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_term_buckets: int = 64,
+) -> None:
+    """THE append path for a postings store — the only mutation that
+    keeps the three-table invariant (postings / ``_stats`` /
+    ``_terms``) honest.
+
+    Appending posting rows stales BOTH derived tables: ``_stats``'s
+    (n_docs, sum_dl) and every ``_terms`` idf. Stats are sum-mergeable
+    (per-doc-local facts), so this path merges the batch's counts into
+    the 1-row ``_stats`` table; idf is NOT mergeable (ln of a global
+    ratio), so ``_terms`` is DELETED FIRST — bm25_served then falls
+    back to computing df from the pruned postings, bit-identically,
+    until the next materialize_inverted_index rebuild restores the
+    precomputed table. Deleting before appending means a crash
+    mid-append can never leave a stale ``_terms`` serving wrong idf
+    (the ADVICE-r11 hole); the narrower crash window between append
+    and stats-merge is recovered by rebuilding, and bm25_served's
+    stamp check (``_terms`` vs ``_stats`` denormalized totals) guards
+    the rebuild-crash skew too. Raw out-of-band writes to the store
+    directory are outside the contract."""
+    spark = batch_docs.sparkSession
+    from bo_sql_spark import fsutil
+
+    terms_path = path.rstrip("/") + "_terms"
+    if fsutil.exists(spark, terms_path):
+        fsutil.delete(spark, terms_path)
+    toks = doc_positions(batch_docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    (
+        toks.groupBy("term", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                "positions"
+            ),
+        )
+        .join(dl, id_col)
+        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets))))
+        .write.mode("append")
+        .partitionBy("tb")
+        .parquet(path)
+    )
+    stats_path = path.rstrip("/") + "_stats"
+    batch_stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    if fsutil.exists(spark, stats_path):
+        prev = spark.read.parquet(stats_path).first()
+        batch_stats = batch_stats.select(
+            (F.col("n_docs") + F.lit(int(prev["n_docs"]))).alias("n_docs"),
+            (F.col("sum_dl") + F.lit(int(prev["sum_dl"]))).alias("sum_dl"),
+        )
+    # rewrite through a staging dir: parquet overwrite deletes-then-
+    # writes, and the source of the new row includes the old table
+    new_rows = [tuple(r) for r in batch_stats.collect()]
+    spark.createDataFrame(new_rows, "n_docs long, sum_dl long").write.mode(
+        "overwrite"
+    ).parquet(stats_path)
+
+
 def compact_postings_store(
     spark, index_path: str, target_rows_per_file: int = 1_000_000
 ) -> tuple[int, int]:
@@ -481,7 +547,12 @@ def bm25_served(
     columns, and (for the default log idf) the per-term idf_micros is
     READ from the build-time ``<path>_terms`` table, partition-pruned
     by the same term buckets — the ln step-chains ran once at build,
-    never per query. Stores without a terms table (streaming appends)
+    never per query, and a build-stamp check (the terms rows'
+    denormalized n_docs/sum_dl vs the live ``_stats`` row) guarantees
+    the precomputed idf is from THIS build — a stale table from a
+    crashed rebuild or an out-of-contract append demotes to the
+    fallback instead of silently serving old idf. Stores without a
+    terms table (append_postings deletes it on every append)
     fall back to computing df from the PRUNED postings — exact,
     because partition pruning keeps every posting of the query terms,
     and bit-identical since the same fixed-point steps run. So a
@@ -500,7 +571,29 @@ def bm25_served(
         .filter(F.col("tb").isin(buckets) & F.col("term").isin(uniq))
     )
     terms_path = index_path.rstrip("/") + "_terms"
-    if idf_mode == "log" and fsutil.exists(spark, terms_path):
+    use_terms = idf_mode == "log" and fsutil.exists(spark, terms_path)
+    if use_terms:
+        # build-stamp consistency check (ADVICE r11): ``_terms`` rows
+        # denormalize the (n_docs, sum_dl) the idf was built FROM, so
+        # comparing one pruned terms row against the live 1-row
+        # ``_stats`` table detects a terms table that outlived its
+        # postings (rebuild crashed between stats and terms, or an
+        # out-of-contract append that merged stats). Mismatch falls
+        # back to the postings-derived idf — bit-identical, just not
+        # amortized. Cost: two 1-row driver reads per served query,
+        # the same scalar-edge budget as _query_buckets.
+        t_row = (
+            spark.read.parquet(terms_path)
+            .filter(F.col("tb").isin(buckets) & F.col("term").isin(uniq))
+            .select("n_docs", "sum_dl")
+            .first()
+        )
+        s_row = spark.read.parquet(index_path.rstrip("/") + "_stats").first()
+        if t_row is not None and (
+            t_row["n_docs"] != s_row["n_docs"] or t_row["sum_dl"] != s_row["sum_dl"]
+        ):
+            use_terms = False
+    if use_terms:
         # the build-time idf table: same partition pruning as the
         # postings, no per-query ln chain. Identical values by
         # construction (the SAME fixed-point steps ran at build).

@@ -4662,7 +4662,7 @@ def _ingest_postings_stream(
     import os
     import tempfile
 
-    from bo_sql_spark.operators.search import doc_positions
+    from bo_sql_spark.operators.search import append_postings
 
     docs_schema = _t(spark, sf_dir)["documents"].schema
     root = tempfile.mkdtemp(prefix="bosql_idx_stream_")
@@ -4677,22 +4677,9 @@ def _ingest_postings_stream(
     )
 
     def ingest(batch_df, batch_id):
-        toks = doc_positions(batch_df)
-        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-        (
-            toks.groupBy("term", "doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("tf"),
-                F.sort_array(
-                    F.collect_list(F.col("pos").cast("long"))
-                ).alias("positions"),
-            )
-            .join(dl, "doc_id")
-            .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-            .write.mode("append")
-            .partitionBy("tb")
-            .parquet(store)
-        )
+        # the contract append path: postings appended, _stats
+        # sum-merged, any stale _terms idf table invalidated
+        append_postings(batch_df, store, n_term_buckets=n_buckets)
 
     q = (
         stream.writeStream.foreachBatch(ingest)

@@ -41,3 +41,28 @@ def test_bench_emits_single_json_line():
     assert abs(payload["tiers"]["core"] - payload["value"]) < 0.01
     assert payload["tiers"]["pipeline"] > 0
     assert abs(sum(payload["queries"].values()) - sum(payload["tiers"].values())) < 0.05
+
+    # STDOUT TRANSPORT CONTRACT (round-12): the driver tail-captures the
+    # last ~2000 bytes of stdout; the round-11 spread dict pushed the line
+    # past that window and BENCH_r11.json recorded parsed:null. Lock it:
+    # the line stays under budget, spread is NOT on the line, and the
+    # exact round-10 key set is present (so the head — "value" — survives
+    # even if the window ever shrinks a little).
+    assert len(lines[0].encode()) <= 1900, (
+        f"bench stdout line is {len(lines[0].encode())} bytes — exceeds the "
+        "1900-byte budget under the driver's ~2000-byte tail-capture window; "
+        "move any new payload to BENCH_SPREAD.json"
+    )
+    assert "spread" not in payload
+    assert set(payload) == {
+        "metric", "value", "unit", "queries", "tiers",
+        "streaming_rows_per_sec", "anchor_s", "sf",
+    }
+    # the full payload incl. spread lands in the side artifact
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_SPREAD.json")) as fh:
+        side = json.load(fh)
+    assert set(side["spread"]) == set(payload["queries"])
+    for q, (lo, med, hi) in side["spread"].items():
+        assert lo <= med <= hi
+        assert abs(lo - payload["queries"][q]) < 1e-9  # reported time = min

@@ -2304,6 +2304,109 @@ def test_bm25_served_equals_one_shot(spark, tmp_path):
     assert fallback == one_shot
 
 
+def test_append_postings_invalidates_terms_and_merges_stats(spark, tmp_path):
+    """The contract append path (ADVICE r11): appending to a
+    batch-built store must delete the precomputed ``_terms`` idf
+    table (idf is a global ratio — not mergeable) and sum-merge
+    ``_stats``, so bm25_served over the grown store falls back to
+    postings-derived idf and matches a one-shot ranker over the FULL
+    corpus exactly — never the stale build's idf."""
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.operators.search import (
+        append_postings,
+        bm25_served,
+        bm25_topk,
+        materialize_inverted_index,
+    )
+
+    base = [
+        (1, "spark join scan join vector"),
+        (2, "join scan"),
+        (3, "spark spark vector"),
+    ]
+    extra = [
+        (4, "scan vector spark"),
+        (5, "sort merge sort"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    path = str(tmp_path / "growidx")
+    materialize_inverted_index(docs, path, n_term_buckets=16)
+    assert fsutil.exists(spark, path + "_terms")
+
+    append_postings(
+        spark.createDataFrame(extra, "doc_id long, text string"),
+        path,
+        n_term_buckets=16,
+    )
+    assert not fsutil.exists(spark, path + "_terms")
+    srow = spark.read.parquet(path + "_stats").first()
+    full = spark.createDataFrame(base + extra, "doc_id long, text string")
+    from bo_sql_spark.operators.search import doc_positions
+
+    want_sum_dl = doc_positions(full).count()
+    assert (srow["n_docs"], srow["sum_dl"]) == (5, want_sum_dl)
+
+    terms = ["spark", "scan", "merge"]
+    one_shot = sorted(
+        (r["doc_id"], r["bm25_micros"], r["n_terms_hit"])
+        for r in bm25_topk(full, terms, k=10).collect()
+    )
+    served = sorted(
+        (r["doc_id"], r["bm25_micros"], r["n_terms_hit"])
+        for r in bm25_served(spark, path, terms, k=10, n_term_buckets=16).collect()
+    )
+    assert served == one_shot and len(served) == 5, (served, one_shot)
+
+
+def test_bm25_served_stale_terms_stamp_demotes_to_fallback(spark, tmp_path):
+    """Rebuild-crash skew: postings + _stats from a NEW corpus with a
+    ``_terms`` table left over from an OLD build must not silently
+    serve the old idf — the denormalized-totals stamp check demotes
+    to the postings-derived fallback, which matches the one-shot
+    ranker on the new corpus exactly."""
+    import shutil
+
+    from bo_sql_spark.operators.search import (
+        bm25_served,
+        bm25_topk,
+        materialize_inverted_index,
+    )
+
+    old = [(1, "spark join"), (2, "join scan")]
+    new = [
+        (1, "spark join scan join vector"),
+        (2, "join scan"),
+        (3, "spark spark vector"),
+        (4, "scan vector spark"),
+    ]
+    path = str(tmp_path / "crashidx")
+    materialize_inverted_index(
+        spark.createDataFrame(old, "doc_id long, text string"),
+        path, n_term_buckets=16,
+    )
+    # simulate the crash window: stash old _terms, rebuild, restore it
+    shutil.move(path + "_terms", str(tmp_path / "stale_terms"))
+    materialize_inverted_index(
+        spark.createDataFrame(new, "doc_id long, text string"),
+        path, n_term_buckets=16,
+    )
+    shutil.rmtree(path + "_terms")
+    shutil.move(str(tmp_path / "stale_terms"), path + "_terms")
+
+    terms = ["spark", "scan"]
+    one_shot = sorted(
+        (r["doc_id"], r["bm25_micros"], r["n_terms_hit"])
+        for r in bm25_topk(
+            spark.createDataFrame(new, "doc_id long, text string"), terms, k=10
+        ).collect()
+    )
+    served = sorted(
+        (r["doc_id"], r["bm25_micros"], r["n_terms_hit"])
+        for r in bm25_served(spark, path, terms, k=10, n_term_buckets=16).collect()
+    )
+    assert served == one_shot, (served, one_shot)
+
+
 def test_proximity_search_window_semantics(spark):
     """Bitmask range-window proximity: any order, window boundary
     inclusive/exclusive, repeated hits counted per completing end
@@ -2613,12 +2716,16 @@ def test_bm25_fold_ansi_overflow_guard_linear_idf(spark):
 
 def test_emd_from_counts_hand_checked_and_geometry(spark):
     """EMD fold: hand-checked example (A={1,1,2}, B={3} => W1 = 5/3
-    exactly); identical distributions => 0; and the KS-vs-EMD
-    geometry claim — a uniform one-tick shift moves EMD by exactly
-    1.0 (every unit of mass moves 1) while KS's normalized D stays at
-    the single-step overlap, and a narrow spike moves KS more than
-    EMD."""
-    from bo_sql_spark.operators.drift import emd_from_counts
+    exactly); identical distributions => 0; duplicate-value rows are
+    sum-merged inside the operator (merged shard stores legitimately
+    carry several rows per value — a silent duplicate would
+    double-count the cumulative sums); and the KS-vs-EMD geometry
+    claim — a uniform one-tick shift moves EMD by exactly 1.0 (every
+    unit of mass moves 1) while KS's normalized D stays at the
+    single-step overlap, and a narrow spike does the opposite (KS
+    jumps to the spike's mass fraction while EMD stays below the
+    shift's)."""
+    from bo_sql_spark.operators.drift import emd_from_counts, two_sample_ks
 
     def emd(rows):
         df = spark.createDataFrame(rows, "_x long, n_a long, n_b long")
@@ -2631,12 +2738,50 @@ def test_emd_from_counts_hand_checked_and_geometry(spark):
     same = emd([(1, 4, 4), (5, 6, 6), (9, 2, 2)])
     assert same["emd_micros"] == 0
 
+    # grain defense: the same example with its rows split across
+    # duplicate _x entries (a two-shard merge) folds identically
+    dup = emd([(1, 1, 0), (1, 1, 0), (2, 1, 0), (3, 0, 1)])
+    assert (dup["n_a"], dup["n_b"], dup["support_size"]) == (3, 1, 3)
+    assert dup["emd_micros"] == r["emd_micros"]
+
     # uniform one-tick shift: A uniform on 1..10, B uniform on 2..11
     rows = [
         (x, 10 if x <= 10 else 0, 10 if x >= 2 else 0) for x in range(1, 12)
     ]
     shift = emd(rows)
     assert shift["emd_micros"] == 1_000_000  # every unit moved 1 tick
+
+    # narrow spike: same totals, B pulls the 6..8 mass into x=5
+    # (counts [10,10,10,10,40,0,0,0,10,10]); hand CDF gaps are
+    # 30,20,10 at x=5..7 => EMD = 60/100 = 0.6
+    spike_counts = [10, 10, 10, 10, 40, 0, 0, 0, 10, 10]
+    spike = emd([(x, 10, spike_counts[x - 1]) for x in range(1, 11)])
+    assert spike["emd_micros"] == 600_000
+
+    # the KS side of the geometry, through the real operator: shift's
+    # worst CDF gap is one bin (D = 0.1) but the spike's is its mass
+    # fraction (D = 0.3) — KS(spike) > KS(shift) while
+    # EMD(spike) < EMD(shift): the pair brackets the drift geometry.
+    def ks_d(a_vals, b_vals):
+        df = spark.createDataFrame(
+            [(float(v), False) for v in a_vals]
+            + [(float(v), True) for v in b_vals],
+            "v double, b boolean",
+        )
+        row = two_sample_ks(df, "v", F.col("b")).first()
+        return row["d_num"] / (row["n_a"] * row["n_b"])
+
+    a_uniform = [x for x in range(1, 11) for _ in range(10)]
+    ks_shift = ks_d(a_uniform, [x for x in range(2, 12) for _ in range(10)])
+    ks_spike = ks_d(
+        a_uniform, [x for x in range(1, 11) for _ in range(spike_counts[x - 1])]
+    )
+    assert abs(ks_shift - 0.1) < 1e-12
+    assert abs(ks_spike - 0.3) < 1e-12
+    assert ks_spike > ks_shift and spike["emd_micros"] < shift["emd_micros"]
+
+
+def test_gini_from_counts_hand_checked_and_monitor_pair(spark):
     """Gini fold: uniform mix => exactly 0; skewed mix matches the
     float Lorenz formula within a micro; value is invariant under row
     order and count-tie permutations; single category => 0; zero

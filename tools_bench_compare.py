@@ -17,9 +17,14 @@ Per query:
   per-round noise band is median - min; a delta is SIGNAL only if the
   fleet-relative delta exceeds BOTH rounds' bands AND the relative
   ratio is outside [0.9, 1.11] — otherwise WEATHER;
-- when either side lacks spread (pre-r11 files), fall back to the
-  relative-ratio-only rule with a wider 1.25x / 0.8x gate and tag the
-  verdict "(no-band)" so the reader knows it is the weak test.
+- when either side lacks spread (pre-r11 files, and driver BENCH_r{N}
+  artifacts from r12 on — the spread dict was moved OFF the stdout
+  contract line after it overflowed the driver's tail-capture window
+  and killed BENCH_r11's parse), fall back to the relative-ratio-only
+  rule with a wider 1.25x / 0.8x gate and tag the verdict "(no-band)".
+  For band-aware comparisons pass BENCH_SPREAD.json files (bench.py
+  writes one per run; point BOSQL_BENCH_SPREAD_OUT at distinct paths
+  for worktree A/B runs) — they carry the full payload plus spread.
 
 Exit code 0 always — this is a report, not a gate; the plan-shape
 lint is the regression gate.
