@@ -76,11 +76,17 @@ def dup_ngram_frac(toks: Column, n: int) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def gopher_keep(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_keep(
+    docs: DataFrame, text_col: str = "text", rules: dict | None = None
+) -> DataFrame:
     """Adds the Gopher rule signals + ``keep`` + ``drop_reasons``
     (comma-joined, '' when kept). Pure narrow map — no shuffle; see
-    module docstring for why that matters at corpus scale."""
-    r = GOPHER_RULES
+    module docstring for why that matters at corpus scale.
+
+    ``rules`` overrides the GOPHER_RULES thresholds (same keys) —
+    production pipelines tune these per corpus (Rae et al. tune per
+    source); the defaults stay the published MassiveText values."""
+    r = dict(GOPHER_RULES, **(rules or {}))
     toks = _toks(text_col)
     norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
     n_words = F.size(toks).cast("long")

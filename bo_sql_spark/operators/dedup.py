@@ -112,6 +112,143 @@ def lsh_band_rows(
     ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
 
 
+_PMH_P = 1_000_000_007  # the portable-hash prime (sampling.py's modulus)
+
+
+def _pmh_ab(i: int) -> tuple[int, int]:
+    """Per-seed (a, b) constants of the portable MinHash's universal
+    family h_i(x) = (a_i*x + b_i) mod P — derived from the seed index
+    alone so any engine can reproduce them; a_i is never 0."""
+    return ((i + 1) * 999_999_937) % _PMH_P, (i * 101 + 17) % _PMH_P
+
+
+def minhash_signatures_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, minhash) like minhash_signatures, but with
+    ENGINE-PORTABLE hashes, so the whole MinHash+LSH pipeline is
+    bit-replayable by a SQL oracle (xxhash64 is Spark-private — the
+    reason every minhash query graded rows-only before this).
+
+    Base hash: first 15 hex digits of md5(shingle) as BIGINT (the
+    winnow_fingerprints trick) reduced mod P = 1e9+7; per-seed
+    'permutation' i is the universal family (a_i*h + b_i) mod P with
+    (a_i, b_i) pure functions of i — one md5 per shingle, then plain
+    int64 arithmetic (products < 2^61, no overflow), all replayable
+    in DuckDB with ('0x' || substr(md5(s),1,15))::BIGINT and the same
+    constants. The trade vs the xxhash64 form: a ~2^30 hash space
+    instead of 2^64, so cross-corpus base-hash birthday collisions
+    appear around 1e9 DISTINCT shingles — harmless to MinHash's
+    Jaccard estimate (a collision just merges two shingle identities)
+    but worth knowing; the xxhash64 form remains the production
+    default, this is its oracle-checkable twin. Same flat plan: one
+    explode, one md5 per shingle string, n_hashes min-aggregates in
+    whole-stage codegen; NULL/empty docs surface with NULL minhash
+    via the same left join."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    exploded = sh.select(id_col, F.explode("shingles").alias("s")).withColumn(
+        "hb",
+        F.expr(
+            f"pmod(CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT),"
+            f" {_PMH_P})"
+        ),
+    )
+    consts = [_pmh_ab(i) for i in range(n_hashes)]
+    sigs = exploded.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.col("hb") * F.lit(a) + F.lit(b), F.lit(_PMH_P))
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    sigs = sigs.select(
+        id_col, F.array(*[f"mh{i}" for i in range(n_hashes)]).alias("minhash")
+    )
+    return sh.join(sigs, id_col, "left")
+
+
+def lsh_band_rows_portable(
+    df: DataFrame, id_col: str, sig_col: str = "minhash", bands: int = 8
+) -> DataFrame:
+    """(id, band, h) band rows for the PORTABLE signature at r=2: the
+    band hash is the collision-free packing mh[2b]*P + mh[2b+1]
+    (< P^2 ~ 1e18, inside int64) — no hash call at all, and the same
+    expression replays in any engine. r is fixed at 2 because packing
+    three P-sized values would overflow; the S-curve knee matches
+    lsh_band_pairs' default (b=8, r=2 -> knee at 0.35)."""
+    rows = []
+    for b in range(bands):
+        rows.append(
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                (
+                    F.element_at(F.col(sig_col), 2 * b + 1) * F.lit(_PMH_P)
+                    + F.element_at(F.col(sig_col), 2 * b + 2)
+                ).alias("h"),
+            )
+        )
+    return df.select(
+        id_col, F.explode(F.array(*rows)).alias("bh")
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
+def minhash_dedup_pairs_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """minhash_dedup_pairs with the portable signature — identical
+    shape (signature -> LSH candidates -> exact-Jaccard verify at
+    O(candidates)), but every step is SQL-replayable, so the verified
+    pair set (and everything downstream: components, survivors, the
+    e2e pipeline) grades against a full oracle instead of rows-only."""
+    if n_hashes != 2 * bands:
+        raise ValueError("portable LSH is fixed at r=2: n_hashes must be 2*bands")
+    with_sig = minhash_signatures_portable(
+        docs, id_col, text_col, n_hashes, shingle_k
+    ).filter(F.col("minhash").isNotNull())
+    stacked = lsh_band_rows_portable(with_sig, id_col, "minhash", bands)
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets_a = with_sig.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sets_b = with_sig.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", "jacc")
+    )
+
+
 def lsh_band_pairs(
     df: DataFrame,
     id_col: str,

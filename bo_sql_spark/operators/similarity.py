@@ -740,9 +740,39 @@ def ivf_batch_topk_served(
     window top-k (WindowGroupLimit trims below the shuffle) finish the
     job. Everything between the two tiny broadcasts partitions by qid
     or cell — nothing is per-query serial, no driver collect."""
+    return ivf_batch_topk_from_store(
+        spark.read.parquet(assignment_path),
+        queries, centroids, n_probe, k,
+        id_col, vec_col, cent_id, cent_vec, qid_col, qvec_col,
+        exclude_qid_matches,
+    )
+
+
+def ivf_batch_topk_from_store(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "c_id",
+    cent_vec: str = "c_vec",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    exclude_qid_matches: bool = True,
+) -> DataFrame:
+    """ivf_batch_topk_served's fold over an already-opened assignment
+    DataFrame — the split that lets VERSIONED index stores
+    (snapshot_read over a cell-partitioned snapshot — see
+    store_ivf_model_swap) serve through the same probe-selection +
+    pruned-join + per-qid top-k plan as a plain parquet path. The
+    probe join still lands on ``cell``; when the input is a
+    partitioned scan that filter is partition pruning, exactly as in
+    the path-based entry."""
     from pyspark.sql import Window
 
-    from bo_sql_spark.functions import cosine_similarity, dot
+    from bo_sql_spark.functions import cosine_similarity
 
     q = queries.select(
         F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_qv")
@@ -750,7 +780,6 @@ def ivf_batch_topk_served(
     probes = _probe_cells(
         q, centroids, n_probe, cent_id, cent_vec, keep_qvec=True
     )
-    assigned = spark.read.parquet(assignment_path)
     w_topk = Window.partitionBy("_qid").orderBy(
         F.col("_cos").desc(), F.col(id_col)
     )

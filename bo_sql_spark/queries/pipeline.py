@@ -371,6 +371,116 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _portable_minhash_pairs_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    prefix: str = "pm",
+) -> str:
+    """CTE chain replaying minhash_signatures_portable -> r=2 LSH
+    candidates -> exact-Jaccard verify in DuckDB, ending in
+    ``{prefix}pairs (id_a, id_b, jacc_raw)``. Same md5-15-hex base
+    hash, per-seed (a_i*h+b_i) mod P family, and mh[2b]*P + mh[2b+1]
+    band packing as operators/dedup.py — bit-identical pair sets."""
+    P = D._PMH_P
+    p, k = prefix, int(shingle_k)
+    consts = [D._pmh_ab(i) for i in range(n_hashes)]
+    mh_exprs = ",\n               ".join(
+        f"MIN((hb * {a} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT {id_col}, CAST({b} AS BIGINT) AS band,"
+        f" mh{2 * b} * {P} + mh{2 * b + 1} AS h FROM {p}sig"
+        for b in range(bands)
+    )
+    return f"""{p}sh AS MATERIALIZED (
+        SELECT {id_col},
+               list_filter(list_distinct(list_transform(
+                   range(1, greatest(len(tok) - {k} + 2, 2)),
+                   i -> array_to_string(tok[i:i+{k - 1}], ' '))),
+                   s -> s <> '') AS sh
+        FROM (SELECT {id_col},
+                     string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' ') AS tok
+              FROM {src})
+    ), {p}ex AS (
+        SELECT {id_col}, unnest(sh) AS s FROM {p}sh
+    ), {p}hb AS (
+        SELECT {id_col},
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {P} AS hb
+        FROM {p}ex
+    ), {p}sig AS MATERIALIZED (
+        SELECT {id_col}, {mh_exprs}
+        FROM {p}hb GROUP BY {id_col}
+    ), {p}bands AS (
+        {band_selects}
+    ), {p}cand AS (
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM {p}bands a JOIN {p}bands b
+          ON a.band = b.band AND a.h = b.h AND a.{id_col} < b.{id_col}
+        GROUP BY 1, 2
+    ), {p}pairs AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jacc_raw
+        FROM {p}cand
+        JOIN {p}sh sa ON sa.{id_col} = id_a
+        JOIN {p}sh sb ON sb.{id_col} = id_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {threshold}
+    )"""
+
+
+@register(
+    "dedup_minhash_survivors_portable",
+    oracle=f"""
+    WITH {_portable_minhash_pairs_sql("documents")}, edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pmpairs
+        UNION SELECT id_b, id_a FROM pmpairs
+    ), reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        ) SELECT * FROM r
+    ), canon AS (
+        SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+    FROM documents d
+    LEFT JOIN canon ON d.doc_id = canon.node
+    WHERE canon.node IS NULL OR canon.cluster_id = d.doc_id
+    """,
+    doc="END-TO-END **MinHash** dedup with a FULL oracle — the graded "
+    "gap the xxhash64 family couldn't close (its signatures are "
+    "Spark-private, so dedup_minhash_pairs grades rows-only): the "
+    "portable signature (md5-15-hex base hash mod P=1e9+7, per-seed "
+    "universal-family permutations, operators/dedup.py:"
+    "minhash_signatures_portable) -> r=2 packed-band LSH candidates "
+    "-> exact-Jaccard verify at 0.5 -> connected components -> keep "
+    "min-id per cluster, over the WHOLE documents table (no doc_id "
+    "bound — candidates are O(collisions), never all-pairs). The "
+    "oracle replays every stage bit-for-bit, recursive-CTE components "
+    "included. Same 100 TB shape as minhash_dedup_pairs: corpus text "
+    "never shuffles; band rows are fixed-width (id, band, h).",
+    tags=("pipeline", "dedup", "iterative"),
+)
+def dedup_minhash_survivors_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    pairs = D.minhash_dedup_pairs_portable(docs, threshold=0.5)
+    canon = D.connected_components(pairs.select("id_a", "id_b"))
+    ids = docs.select("doc_id")
+    return (
+        ids.join(canon, ids.doc_id == canon.node, "left")
+        .filter(F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
 _LINES_K = 8
 
 
@@ -4015,6 +4125,163 @@ def store_lm_model_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d1.unionByName(d2).orderBy("doc_id")
 
 
+def _ivf_swap_oracle() -> str:
+    """The IVF lifecycle oracle: two (train -> index -> probe -> serve)
+    blocks over different training slices and arrival waves, replayed
+    entirely in SQL — same fixed-point centroid means and expanded-L2
+    op order as the similarity_ivf_train* oracles."""
+
+    def block(v: int, train_pred: str, wave_pred: str) -> str:
+        return f""", a_{v} AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN seeds WHERE {train_pred} GROUP BY vec_id
+    ), bd_{v} AS (
+        SELECT a_{v}.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+        FROM a_{v} JOIN vecs e USING (vec_id)
+    ), dm_{v} AS (
+        SELECT cell, pos, SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS sm, COUNT(*) AS n FROM bd_{v} GROUP BY cell, pos
+    ), c_{v} AS (
+        SELECT cell AS c_id, array_agg(CAST(FLOOR(sm / n + 0.5) AS BIGINT) / 1000000.0 ORDER BY pos) AS cv
+        FROM dm_{v} GROUP BY cell
+    ), idx_{v} AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN c_{v} WHERE vec_id % 10 <> 0 GROUP BY vec_id
+    ), q_{v} AS (
+        SELECT vec_id AS qid, v AS qv FROM vecs WHERE {wave_pred}
+    ), p_{v} AS (
+        SELECT qid, cell, qv FROM (
+            SELECT q.qid, c.c_id AS cell, q.qv,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                       list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.cv)
+                       + list_dot_product(c.cv, c.cv), c.c_id) AS rn
+            FROM q_{v} q CROSS JOIN c_{v} c
+        ) WHERE rn <= 2
+    ), sc_{v} AS (
+        SELECT p.qid, i.vec_id,
+               list_dot_product(e.v, p.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS sim
+        FROM p_{v} p
+        JOIN idx_{v} i ON i.cell = p.cell
+        JOIN vecs e ON e.vec_id = i.vec_id
+    ), r_{v} AS (
+        SELECT qid AS query_id, vec_id, ROUND(sim, 6) AS cos_sim,
+               CAST({v} AS BIGINT) AS index_version
+        FROM (
+            SELECT qid, vec_id, sim,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+            FROM sc_{v}
+        ) WHERE rn <= 10
+    )"""
+
+    b1 = block(
+        1,
+        "vec_id % 10 IN (1, 2, 3, 4)",
+        "vec_id % 10 = 0 AND (vec_id // 10) % 2 = 0",
+    )
+    b2 = block(
+        2,
+        "vec_id % 10 <> 0",
+        "vec_id % 10 = 0 AND (vec_id // 10) % 2 = 1",
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id < 16
+    ){b1}{b2}
+    SELECT * FROM r_1 UNION ALL SELECT * FROM r_2
+    ORDER BY index_version, query_id, vec_id
+    """
+
+
+@register(
+    "store_ivf_model_swap",
+    oracle=_ivf_swap_oracle(),
+    doc="Versioned ANN index lifecycle — store_lm_model_swap's story "
+    "for the similarity family (verdict r11 #4): TRAIN v1 centroids "
+    "(one fixed-point Lloyd step, seeds = vec_id<16) on the early "
+    "corpus slice (vec_id%10 in 1..4), assign the servable corpus "
+    "(vec_id%10<>0), and PUBLISH assignment + centroid rows as ONE "
+    "snapshot version partitioned by (kind, cell) — the index is just "
+    "a table, so CAS commit, time travel, and vacuum apply verbatim, "
+    "and the cell layout survives inside each version dir so serving "
+    "keeps its PartitionFilters pruning across swaps. Serve arrival "
+    "wave 1 (vec_id%10=0, even DIV-10 parity) against v1 through the "
+    "shared batch path (probe top-2 cells in-engine, pruned join, "
+    "per-qid top-10); RE-TRAIN on the full drifted corpus, CAS-swap "
+    "v2 (readers of v1 are untouched — old-until-published), serve "
+    "wave 2. Every result row carries index_version — 'which "
+    "centroids served this neighbor?', the backfill provenance the LM "
+    "swap established for filters. At 100 TB: retrain is the periodic "
+    "batch job, the swap is one CAS commit, and a version dir is "
+    "immutable so in-flight queries never see a half-swapped index.",
+    tags=("pipeline", "similarity", "approx", "store"),
+)
+def store_ivf_model_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.sinks import snapshot_read, snapshot_write_cas
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = vecs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    corpus = vecs.filter(F.expr("vec_id % 10 != 0"))
+    root = tempfile.mkdtemp(prefix="bosql_ivf_swap_") + "/index"
+
+    def train(pred: str) -> DataFrame:
+        step = S.ivf_train_step(vecs.filter(F.expr(pred)), seeds)
+        return step.select(
+            F.col("cell").alias("c_id"), F.col("centroid").alias("c_vec")
+        )
+
+    def publish(cents: DataFrame) -> DataFrame:
+        assigned = S.ivf_assign(corpus, cents)
+        a = assigned.select(
+            "vec_id",
+            F.col("embedding").alias("vec"),
+            F.lit("a").alias("kind"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+        c = cents.select(
+            F.col("c_id").cast("long").alias("vec_id"),
+            F.col("c_vec").alias("vec"),
+            F.lit("c").alias("kind"),
+            F.col("c_id").cast("long").alias("cell"),
+        )
+        return a.unionByName(c)
+
+    def serve(version: int, wave_pred: str) -> DataFrame:
+        store = snapshot_read(spark, root, version=version)
+        cents = store.filter(F.col("kind") == "c").select(
+            F.col("cell").cast("long").alias("c_id"), F.col("vec").alias("c_vec")
+        )
+        idx = store.filter(F.col("kind") == "a").select(
+            "vec_id", F.col("vec").alias("embedding"), "cell"
+        )
+        qs = vecs.filter(F.expr(wave_pred)).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        return S.ivf_batch_topk_from_store(
+            idx, qs, cents, n_probe=2, k=10, exclude_qid_matches=False
+        ).withColumn("index_version", F.lit(version).cast("long"))
+
+    v1 = snapshot_write_cas(
+        spark, publish(train("vec_id % 10 IN (1, 2, 3, 4)")), root,
+        partition_by=["kind", "cell"],
+    )
+    d1 = serve(v1, "vec_id % 10 = 0 AND (vec_id DIV 10) % 2 = 0")
+    v2 = snapshot_write_cas(
+        spark, publish(train("vec_id % 10 != 0")), root,
+        partition_by=["kind", "cell"],
+    )
+    d2 = serve(v2, "vec_id % 10 = 0 AND (vec_id DIV 10) % 2 = 1")
+    return d1.unionByName(d2).orderBy("index_version", "query_id", "vec_id")
+
+
 def _zipf_oracle() -> str:
     from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
 
@@ -5060,21 +5327,26 @@ _TOKS_SQL = "string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+',
 _NORM_SQL = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
 
 
-@register(
-    "text_gopher_filter",
-    oracle=f"""
-    WITH n AS (
+def _gopher_sql(src: str, prefix: str = "", rules: dict | None = None) -> str:
+    """CTE chain replaying gopher_keep over ``src``, ending in
+    ``{prefix}r (doc_id, n_words, ..., drop_reasons)`` — shared by
+    text_gopher_filter's oracle and the e2e-v2 pipeline oracle so the
+    rule SQL can never drift between them. ``rules`` overrides
+    thresholds exactly like gopher_keep's parameter."""
+    r_ = dict(CF.GOPHER_RULES, **(rules or {}))
+    p = prefix
+    return f"""{p}n AS (
         SELECT doc_id, {_NORM_SQL} AS norm, {_TOKS_SQL} AS toks
-        FROM documents
-    ), g AS (
+        FROM {src}
+    ), {p}g AS (
         SELECT doc_id, norm, toks,
                CASE WHEN len(toks) >= 2
                     THEN list_transform(range(1, len(toks)),
                                         i -> toks[i] || ' ' || toks[i + 1])
                     ELSE []::VARCHAR[] END AS bg,
                length(replace(norm, ' ', '')) AS chars
-        FROM n
-    ), s AS (
+        FROM {p}n
+    ), {p}s AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_words,
                CASE WHEN len(toks) > 0
@@ -5088,18 +5360,28 @@ _NORM_SQL = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
                CASE WHEN len(bg) > 0
                     THEN ROUND(1 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
                     ELSE 0.0 END AS dup_bigram_frac
-        FROM g
-    ), r AS (
+        FROM {p}g
+    ), {p}r AS (
         SELECT *,
-               array_to_string(list_filter([
-                   CASE WHEN NOT (n_words >= 50 AND n_words <= 100000) THEN 'word_count' END,
-                   CASE WHEN NOT (mean_word_len >= 3.0 AND mean_word_len <= 10.0) THEN 'mean_word_len' END,
-                   CASE WHEN NOT (symbol_word_ratio <= 0.1) THEN 'symbol_ratio' END,
-                   CASE WHEN NOT (stopword_hits >= 2) THEN 'stopwords' END,
-                   CASE WHEN NOT (dup_bigram_frac <= 0.5) THEN 'repetition' END
-               ], x -> x IS NOT NULL), ',') AS drop_reasons
-        FROM s
-    )
+               -- COALESCE guards DuckDB's array_to_string([]) = NULL
+               -- (a doc passing every rule must read '', like Spark's
+               -- concat_ws) — latent until a corpus/rule combination
+               -- actually passed a doc (found by the e2e-v2 oracle)
+               COALESCE(array_to_string(list_filter([
+                   CASE WHEN NOT (n_words >= {r_["min_words"]} AND n_words <= {r_["max_words"]}) THEN 'word_count' END,
+                   CASE WHEN NOT (mean_word_len >= {r_["min_mean_word_len"]} AND mean_word_len <= {r_["max_mean_word_len"]}) THEN 'mean_word_len' END,
+                   CASE WHEN NOT (symbol_word_ratio <= {r_["max_symbol_word_ratio"]}) THEN 'symbol_ratio' END,
+                   CASE WHEN NOT (stopword_hits >= {r_["min_stopword_hits"]}) THEN 'stopwords' END,
+                   CASE WHEN NOT (dup_bigram_frac <= {r_["max_dup_bigram_frac"]}) THEN 'repetition' END
+               ], x -> x IS NOT NULL), ','), '') AS drop_reasons
+        FROM {p}s
+    )"""
+
+
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH {_gopher_sql("documents")}
     SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, stopword_hits,
            dup_bigram_frac, drop_reasons = '' AS keep, drop_reasons
     FROM r

@@ -530,3 +530,312 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.temperature_mix_sample(
         docs, "lang", "doc_id", half_powers=1, salt=_TEMP_SALT
     ).select("doc_id", "lang")
+
+
+_E2E2_SALT = 21
+_E2E2_THR = int(0.8 * PORTABLE_PRIME)
+_E2E2_BUDGET = 1024
+_E2E2_SHARDS = 8
+# Per-corpus rule tuning (the Gopher paper tunes thresholds per
+# source): the synthetic fixture vocabulary carries at most one of the
+# MassiveText stopwords per doc, so the published >=2-distinct rule
+# would empty the corpus; >=1 keeps the rule meaningful (251/500 pass
+# at sf0.01) while every other threshold stays the published value.
+_E2E2_GOPHER_RULES = {"min_stopword_hits": 1}
+
+
+def _e2e_v2_oracle() -> str:
+    """Replay of the full v2 prep pipeline: gopher rules -> frozen-LM
+    filter (the versioned model is trained on exactly the gopher-kept
+    corpus, so model_version is deterministically 1) -> portable
+    MinHash dedup -> decontamination -> 80% split -> sharded packing,
+    with every input doc accounted for exactly once (packed, or one
+    drop_reason, or holdout)."""
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+    from bo_sql_spark.queries.pipeline import (
+        _ENTROPY_REASONS_SQL,
+        _gopher_sql,
+        _portable_minhash_pairs_sql,
+    )
+
+    reasons = _ENTROPY_REASONS_SQL
+    gf_ln = duckdb_ln_select("SELECT * FROM gf0", "gf + 1", "_lngf1")
+    tot_ln = duckdb_ln_select(
+        "SELECT CAST(SUM(gf) AS BIGINT) AS n_corpus,"
+        " CAST(COUNT(*) AS BIGINT) AS n_vocab FROM gf0",
+        "n_corpus + n_vocab",
+        "_lnNV",
+    )
+    tf_ln = duckdb_ln_select("SELECT * FROM tfg", "c", "_lnc")
+    pd_ln = duckdb_ln_select("SELECT * FROM pd0", "n_tokens", "_lnn")
+    H = portable_hash_sql("doc_id", _E2E2_SALT)
+    nulls = "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"
+    return f"""
+    WITH train AS (
+        SELECT * FROM documents WHERE doc_id % 25 <> 0
+    ), {_gopher_sql("train", rules=_E2E2_GOPHER_RULES)}, gkeep AS (
+        SELECT t.doc_id, t.text FROM train t JOIN r USING (doc_id)
+        WHERE r.drop_reasons = ''
+    ), tfg AS MATERIALIZED (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+            FROM gkeep
+        ) WHERE term <> '' GROUP BY doc_id, term
+    ), gf0 AS (
+        SELECT term, CAST(SUM(c) AS BIGINT) AS gf FROM tfg GROUP BY term
+    ), gfl AS ({gf_ln}
+    ), tot AS ({tot_ln}
+    ), mpd AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl,
+               SUM(CAST(c AS HUGEINT) * _lngf1) AS _s
+        FROM tfg JOIN gfl USING (term) GROUP BY doc_id
+    ), m AS (
+        SELECT CAST(SUM(CAST(_lnNV - _s // dl AS BIGINT)) // COUNT(*)
+                    AS BIGINT) AS mean_ce
+        FROM mpd, tot
+    ), ce AS (
+        SELECT doc_id, CAST(_lnNV - _s // dl AS BIGINT) AS cross_entropy_micros
+        FROM mpd, tot
+    ), tfl AS ({tf_ln}
+    ), pd0 AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(CAST(c AS HUGEINT) * _lnc) AS _sum_cln
+        FROM tfl GROUP BY doc_id
+    ), pd AS ({pd_ln}
+    ), ent AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN n_tokens <= 1 THEN 0
+                    ELSE ((_lnn - _sum_cln // n_tokens) * 1000) // _lnn END
+                    AS BIGINT) AS norm_entropy_permille
+        FROM pd
+    ), lmdec AS MATERIALIZED (
+        SELECT ent.doc_id, ({reasons}) AS lm_reasons
+        FROM ent JOIN ce USING (doc_id), m
+    ), kept2 AS MATERIALIZED (
+        SELECT g.doc_id, g.text FROM gkeep g JOIN lmdec USING (doc_id)
+        WHERE lm_reasons = ''
+    ), {_portable_minhash_pairs_sql("kept2")}, edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pmpairs
+        UNION SELECT id_b, id_a FROM pmpairs
+    ), reach AS (
+        WITH RECURSIVE rr(a, b) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT rr.a, e.dst FROM rr JOIN edges e ON rr.b = e.src
+        ) SELECT * FROM rr
+    ), canon AS (
+        SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+    ), near_drop AS (
+        SELECT k.doc_id FROM kept2 k JOIN canon ON k.doc_id = canon.node
+        WHERE canon.cluster_id <> k.doc_id
+    ), tok3 AS (
+        SELECT k.doc_id,
+               string_split(trim(regexp_replace(lower(k.text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM kept2 k LEFT JOIN canon ON k.doc_id = canon.node
+        WHERE canon.node IS NULL OR canon.cluster_id = k.doc_id
+    ), sh3 AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tok) - 5 + 2, 2)),
+                       i -> array_to_string(tok[i:i+4], ' ')))) AS shingle
+            FROM tok3
+        ) WHERE shingle IS NOT NULL AND shingle <> ''
+    ), eval_sh AS (
+        SELECT DISTINCT shingle FROM (
+            SELECT unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tok) - 5 + 2, 2)),
+                       i -> array_to_string(tok[i:i+4], ' ')))) AS shingle
+            FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+                  FROM documents WHERE doc_id % 25 = 0)
+        ) WHERE shingle IS NOT NULL AND shingle <> ''
+    ), contam AS (
+        SELECT DISTINCT s.doc_id FROM sh3 s JOIN eval_sh e USING (shingle)
+    ), kept4 AS (
+        SELECT t.doc_id, CAST(len(t.tok) AS BIGINT) AS n_tokens
+        FROM tok3 t
+        WHERE t.doc_id NOT IN (SELECT doc_id FROM contam)
+    ), laid AS (
+        SELECT CAST({H} % {_E2E2_SHARDS} AS BIGINT) AS shard, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                    PARTITION BY {H} % {_E2E2_SHARDS}
+                    ORDER BY {H}, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS start
+        FROM kept4 WHERE {H} < {_E2E2_THR}
+    )
+    SELECT doc_id, '' AS drop_reason, CAST(1 AS BIGINT) AS model_version,
+           shard, n_tokens,
+           CAST(start // {_E2E2_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start % {_E2E2_BUDGET} AS BIGINT) AS seq_offset
+    FROM laid
+    UNION ALL
+    SELECT doc_id, 'gopher:' || drop_reasons, CAST(1 AS BIGINT), {nulls}
+    FROM r WHERE drop_reasons <> ''
+    UNION ALL
+    SELECT doc_id, 'lm:' || lm_reasons, CAST(1 AS BIGINT), {nulls}
+    FROM lmdec WHERE lm_reasons <> ''
+    UNION ALL
+    SELECT doc_id, 'near_dup', CAST(1 AS BIGINT), {nulls} FROM near_drop
+    UNION ALL
+    SELECT doc_id, 'contaminated', CAST(1 AS BIGINT), {nulls} FROM contam
+    UNION ALL
+    SELECT doc_id, 'holdout', CAST(1 AS BIGINT), {nulls}
+    FROM kept4 WHERE NOT ({H} < {_E2E2_THR})
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "training_pipeline_e2e_v2",
+    oracle=_e2e_v2_oracle(),
+    doc="The v2 end-to-end training-data prep (verdict r11 #5) — the "
+    "full filter triangle composed ahead of the dedup shuffle, with "
+    "per-row provenance: Gopher rules (narrow map, zero shuffle) -> "
+    "frozen-LM entropy/perplexity filter SERVED from a VERSIONED "
+    "model store (trained on the gopher-kept corpus, published with "
+    "snapshot_write_cas, decisions carry model_version) -> portable "
+    "MinHash near-dup dedup (LSH candidates + exact verify + "
+    "connected components, fully oracle-replayed) -> benchmark "
+    "decontamination (broadcast eval shingles) -> deterministic 80% "
+    "split -> sharded concat-and-chunk packing. EVERY input doc "
+    "appears exactly once in the output: packed with (shard, seq_id, "
+    "seq_offset) and drop_reason = '', or with its stage-prefixed "
+    "drop_reason ('gopher:...', 'lm:...', 'near_dup', 'contaminated', "
+    "'holdout') — the no-silent-drops ledger a production pipeline "
+    "needs for backfills. The 100 TB ordering argument is structural: "
+    "the cheap filters run as scan-level maps and semi joins BEFORE "
+    "any wide dedup work, so the shingle explode + band shuffle see "
+    "only the filtered corpus (plan-pinned by "
+    "tests/test_plans.py:test_e2e_v2_filters_before_dedup_shuffle).",
+    tags=("pipeline", "training", "dedup", "filter", "store", "composite"),
+)
+def training_pipeline_e2e_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.functions import tokens
+    from bo_sql_spark.operators import corpus_filters as CF
+    from bo_sql_spark.operators import dedup as D
+    from bo_sql_spark.operators.text import (
+        cross_entropy_served,
+        doc_term_freq,
+        lm_smoothed_model,
+    )
+    from bo_sql_spark.queries.pipeline import _lm_filter_decisions
+    from bo_sql_spark.sinks import snapshot_read, snapshot_write_cas
+
+    docs = _t(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    evalset = docs.filter(F.col("doc_id") % 25 == 0)
+
+    nulls = [
+        F.lit(None).cast("long").alias(c)
+        for c in ("shard", "n_tokens", "seq_id", "seq_offset")
+    ]
+
+    # stage 1: gopher rules — narrow map over the scan (stopword
+    # threshold tuned to the fixture corpus, see _E2E2_GOPHER_RULES).
+    # Checkpointed: the decision table feeds both the keep semi join
+    # and the provenance branch (one-consumer rule; it is doc-id grain,
+    # never text).
+    g = CF.gopher_keep(train, rules=_E2E2_GOPHER_RULES).select(
+        "doc_id", "keep", "drop_reasons"
+    ).localCheckpoint(eager=False)
+    gkeep = train.join(
+        g.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # stage 2: LM filter, served from the VERSIONED model store —
+    # trained on the gopher-kept corpus, one CAS commit, decisions
+    # carry the committed version (deterministically 1: fresh store)
+    tf = doc_term_freq(gkeep).localCheckpoint(eager=False)
+    terms, total = lm_smoothed_model(tf)
+    terms = terms.localCheckpoint(eager=False)
+    total = total.localCheckpoint(eager=False)
+    mean = cross_entropy_served(tf, terms, total).agg(
+        F.expr("CAST(SUM(cross_entropy_micros) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_ce"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bosql_e2e_v2_") + "/model"
+    v = snapshot_write_cas(
+        spark,
+        terms.crossJoin(F.broadcast(total.select("_lnNV"))).crossJoin(
+            F.broadcast(mean)
+        ),
+        root,
+    )
+    model = snapshot_read(spark, root, version=v).localCheckpoint(eager=False)
+    lmdec = _lm_filter_decisions(
+        tf,
+        model.select("term", "_lngf1"),
+        model.select("_lnNV").limit(1),
+        model.select("mean_ce").limit(1),
+    ).select("doc_id", "keep", "drop_reasons")
+    # The filtered corpus is MATERIALIZED once (lazy checkpoint) before
+    # the dedup stage — at 100 TB this is the write-the-filtered-corpus
+    # step: the dedup leg has several consumers (signature explode,
+    # verify sides, survivor joins) and each would otherwise re-run the
+    # scan + both filters. The filters-before-dedup ordering this buys
+    # is pinned structurally by tests/test_plans.py.
+    kept2 = gkeep.join(
+        lmdec.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=False)
+
+    # stage 3: portable MinHash near-dup dedup — the first wide stage;
+    # its shingle explode and band shuffle see only the filtered corpus
+    pairs = D.minhash_dedup_pairs_portable(kept2, threshold=0.5)
+    canon = D.connected_components(pairs.select("id_a", "id_b"))
+    near_drop = (
+        kept2.join(canon, kept2.doc_id == canon.node)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    kept3 = kept2.join(
+        canon, kept2.doc_id == canon.node, "left"
+    ).filter(
+        F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    ).select("doc_id", "text")
+
+    # stages 4-6: decontaminate -> split -> pack
+    surv4, contam = D.decontaminate(kept3, evalset, k=5)
+    clean = surv4.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    sampled = SA.hash_sample(clean, "doc_id", 0.8, salt=_E2E2_SALT)
+    holdout = clean.join(sampled.select("doc_id"), "doc_id", "left_anti")
+    packed = SA.pack_sequences_sharded(
+        sampled, "doc_id", "n_toks",
+        budget=_E2E2_BUDGET, n_shards=_E2E2_SHARDS, salt=_E2E2_SALT,
+    )
+
+    mv = F.lit(int(v)).cast("long").alias("model_version")
+    out = packed.select(
+        "doc_id", F.lit("").alias("drop_reason"), mv,
+        "shard", "n_tokens", "seq_id", "seq_offset",
+    )
+    out = out.unionByName(
+        g.filter(~F.col("keep")).select(
+            "doc_id",
+            F.concat(F.lit("gopher:"), F.col("drop_reasons")).alias("drop_reason"),
+            mv, *nulls,
+        )
+    )
+    out = out.unionByName(
+        lmdec.filter(~F.col("keep")).select(
+            "doc_id",
+            F.concat(F.lit("lm:"), F.col("drop_reasons")).alias("drop_reason"),
+            mv, *nulls,
+        )
+    )
+    out = out.unionByName(
+        near_drop.select("doc_id", F.lit("near_dup").alias("drop_reason"), mv, *nulls)
+    )
+    out = out.unionByName(
+        contam.select("doc_id", F.lit("contaminated").alias("drop_reason"), mv, *nulls)
+    )
+    out = out.unionByName(
+        holdout.select("doc_id", F.lit("holdout").alias("drop_reason"), mv, *nulls)
+    )
+    return out.orderBy("doc_id")

@@ -173,7 +173,9 @@ def snapshot_version(spark, root: str) -> int:
     return int(text) if text.isdigit() else 0
 
 
-def snapshot_write(spark, df: DataFrame, root: str) -> int:
+def snapshot_write(
+    spark, df: DataFrame, root: str, partition_by: list[str] | None = None
+) -> int:
     """Commit ``df`` as the table's next version; returns the version.
 
     Write order is the whole protocol: (1) data to the immutable
@@ -183,12 +185,20 @@ def snapshot_write(spark, df: DataFrame, root: str) -> int:
     copy of a <20-byte object followed by the pointer PUT, and the
     PUT itself is atomic, so readers still see old-or-new, never
     half). A crash before (2) leaves an orphan version directory that
-    ``snapshot_vacuum`` removes."""
+    ``snapshot_vacuum`` removes.
+
+    ``partition_by`` lays each version out hive-partitioned, so
+    readers filtering on those columns get PARTITION PRUNING inside
+    the version dir — what lets a versioned SERVING index (IVF cells,
+    term buckets) keep its pruned-scan economics across CAS swaps."""
     from bo_sql_spark import fsutil
 
     v = _resolve_version(spark, root) + 1  # respects CAS commits too
     data_dir = root.rstrip("/") + f"/v={v}"
-    df.write.mode("errorifexists").parquet(data_dir)
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(data_dir)
     tmp = _pointer_path(root) + f".tmp-{v}"
     fs, hpath = fsutil._fs_and_path(spark, tmp)
     out = fs.create(hpath, True)
@@ -373,6 +383,7 @@ def snapshot_write_cas(
     root: str,
     max_attempts: int = 16,
     allow_downgrade: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next version under MULTI-writer contention;
     returns the committed version.
@@ -417,7 +428,7 @@ def snapshot_write_cas(
                 f"protocol under {root}: {reason}",
                 stacklevel=2,
             )
-            return snapshot_write(spark, df, root)
+            return snapshot_write(spark, df, root, partition_by=partition_by)
         raise RuntimeError(
             f"snapshot_write_cas: filesystem cannot arbitrate concurrent "
             f"writers under {root}: {reason} (pass allow_downgrade=True to "
@@ -433,7 +444,10 @@ def snapshot_write_cas(
             continue  # lost the claim-marker race
         data_dir = root.rstrip("/") + f"/v={v}"
         try:
-            df.write.mode("errorifexists").parquet(data_dir)
+            w = df.write.mode("errorifexists")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(data_dir)
         except Exception as ex:
             if _is_path_exists_write_error(ex):
                 # check-then-act FS: another writer also won this claim

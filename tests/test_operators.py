@@ -2866,3 +2866,57 @@ def test_entropy_from_counts_uniform_and_degenerate(spark):
     )
     rz = entropy_from_counts(withzero).first()
     assert rz["n_categories"] == 2 and rz["norm_entropy_permille"] == 1000
+
+
+def test_minhash_portable_signature_matches_pure_python(spark):
+    """The portable MinHash must be reproducible OUTSIDE Spark from its
+    spec alone (that is the whole point): recompute a doc's signature
+    with hashlib.md5 + plain ints and compare bit-for-bit; empty docs
+    surface with NULL signatures like the xxhash64 form."""
+    import hashlib
+
+    from bo_sql_spark.operators.dedup import (
+        _PMH_P,
+        _pmh_ab,
+        minhash_signatures_portable,
+    )
+
+    corpus = [
+        (1, "spark join scan join vector fast"),
+        (2, "  Spark   JOIN scan join vector fast "),  # normalizes equal
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in minhash_signatures_portable(docs, n_hashes=8).collect()
+    }
+
+    def shingles(text, k=3):
+        toks = " ".join(text.lower().split()).split(" ")
+        if len(toks) <= k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        out, seen = [], set()
+        for g in grams:
+            if g and g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    def sig(text, n=8):
+        hbs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _PMH_P
+            for s in shingles(text)
+        ]
+        return [
+            min((hb * a + b) % _PMH_P for hb in hbs)
+            for a, b in (_pmh_ab(i) for i in range(n))
+        ]
+
+    want = sig("spark join scan join vector fast")
+    assert list(rows[1]["minhash"]) == want
+    assert list(rows[2]["minhash"]) == want  # normalization-invariant
+    assert rows[3]["minhash"] is None and rows[4]["minhash"] is None

@@ -546,3 +546,86 @@ def test_plan_baseline_diff_catches_seeded_regression():
     assert list(flags) == ["q1"] and "exchanges 1 -> 2" in flags["q1"][0]
     assert any(n.startswith("IMPROVED q2: smj") for n in notes)
     assert any(n.startswith("NEW q3") for n in notes)
+
+
+def test_e2e_v2_filters_before_dedup_shuffle(spark, sf_dir):
+    """The e2e-v2 ordering argument, pinned two ways:
+
+    (a) STRUCTURAL, on the registered query: the dedup stage's shingle
+    Generate consumes the CHECKPOINTED filtered corpus (a LogicalRDD
+    leaf), never a raw documents scan — i.e. the filters are
+    materialized strictly before any wide dedup work, which is the
+    write-the-filtered-corpus step a 100 TB pipeline performs.
+
+    (b) ON THE UNFUSED COMPOSITION (same stages, no checkpoint): in the
+    optimized plan the shingle Generate sits ABOVE both semi joins
+    (gopher keep + LM keep), so Catalyst keeps the filters between the
+    scan and the explode — the explode multiplies only filtered rows."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators import corpus_filters as CF
+    from bo_sql_spark.operators import dedup as D
+    from bo_sql_spark.queries.training import _E2E2_GOPHER_RULES
+
+    # (a) the registered query
+    df = _df(spark, sf_dir, "training_pipeline_e2e_v2")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    gen_lines = [
+        ln for ln in opt.splitlines() if "Generate explode" in ln
+    ]
+    assert gen_lines, opt
+    # every explode in the final plan feeds off materialized RDDs —
+    # no 'Relation' (raw parquet) appears below a Generate subtree.
+    # Cheap proxy: the dedup branch's Generate lines and the raw
+    # documents Relation never share a subtree: each Generate's
+    # deeper-indented block contains LogicalRDD before any Relation.
+    def subtree(lines, i):
+        def indent(s):
+            return len(s) - len(s.lstrip(" :+-"))
+        base = indent(lines[i])
+        out = []
+        for ln in lines[i + 1:]:
+            if ln.strip() and indent(ln) <= base:
+                break
+            out.append(ln)
+        return out
+
+    lines = opt.splitlines()
+    for i, ln in enumerate(lines):
+        if "Generate explode" not in ln:
+            continue
+        below = subtree(lines, i)
+        leaf = next(
+            (l for l in below if "LogicalRDD" in l or "Relation" in l), None
+        )
+        assert leaf is not None, opt
+        if "LogicalRDD" in leaf:
+            continue  # reads the materialized filtered corpus: the pin
+        # the one legitimate raw-corpus explode is the decontamination
+        # stage's EVAL-set shingles (doc_id % 25 = 0) — tiny by design
+        assert any("% 25) = 0" in l for l in below), (
+            "a dedup-stage explode reads an unfiltered corpus scan:\n" + ln
+        )
+
+    # (b) the unfused composition: filters visibly below the Generate
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    g = CF.gopher_keep(train, rules=_E2E2_GOPHER_RULES).select("doc_id", "keep")
+    gkeep = train.join(
+        g.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    # a cheap stand-in for the LM keep set (the pin is about ORDER, not
+    # the decision values): any second semi join at doc grain
+    lm_kept = train.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    kept2 = gkeep.join(lm_kept, "doc_id", "left_semi")
+    pairs = D.minhash_dedup_pairs_portable(kept2, threshold=0.5)
+    opt2 = pairs._jdf.queryExecution().optimizedPlan().toString()
+    lines2 = opt2.splitlines()
+    gen_idx = [i for i, ln in enumerate(lines2) if "Generate explode" in ln]
+    assert gen_idx, opt2
+    for i in gen_idx:
+        below = subtree(lines2, i)
+        semis = [l for l in below if "Join LeftSemi" in l]
+        assert len(semis) >= 2, (
+            "explode not above both filter semi joins:\n" + lines2[i]
+        )

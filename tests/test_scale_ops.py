@@ -649,3 +649,84 @@ def test_compact_postings_store_shrinks_files_and_preserves_serving(spark, tmp_p
         for r in bm25_served(spark, store2, terms, k=100, n_term_buckets=16).collect()
     )
     assert post_bm == pre_bm
+
+
+def test_ivf_snapshot_swap_prunes_and_time_travels(spark, tmp_path):
+    """The versioned IVF index (store_ivf_model_swap's mechanism):
+    a (kind, cell)-partitioned snapshot version must serve through
+    partition pruning — static kind='a' on the scan plus a
+    dynamicpruningexpression from the broadcast probe join on cell —
+    and the CAS swap must leave v1 intact (time travel) while new
+    serves read v2's centroids."""
+    import numpy as np
+
+    from bo_sql_spark.operators.similarity import (
+        ivf_assign,
+        ivf_batch_topk_from_store,
+    )
+    from bo_sql_spark.sinks import snapshot_read, snapshot_write_cas
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(120)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "ivfswap")
+
+    def publish(cents):
+        a = ivf_assign(emb, cents).select(
+            "vec_id", F.col("embedding").alias("vec"),
+            F.lit("a").alias("kind"), F.col("cell").cast("long").alias("cell"),
+        )
+        c = cents.select(
+            F.col("c_id").cast("long").alias("vec_id"),
+            F.col("c_vec").alias("vec"),
+            F.lit("c").alias("kind"), F.col("c_id").cast("long").alias("cell"),
+        )
+        return a.unionByName(c)
+
+    cents1 = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    cents2 = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    v1 = snapshot_write_cas(spark, publish(cents1), root,
+                            partition_by=["kind", "cell"])
+    v2 = snapshot_write_cas(spark, publish(cents2), root,
+                            partition_by=["kind", "cell"])
+    assert (v1, v2) == (1, 2)
+
+    def serve(version):
+        store = snapshot_read(spark, root, version=version)
+        cents = store.filter(F.col("kind") == "c").select(
+            F.col("cell").cast("long").alias("c_id"), F.col("vec").alias("c_vec")
+        )
+        idx = store.filter(F.col("kind") == "a").select(
+            "vec_id", F.col("vec").alias("embedding"), "cell"
+        )
+        qs = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        return ivf_batch_topk_from_store(idx, qs, cents, n_probe=1, k=5)
+
+    served = serve(v2)
+    text = explain_str(served, "formatted")
+    assert "dynamicpruningexpression" in text, text
+    pf = [
+        ln for ln in text.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert pf, text
+    # static kind filter also lands on partition columns somewhere in
+    # the scan (kind is a partition dir, never a data-file read)
+    assert any("kind" in ln for ln in text.splitlines()
+               if "PartitionFilters" in ln), text
+    rows = served.collect()
+    assert 0 < len(rows) <= 10
+
+    # time travel: v1's centroid rows are untouched by the swap, and
+    # the two versions really carry different centroid sets
+    c_v1 = {r["vec_id"] for r in snapshot_read(spark, root, version=1)
+            .filter(F.col("kind") == "c").collect()}
+    c_v2 = {r["vec_id"] for r in snapshot_read(spark, root, version=2)
+            .filter(F.col("kind") == "c").collect()}
+    assert c_v1 == {0, 1, 2, 3} and c_v2 == {4, 5, 6, 7}
