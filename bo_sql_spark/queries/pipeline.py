@@ -4654,6 +4654,91 @@ def store_snapshot_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
     return out.orderBy("version")
 
 
+@register(
+    "store_snapshot_retention_horizon",
+    oracle="""
+    WITH v3 AS (
+        SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0
+    ), v4 AS (
+        SELECT COUNT(*) AS n FROM documents
+    )
+    SELECT CAST(1 AS BIGINT) AS version, 'young_retained' AS phase1,
+           'removed' AS phase2, CAST(0 AS BIGINT) AS n_docs
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'young_retained', 'removed', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'young_retained', 'kept', CAST(n AS BIGINT) FROM v3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'young_retained', 'kept', CAST(n AS BIGINT) FROM v4
+    ORDER BY version
+    """,
+    doc="Retention POLICY on the snapshot store (verdict r11 #6): an "
+    "append-only decision/postings log compacts into new versions "
+    "forever, so vacuum needs BOTH rails — keep the last N versions "
+    "AND everything newer than the time horizon T (sinks.py:"
+    "snapshot_vacuum's min_age_s, Delta's retention period). Commit "
+    "four versions; phase 1 vacuums with keep=2 but a far horizon — "
+    "NOTHING may be removed even though v1/v2 are beyond the count "
+    "window, because every commit is younger than T (the rail that "
+    "protects a long-running reader of a just-superseded version); "
+    "phase 2 vacuums with the horizon at 0 — exactly v1/v2 go, v3/v4 "
+    "stay readable and intact (profiles re-read from the store). A "
+    "vacuum that ignores the horizon, removes a kept version, or "
+    "corrupts a survivor hash-mismatches. The concurrent-reader race "
+    "itself is pinned by tests/test_sinks.py:"
+    "test_vacuum_concurrent_reader_of_retained_version.",
+    tags=("pipeline", "store"),
+)
+def store_snapshot_retention_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.sinks import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write_cas,
+    )
+
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="bosql_ret_") + "/tbl"
+    snapshot_write_cas(spark, docs.filter(F.col("doc_id") % 5 == 0), root)
+    snapshot_write_cas(spark, docs.filter(F.col("doc_id") % 3 == 0), root)
+    snapshot_write_cas(spark, docs.filter(F.col("doc_id") % 2 == 0), root)
+    snapshot_write_cas(spark, docs, root)
+
+    # phase 1: count window says drop v1/v2, the horizon says all four
+    # commits are younger than a week — nothing may go
+    removed_1 = snapshot_vacuum(
+        spark, root, keep=2, claim_min_age_s=0, min_age_s=7 * 86400
+    )
+    if removed_1:
+        raise RuntimeError(
+            f"horizon ignored: vacuum removed {removed_1} inside min_age_s"
+        )
+    phase1 = {v: "young_retained" for v in (1, 2, 3, 4)}
+
+    # phase 2: horizon at 0 — the count window alone decides
+    removed_2 = set(snapshot_vacuum(spark, root, keep=2, claim_min_age_s=0))
+    rows = []
+    for v in (1, 2, 3, 4):
+        rows.append((v, phase1[v], "removed" if v in removed_2 else "kept"))
+    base = spark.createDataFrame(rows, "version long, phase1 string, phase2 string")
+    profiles = None
+    for v in sorted({1, 2, 3, 4} - removed_2):
+        p = snapshot_read(spark, root, v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        profiles = p if profiles is None else profiles.unionByName(p)
+    return (
+        base.join(profiles, "version", "left")
+        .select(
+            "version", "phase1", "phase2",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("version")
+    )
+
+
 _PROXIMITY_ORACLE = """
     WITH arrs AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr

@@ -242,7 +242,11 @@ def snapshot_read(spark, root: str, version: int | None = None) -> DataFrame:
 
 
 def snapshot_vacuum(
-    spark, root: str, keep: int = 2, claim_min_age_s: int = 86400
+    spark,
+    root: str,
+    keep: int = 2,
+    claim_min_age_s: int = 86400,
+    min_age_s: float = 0.0,
 ) -> list[int]:
     """Delete version directories older than the newest ``keep``
     committed ones, PLUS crashed-writer orphans. Returns the versions
@@ -250,6 +254,18 @@ def snapshot_vacuum(
     entries, or the kept versions, so concurrent readers of retained
     versions are safe; readers of a vacuumed version fail loudly (the
     time-travel retention trade every lakehouse documents).
+
+    ``min_age_s`` is the TIME-HORIZON retention rail (Delta's VACUUM
+    retention period): a committed version outside the keep window is
+    still retained while its commit is younger than ``min_age_s`` —
+    the policy is "keep the last N versions AND everything newer than
+    T". The horizon is what protects in-flight READERS of a
+    just-superseded version on an append-heavy store (a decision log
+    compacting every few minutes would otherwise vacuum a version a
+    long-running backfill is still scanning); the default 0 keeps the
+    pure count-based behavior for tests and manual runs. Age is the
+    commit marker's mtime where one exists (CAS protocol), else the
+    data directory's.
 
     Orphan arbitration differs by protocol: a pointer-protocol orphan
     (data dir newer than the pointer, NO claim marker) can only be a
@@ -281,7 +297,12 @@ def snapshot_vacuum(
         is_committed = v in committed or (v not in claims and v <= cur)
         if is_committed:
             if v > cur - int(keep):
-                continue  # retained
+                continue  # retained by count
+            if min_age_s > 0:
+                marker = _marker_path(root, _COMMITS_DIR, v)
+                stamp = marker if fsutil.exists(spark, marker) else full
+                if (now_ms - fsutil.mtime_ms(spark, stamp)) / 1000.0 < min_age_s:
+                    continue  # retained by the time horizon
         elif v in claims:
             age_s = (
                 now_ms - fsutil.mtime_ms(spark, _marker_path(root, _CLAIMS_DIR, v))

@@ -520,8 +520,9 @@ def test_plan_lint_flags_undocumented_bounded_window():
     assert undocumented_window_flags("search_hybrid_rrf", 2) == []
     assert undocumented_window_flags("no_windows_at_all", 0) == []
     # every registry entry documents a non-empty bound argument
-    for name, (n, why) in BOUNDED_GLOBAL_WINDOWS.items():
+    for name, (n, why, ceiling) in BOUNDED_GLOBAL_WINDOWS.items():
         assert n >= 1 and why.strip(), name
+        assert ceiling is None or ceiling >= 1, name
 
 
 def test_plan_baseline_diff_catches_seeded_regression():
@@ -629,3 +630,32 @@ def test_e2e_v2_filters_before_dedup_shuffle(spark, sf_dir):
         assert len(semis) >= 2, (
             "explode not above both filter semi joins:\n" + lines2[i]
         )
+
+
+def test_measured_window_input_verification(spark):
+    """The whitelist's MEASURED half (r11 verdict #7): the lint reads a
+    global window's actual input row count from executed-plan metrics.
+    Seeded checks: (a) a rank window over a grouped aggregate measures
+    the group cardinality exactly; (b) a fused-top-k-then-rank plan
+    measures the LIMIT, not the pre-limit count (the false-flag shape
+    the limit cap exists for)."""
+    import pyspark.sql.functions as F
+
+    from tools_plan_lint import measure_global_window_inputs
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(1000)], "k long, v long"
+    )
+    agg = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    ranked = agg.select(
+        "k", F.row_number().over(Window.orderBy(F.col("n").desc(), "k")).alias("r")
+    )
+    assert measure_global_window_inputs(ranked) == [7]
+
+    topk = df.orderBy(F.col("v").desc(), "k").limit(25)
+    ranked2 = topk.select(
+        "k", F.row_number().over(Window.orderBy(F.col("v").desc(), "k")).alias("r")
+    )
+    counts = measure_global_window_inputs(ranked2)
+    assert counts == [25], counts

@@ -695,3 +695,44 @@ def test_is_already_exists_exception_concrete_classes():
     miss = _Py4JError(_JThrowable("java.io.IOException"))
     assert not _is_already_exists_exception(miss)
     assert not _is_already_exists_exception(ValueError("path already exists"))
+
+
+def test_vacuum_concurrent_reader_of_retained_version(spark, tmp_path):
+    """The retention race (verdict r11 #6): a reader holding an OPEN
+    plan on a retained version must survive a vacuum that reclaims
+    older versions (version dirs are immutable and vacuum never
+    touches retained ones); a reader of the vacuumed version fails
+    loudly; and the time horizon retains an out-of-count-window
+    version while it is younger than min_age_s."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from bo_sql_spark.sinks import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write_cas,
+    )
+
+    root = str(tmp_path / "ret")
+    for n in (10, 20, 30):
+        df = spark.range(n).select(F.col("id").cast("long").alias("id"))
+        snapshot_write_cas(spark, df, root)
+
+    # reader opens v2 BEFORE the vacuum; vacuum reclaims only v1
+    reader = snapshot_read(spark, root, version=2)
+    removed = snapshot_vacuum(spark, root, keep=2, claim_min_age_s=0)
+    assert removed == [1]
+    assert reader.count() == 20  # the open plan still reads v2 intact
+
+    # horizon rail: keep=1 would drop v2, but it is younger than T
+    assert snapshot_vacuum(
+        spark, root, keep=1, claim_min_age_s=0, min_age_s=3600
+    ) == []
+    assert snapshot_read(spark, root, version=2).count() == 20
+
+    # horizon at 0: v2 goes; its reader now fails loudly
+    assert snapshot_vacuum(spark, root, keep=1, claim_min_age_s=0) == [2]
+    with pytest.raises(Exception):
+        snapshot_read(spark, root, version=2).count()
+    # latest keeps resolving
+    assert snapshot_read(spark, root).count() == 30
