@@ -5291,6 +5291,34 @@ def stream_search_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_bm25_served_appended",
+    oracle=_BM25_ORACLE,
+    doc="RANKED retrieval served from a STREAMING-MAINTAINED index — "
+    "the upgrade append_postings bought (r12): the microbatch ingest "
+    "now sum-merges the 1-row (n_docs, sum_dl) stats table on every "
+    "append (per-doc-local facts, so the drained store's stats equal "
+    "a batch build's under ANY batching), which makes bm25_served's "
+    "fallback path TOTAL on streaming stores: per-term df from the "
+    "pruned postings (exact — pruning keeps every posting of the "
+    "query terms), corpus stats from the maintained table, scores "
+    "bit-identical to the one-shot bm25_topk (shared fold). Runs "
+    "against text_bm25_topdocs' oracle VERBATIM — ranked "
+    "serve-equals-batch, now across the streaming maintenance path "
+    "too (the conjunctive twin is stream_search_index_ingest). The "
+    "precomputed-idf table is deliberately absent here: idf is a "
+    "global ratio, not mergeable, so appends invalidate it and the "
+    "periodic materialize_inverted_index rebuild restores the "
+    "amortized path.",
+    tags=("pipeline", "text", "search", "streaming"),
+)
+def stream_bm25_served_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.search import bm25_served
+
+    store = _ingest_postings_stream(spark, sf_dir, n_buckets=64)
+    return bm25_served(spark, store, list(_SEARCH_TERMS), k=20, n_term_buckets=64)
+
+
+@register(
     "stream_search_index_compacted",
     oracle=_SERVED_CONJ_ORACLE,
     doc="Postings-store COMPACTION closes the streaming-ingest loop "
