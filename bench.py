@@ -99,6 +99,9 @@ PIPELINE = [
     # builder below) and the single-scan entropy/perplexity filter
     "text_bm25_served",
     "corpus_filter_entropy",
+    # round 12: the oracle-checked portable-MinHash dedup chain
+    # (signature -> LSH -> verify -> components -> survivors)
+    "dedup_minhash_survivors_portable",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.
