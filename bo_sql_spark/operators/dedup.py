@@ -623,6 +623,7 @@ def materialize_minhash_index(
     n_hashes: int = 32,
     bands: int = 16,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> None:
     """Persist the corpus's LSH state so future batches NEVER recompute
     it — the dedup twin of ``similarity.materialize_ivf_assignment``.
@@ -639,14 +640,26 @@ def materialize_minhash_index(
     incremental batch then costs O(batch) signature work + a join of
     the batch's tiny band rows against the index (shuffle volume is the
     batch side, the index is read partition-pruned per band).
+
+    ``portable=True`` builds the index with the SQL-replayable hash
+    family (minhash_signatures_portable + the r=2 packed bands, which
+    requires n_hashes == 2*bands) — probes against it grade against a
+    full oracle instead of rows-only; the xxhash64 family stays the
+    production default.
     """
-    with_sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k).filter(
-        F.col("minhash").isNotNull()
-    )
-    rows_per_band = n_hashes // bands
-    lsh_band_rows(with_sig, id_col, "minhash", bands, rows_per_band).write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(path + "/bands")
+    if portable:
+        with_sig = minhash_signatures_portable(
+            docs, id_col, text_col, n_hashes, shingle_k
+        ).filter(F.col("minhash").isNotNull())
+        band_rows = lsh_band_rows_portable(with_sig, id_col, "minhash", bands)
+    else:
+        with_sig = minhash_signatures(
+            docs, id_col, text_col, n_hashes, shingle_k
+        ).filter(F.col("minhash").isNotNull())
+        band_rows = lsh_band_rows(
+            with_sig, id_col, "minhash", bands, n_hashes // bands
+        )
+    band_rows.write.mode("overwrite").partitionBy("band").parquet(path + "/bands")
     with_sig.select(id_col, "shingles").write.mode("overwrite").parquet(
         path + "/shingles"
     )
@@ -662,6 +675,7 @@ def minhash_probe_index(
     n_hashes: int = 32,
     bands: int = 16,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and a materialized index:
     (new_id, idx_id, jacc), exact-verified at ``threshold``.
@@ -669,15 +683,23 @@ def minhash_probe_index(
     The batch computes its own signatures (one codegen pass), its band
     rows join the index's band table on (band, h), and only candidate
     ids ever touch shingle sets. Signature parameters must match the
-    index build — they define the hash space.
+    index build — they define the hash space (including ``portable``,
+    which selects the SQL-replayable family).
     """
-    new_sig = minhash_signatures(
-        new_docs, id_col, text_col, n_hashes, shingle_k
-    ).filter(F.col("minhash").isNotNull())
-    rows_per_band = n_hashes // bands
-    new_bands = lsh_band_rows(new_sig, id_col, "minhash", bands, rows_per_band).select(
-        F.col(id_col).alias("new_id"), "band", "h"
-    )
+    if portable:
+        new_sig = minhash_signatures_portable(
+            new_docs, id_col, text_col, n_hashes, shingle_k
+        ).filter(F.col("minhash").isNotNull())
+        new_bands = lsh_band_rows_portable(
+            new_sig, id_col, "minhash", bands
+        ).select(F.col(id_col).alias("new_id"), "band", "h")
+    else:
+        new_sig = minhash_signatures(
+            new_docs, id_col, text_col, n_hashes, shingle_k
+        ).filter(F.col("minhash").isNotNull())
+        new_bands = lsh_band_rows(
+            new_sig, id_col, "minhash", bands, n_hashes // bands
+        ).select(F.col(id_col).alias("new_id"), "band", "h")
     idx_bands = spark.read.parquet(index_path + "/bands").select(
         F.col(id_col).alias("idx_id"), "band", "h"
     )

@@ -35,6 +35,71 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return load_tables(spark, sf_dir)
 
 
+def _portable_minhash_pairs_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    prefix: str = "pm",
+) -> str:
+    """CTE chain replaying minhash_signatures_portable -> r=2 LSH
+    candidates -> exact-Jaccard verify in DuckDB, ending in
+    ``{prefix}pairs (id_a, id_b, jacc_raw)``. Same md5-15-hex base
+    hash, per-seed (a_i*h+b_i) mod P family, and mh[2b]*P + mh[2b+1]
+    band packing as operators/dedup.py — bit-identical pair sets."""
+    P = D._PMH_P
+    p, k = prefix, int(shingle_k)
+    consts = [D._pmh_ab(i) for i in range(n_hashes)]
+    mh_exprs = ",\n               ".join(
+        f"MIN((hb * {a} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT {id_col}, CAST({b} AS BIGINT) AS band,"
+        f" mh{2 * b} * {P} + mh{2 * b + 1} AS h FROM {p}sig"
+        for b in range(bands)
+    )
+    return f"""{p}sh AS MATERIALIZED (
+        SELECT {id_col},
+               list_filter(list_distinct(list_transform(
+                   range(1, greatest(len(tok) - {k} + 2, 2)),
+                   i -> array_to_string(tok[i:i+{k - 1}], ' '))),
+                   s -> s <> '') AS sh
+        FROM (SELECT {id_col},
+                     string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' ') AS tok
+              FROM {src})
+    ), {p}ex AS (
+        SELECT {id_col}, unnest(sh) AS s FROM {p}sh
+    ), {p}hb AS (
+        SELECT {id_col},
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {P} AS hb
+        FROM {p}ex
+    ), {p}sig AS MATERIALIZED (
+        SELECT {id_col}, {mh_exprs}
+        FROM {p}hb GROUP BY {id_col}
+    ), {p}bands AS (
+        {band_selects}
+    ), {p}cand AS (
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM {p}bands a JOIN {p}bands b
+          ON a.band = b.band AND a.h = b.h AND a.{id_col} < b.{id_col}
+        GROUP BY 1, 2
+    ), {p}pairs AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jacc_raw
+        FROM {p}cand
+        JOIN {p}sh sa ON sa.{id_col} = id_a
+        JOIN {p}sh sb ON sb.{id_col} = id_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {threshold}
+    )"""
+
+
+
 # ------------------------------------------------------------- dedup
 @register(
     "dedup_exact",
@@ -124,6 +189,49 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_probe_index(
         spark, path, docs.filter(F.col("doc_id") >= 400), threshold=0.5
     ).select("new_id", "idx_id", F.round("jacc", 6).alias("jacc"))
+
+
+@register(
+    "dedup_incremental_minhash_portable",
+    oracle=f"""
+    WITH {_portable_minhash_pairs_sql("documents")}
+    SELECT id_b AS new_id, id_a AS idx_id, ROUND(jacc_raw, 6) AS jacc
+    FROM pmpairs
+    WHERE id_a < 400 AND id_b >= 400
+    ORDER BY new_id, idx_id
+    """,
+    doc="Incremental near-dup with a FULL oracle — "
+    "dedup_incremental_minhash's portable twin (r12): the corpus "
+    "(doc_id < 400) is indexed once with the SQL-replayable hash "
+    "family (band rows parquet-partitioned by band + shingle sets), "
+    "the new batch (doc_id >= 400) probes it, exact-Jaccard verify at "
+    "0.5. Band collision is a pairwise property, so the incremental "
+    "probe's candidate set equals the full-corpus portable-LSH pair "
+    "set restricted to (index x batch) — which is exactly what the "
+    "oracle replays. Same 100 TB economics as the xxhash64 form: "
+    "corpus signatures paid once, per-batch cost O(batch), index "
+    "bands read partition-pruned.",
+    tags=("pipeline", "dedup", "incremental"),
+)
+def dedup_incremental_minhash_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    docs = _t(spark, sf_dir)["documents"]
+    path = tempfile.mkdtemp(prefix="bosql_mhidxp_") + "/index"
+    D.materialize_minhash_index(
+        docs.filter(F.col("doc_id") < 400), path,
+        n_hashes=16, bands=8, portable=True,
+    )
+    return (
+        D.minhash_probe_index(
+            spark, path, docs.filter(F.col("doc_id") >= 400),
+            threshold=0.5, n_hashes=16, bands=8, portable=True,
+        )
+        .select("new_id", "idx_id", F.round("jacc", 6).alias("jacc"))
+        .orderBy("new_id", "idx_id")
+    )
 
 
 @register(
@@ -369,70 +477,6 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id")))
         .select("doc_id")
     )
-
-
-def _portable_minhash_pairs_sql(
-    src: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_hashes: int = 16,
-    bands: int = 8,
-    threshold: float = 0.5,
-    shingle_k: int = 3,
-    prefix: str = "pm",
-) -> str:
-    """CTE chain replaying minhash_signatures_portable -> r=2 LSH
-    candidates -> exact-Jaccard verify in DuckDB, ending in
-    ``{prefix}pairs (id_a, id_b, jacc_raw)``. Same md5-15-hex base
-    hash, per-seed (a_i*h+b_i) mod P family, and mh[2b]*P + mh[2b+1]
-    band packing as operators/dedup.py — bit-identical pair sets."""
-    P = D._PMH_P
-    p, k = prefix, int(shingle_k)
-    consts = [D._pmh_ab(i) for i in range(n_hashes)]
-    mh_exprs = ",\n               ".join(
-        f"MIN((hb * {a} + {b}) % {P}) AS mh{i}"
-        for i, (a, b) in enumerate(consts)
-    )
-    band_selects = "\n        UNION ALL ".join(
-        f"SELECT {id_col}, CAST({b} AS BIGINT) AS band,"
-        f" mh{2 * b} * {P} + mh{2 * b + 1} AS h FROM {p}sig"
-        for b in range(bands)
-    )
-    return f"""{p}sh AS MATERIALIZED (
-        SELECT {id_col},
-               list_filter(list_distinct(list_transform(
-                   range(1, greatest(len(tok) - {k} + 2, 2)),
-                   i -> array_to_string(tok[i:i+{k - 1}], ' '))),
-                   s -> s <> '') AS sh
-        FROM (SELECT {id_col},
-                     string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' ') AS tok
-              FROM {src})
-    ), {p}ex AS (
-        SELECT {id_col}, unnest(sh) AS s FROM {p}sh
-    ), {p}hb AS (
-        SELECT {id_col},
-               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {P} AS hb
-        FROM {p}ex
-    ), {p}sig AS MATERIALIZED (
-        SELECT {id_col}, {mh_exprs}
-        FROM {p}hb GROUP BY {id_col}
-    ), {p}bands AS (
-        {band_selects}
-    ), {p}cand AS (
-        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
-        FROM {p}bands a JOIN {p}bands b
-          ON a.band = b.band AND a.h = b.h AND a.{id_col} < b.{id_col}
-        GROUP BY 1, 2
-    ), {p}pairs AS (
-        SELECT id_a, id_b,
-               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jacc_raw
-        FROM {p}cand
-        JOIN {p}sh sa ON sa.{id_col} = id_a
-        JOIN {p}sh sb ON sb.{id_col} = id_b
-        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {threshold}
-    )"""
 
 
 @register(

@@ -1857,3 +1857,54 @@ def test_lm_served_filter_cross_engine(ctx, model_docs, arr_docs):
     con.unregister("fz_m")
     con.unregister("fz_a")
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=24),
+        min_size=2,
+        max_size=14,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_portable_minhash_pairs_cross_engine(ctx, docs, threshold):
+    """Family 20 — the portable MinHash+LSH pipeline on ARBITRARY
+    corpora: random small docs over a tiny alphabet (so shingle
+    collisions, exact duplicates, and single-token docs all occur
+    routinely) must produce the IDENTICAL verified pair set in Spark
+    (operators/dedup.py:minhash_dedup_pairs_portable) and the DuckDB
+    replay (_portable_minhash_pairs_sql) — signatures, band packing,
+    candidate join, and Jaccard verify all cross-engine exact."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators.dedup import minhash_dedup_pairs_portable
+    from bo_sql_spark.queries.pipeline import _portable_minhash_pairs_sql
+
+    spark, con = ctx
+    texts = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jacc"], 6))
+        for r in minhash_dedup_pairs_portable(df, threshold=threshold).collect()
+    )
+    con.register(
+        "fz_pm",
+        pa.table(
+            {"doc_id": [i for i, _ in texts], "text": [t for _, t in texts]}
+        ),
+    )
+    sql = f"""
+    WITH {_portable_minhash_pairs_sql("fz_pm", threshold=threshold)}
+    SELECT id_a, id_b, ROUND(jacc_raw, 6) AS jacc FROM pmpairs
+    """
+    want = sorted(
+        (int(a), int(b), round(float(j), 6))
+        for a, b, j in con.execute(sql).fetchall()
+    )
+    assert got == want, (got, want)
