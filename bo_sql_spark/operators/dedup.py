@@ -491,6 +491,129 @@ def simhash64(
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+_SIMHASH_P_BITS = 60  # md5-15-hex == 60 bits; fits signed int64 headroom
+
+
+def simhash_portable(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit ENGINE-PORTABLE SimHash per document — simhash64's
+    oracle-checkable twin (same pattern as minhash_signatures_portable:
+    the xxhash64 form stays the production default, this one is
+    SQL-replayable so the whole SimHash near-dup pipeline can grade
+    against a full DuckDB oracle instead of rows-only).
+
+    Per-token base hash: first 15 hex digits of md5(token) as BIGINT
+    (60 bits — the winnow_fingerprints trick; DuckDB replay is
+    ('0x' || substr(md5(t),1,15))::BIGINT). Bit j of the signature is
+    the sign of sum over DISTINCT tokens of (+1 if bit j of the token
+    hash is set else -1) — 60 integer sum-aggregates in whole-stage
+    codegen, state bounded at 60 longs per doc regardless of doc
+    length. Empty tokens and NULL texts are excluded on both engines
+    (split of an empty string yields [''] whose hash would otherwise
+    shift every empty doc to the same non-zero signature).
+    """
+    tok = F.explode(
+        F.array_distinct(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+        )
+    ).alias("tok")
+    exploded = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tok)
+        .filter(F.col("tok") != "")
+        .withColumn(
+            "h",
+            F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"),
+        )
+    )
+    bit_sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(_SIMHASH_P_BITS)
+        ]
+    )
+    sig = None
+    for j in range(_SIMHASH_P_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All document pairs within Hamming distance ``max_hamming`` of
+    each other's portable 60-bit SimHash — (id_a, id_b, hamming).
+
+    Candidate generation is exact-match banding on ``bands`` chunks of
+    60/bands bits each (default 4 x 15): pairs sharing ANY chunk join
+    on (band, chunk) — fixed-width keys, never an all-pairs cross.
+    With max_hamming < bands the banding is COMPLETE by pigeonhole:
+    k <= 3 flipped bits can dirty at most 3 of 4 chunks, so every
+    qualifying pair matches exactly on at least one chunk — the output
+    EQUALS brute-force Hamming search, it is not approximate (asserted
+    in tests against an all-pairs scan). Verification is one
+    bit_count(XOR) per candidate on two longs — no token data moves.
+
+    100 TB shape: signature is a per-doc map (one explode + one
+    groupBy(doc)); the only pairwise exchange is the (band, chunk)
+    self-join whose rows are (id, band, chunk) triples; duplicate-heavy
+    chunks behave like hot LSH buckets (salt via lsh_band_pairs_salted
+    upstream if a chunk's bucket goes quadratic).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            "banding is only complete for max_hamming < bands (pigeonhole)"
+        )
+    if _SIMHASH_P_BITS % bands != 0:
+        raise ValueError("bands must divide 60")
+    chunk_bits = _SIMHASH_P_BITS // bands
+    chunk_mask = (1 << chunk_bits) - 1
+    sig = simhash_portable(docs, id_col, text_col)
+    rows = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.shiftright(F.col("simhash"), b * chunk_bits)
+            .bitwiseAND(F.lit(chunk_mask))
+            .alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    stacked = sig.select(
+        id_col, "simhash", F.explode(F.array(*rows)).alias("bc")
+    ).select(id_col, "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 # ------------------------------------- duplicate clusters (components)
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20

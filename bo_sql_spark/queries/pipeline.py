@@ -370,6 +370,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(t["documents"])
 
 
+def _portable_simhash_pairs_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_hamming: int = 3,
+    prefix: str = "sh",
+) -> str:
+    """CTE chain replaying simhash_portable -> 15-bit-chunk banding ->
+    bit_count(XOR) verify in DuckDB, ending in ``{prefix}pairs (id_a,
+    id_b, hamming)``. Same md5-15-hex per-token hash, bit-sign folds,
+    and chunk packing as operators/dedup.py — bit-identical pair sets."""
+    p = prefix
+    chunk_bits = 60 // bands
+    chunk_mask = (1 << chunk_bits) - 1
+    return f"""{p}tok AS (
+        SELECT {id_col},
+               unnest(list_distinct(string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' '))) AS tok
+        FROM {src} WHERE {text_col} IS NOT NULL
+    ), {p}h AS (
+        SELECT {id_col}, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM {p}tok WHERE tok <> ''
+    ), {p}bits AS (
+        SELECT {id_col}, j.j,
+               SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM {p}h CROSS JOIN (SELECT unnest(range(60)) AS j) j
+        GROUP BY {id_col}, j.j
+    ), {p}sig AS MATERIALIZED (
+        SELECT {id_col}, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+        FROM {p}bits GROUP BY {id_col}
+    ), {p}band AS (
+        SELECT {id_col}, sig, b.b AS band, (sig >> (b.b * {chunk_bits})) & {chunk_mask} AS chunk
+        FROM {p}sig CROSS JOIN (SELECT unnest(range({bands})) AS b) b
+    ), {p}cand AS (
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               a.sig AS sa, b.sig AS sb
+        FROM {p}band a JOIN {p}band b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.{id_col} < b.{id_col}
+    ), {p}pairs AS (
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM {p}cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    )"""
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=f"""
+    WITH {_portable_simhash_pairs_sql("documents")}
+    SELECT id_a, id_b, hamming FROM shpairs
+    """,
+    doc="SimHash near-dup pairs with a FULL oracle (the xxhash64 "
+    "signature family grades rows-only): 60-bit portable SimHash "
+    "(md5-15-hex per-token hashes, operators/dedup.py:simhash_portable) "
+    "-> exact-match banding on 4 x 15-bit chunks -> bit_count(XOR) "
+    "verify at Hamming <= 3. By pigeonhole (3 flips dirty at most 3 of "
+    "4 chunks) the banded output EQUALS brute-force Hamming search — "
+    "exact, not approximate — while only (id, band, chunk) triples "
+    "ever shuffle; the oracle replays signature, banding, and verify "
+    "bit-for-bit over the whole documents table.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return D.simhash_near_dup_pairs_portable(
+        t["documents"], bands=4, max_hamming=3
+    )
+
+
 @register(
     "dedup_embedding_neardup",
     oracle="""
@@ -723,6 +791,96 @@ def similarity_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("id_b"), "embedding"),
         threshold=0.40,
         dim=64,
+    )
+
+
+def _portable_rp_join_sql(
+    src: str = "embeddings",
+    bits: int = 4,
+    seeds: int = 4,
+    threshold: float = 0.40,
+    dims: int = 64,
+    prefix: str = "rp",
+) -> str:
+    """CTE chain replaying approx_similarity_join_portable in DuckDB:
+    fixed-point quantization -> per-seed buckets from the SAME literal
+    md5-derived sign masks (similarity.py:rp_sign_masks) -> (seed,
+    bucket) candidate self-join -> exact integer-dot cosine verify.
+    Ends in ``{prefix}pairs (id_a, id_b, cos)``. Sign vectors are
+    embedded as +-1 literal lists; every dot product is a sum of exact
+    integers below 2^53, so double accumulation is order-independent
+    and the candidate set and values replay bit-for-bit."""
+    from bo_sql_spark.operators.similarity import _RP_SCALE, rp_sign_masks
+
+    p = prefix
+    masks = rp_sign_masks(seeds, bits)
+    buck_rows = []
+    for s in range(seeds):
+        bit_terms = []
+        for pl in range(bits):
+            m = masks[s][pl]
+            signs = ", ".join(
+                "1" if (m >> d) & 1 else "-1" for d in range(dims)
+            )
+            proj = (
+                f"list_dot_product(CAST(qv AS DOUBLE[]),"
+                f" CAST([{signs}] AS DOUBLE[]))"
+            )
+            bit_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << pl} ELSE 0 END)")
+        buck_rows.append(
+            f"SELECT vec_id, qv, {s} AS seed, ("
+            + " + ".join(bit_terms)
+            + f") AS bucket FROM {p}q"
+        )
+    stacked = "\n        UNION ALL ".join(buck_rows)
+    return f"""{p}q AS MATERIALIZED (
+        SELECT vec_id, qv
+        FROM (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    v -> CAST(round(v * {_RP_SCALE}) AS BIGINT)) AS qv
+              FROM {src})
+        WHERE len(list_filter(qv, x -> x <> 0)) > 0
+    ), {p}buck AS MATERIALIZED (
+        {stacked}
+    ), {p}cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.qv AS qa, b.qv AS qb
+        FROM {p}buck a JOIN {p}buck b
+          ON a.seed = b.seed AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), {p}pairs AS (
+        SELECT id_a, id_b,
+               list_dot_product(CAST(qa AS DOUBLE[]), CAST(qb AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qa AS DOUBLE[]), CAST(qa AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(qb AS DOUBLE[]), CAST(qb AS DOUBLE[])))) AS cos
+        FROM {p}cand
+    )"""
+
+
+@register(
+    "similarity_approx_join_portable",
+    oracle=f"""
+    WITH {_portable_rp_join_sql()}
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos_sim
+    FROM rppairs WHERE cos >= 0.4
+    """,
+    doc="Approximate similarity self-join with a FULL oracle (the "
+    "NumPy-literal hyperplanes of similarity_approx_join grade "
+    "rows-only: the sign of a float projection sum is accumulation-"
+    "order-sensitive): fixed-point quantized vectors (round(v*1e6) as "
+    "int64) -> 4 seeds x 4-bit buckets from literal md5-derived "
+    "Rademacher sign masks (similarity.py:rp_sign_masks) -> candidates "
+    "share a (seed, bucket) key -> exact integer-dot cosine verify at "
+    "0.40, rounded 6dp. All arithmetic is exact below 2^53, so DuckDB "
+    "replays candidate set AND values bit-for-bit. bits=4/seeds=4 is "
+    "the measured fewer-bits-more-seeds point: ~65% recall at cos 0.40 "
+    "scanning ~23% of pairs (vs 27% recall at 6 bits equal cost "
+    "shape); recall vs brute force asserted in tests.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_approx_join_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return S.approx_similarity_join_portable(
+        t["embeddings"], threshold=0.40, dim=64, bits=4, seeds=4
     )
 
 

@@ -1908,3 +1908,126 @@ def test_portable_minhash_pairs_cross_engine(ctx, docs, threshold):
         for a, b, j in con.execute(sql).fetchall()
     )
     assert got == want, (got, want)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=24),
+        min_size=2,
+        max_size=14,
+    ),
+    max_hamming=st.sampled_from([1, 2, 3]),
+)
+def test_portable_simhash_pairs_cross_engine(ctx, docs, max_hamming):
+    """Family 21 — the portable SimHash pipeline on ARBITRARY corpora:
+    random small docs over a tiny alphabet (exact duplicates and
+    heavy token overlap occur routinely, so signatures collide and the
+    Hamming filter is exercised at every bound) must produce the
+    IDENTICAL pair set in Spark (operators/dedup.py:
+    simhash_near_dup_pairs_portable) and the DuckDB replay
+    (_portable_simhash_pairs_sql) — token hashes, 60 bit-sign folds,
+    chunk banding, and bit_count(XOR) verify all cross-engine exact."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators.dedup import simhash_near_dup_pairs_portable
+    from bo_sql_spark.queries.pipeline import _portable_simhash_pairs_sql
+
+    spark, con = ctx
+    texts = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs_portable(
+            df, bands=4, max_hamming=max_hamming
+        ).collect()
+    )
+    con.register(
+        "fz_sh",
+        pa.table({"doc_id": [i for i, _ in texts], "text": [t for _, t in texts]}),
+    )
+    sql = f"""
+    WITH {_portable_simhash_pairs_sql("fz_sh", max_hamming=max_hamming)}
+    SELECT id_a, id_b, hamming FROM shpairs
+    """
+    want = sorted(
+        (int(a), int(b), int(h)) for a, b, h in con.execute(sql).fetchall()
+    )
+    con.unregister("fz_sh")
+    assert got == want, (got, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0, max_value=1.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.0, 0.4, 0.8]),
+)
+def test_portable_rp_join_cross_engine(ctx, vecs, threshold):
+    """Family 22 — the portable RP-LSH similarity join on ARBITRARY
+    embeddings (8-dim random float32, including near-zero and
+    all-equal vectors): Spark (similarity.py:
+    approx_similarity_join_portable) and the DuckDB replay
+    (_portable_rp_join_sql) must agree on the CANDIDATE SET (literal
+    md5 sign masks over fixed-point vectors — any quantization or
+    sign-boundary drift changes membership, not a 6dp digit) and the
+    verified cosine values."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators.similarity import approx_similarity_join_portable
+    from bo_sql_spark.queries.pipeline import _portable_rp_join_sql
+
+    spark, con = ctx
+    # vectors that QUANTIZE to zero (all |x| < 0.5e-6) have no cosine
+    # (0/0 -> NaN, whose ordering is an engine quirk we don't grade);
+    # keep them out — the fixture generator never emits them
+    vecs = [v for v in vecs if any(abs(x) >= 1e-3 for x in v)]
+    if len(vecs) < 2:
+        return
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in approx_similarity_join_portable(
+            df, threshold, dim=8, bits=4, seeds=2
+        ).collect()
+    )
+    con.register(
+        "fz_rp",
+        pa.table(
+            {
+                "vec_id": pa.array([i for i, _ in rows], pa.int64()),
+                "embedding": pa.array([v for _, v in rows], pa.list_(pa.float32())),
+            }
+        ),
+    )
+    sql = f"""
+    WITH {_portable_rp_join_sql("fz_rp", bits=4, seeds=2, dims=8)}
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos_sim
+    FROM rppairs WHERE cos >= {threshold}
+    """
+    want = sorted(
+        (int(a), int(b), float(c)) for a, b, c in con.execute(sql).fetchall()
+    )
+    con.unregister("fz_rp")
+    assert got == want, (got, want)

@@ -2920,3 +2920,111 @@ def test_minhash_portable_signature_matches_pure_python(spark):
     assert list(rows[1]["minhash"]) == want
     assert list(rows[2]["minhash"]) == want  # normalization-invariant
     assert rows[3]["minhash"] is None and rows[4]["minhash"] is None
+
+
+def test_simhash_portable_matches_pure_python(spark):
+    """simhash_portable must be reproducible from its spec with
+    hashlib.md5 + plain ints (the portability contract), normalize
+    whitespace/case like the xxhash64 form, and drop NULL/empty docs
+    (no token rows -> no signature row)."""
+    import hashlib
+
+    from bo_sql_spark.operators.dedup import simhash_portable
+
+    corpus = [
+        (1, "Spark JOIN  scan vector"),
+        (2, " spark join scan   vector "),  # normalizes equal to 1
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {r["doc_id"]: r["simhash"] for r in simhash_portable(docs).collect()}
+
+    def sig(text):
+        toks = sorted(set(" ".join(text.lower().split()).split(" ")) - {""})
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        out = 0
+        for j in range(60):
+            s = sum(1 if (h >> j) & 1 else -1 for h in hs)
+            if s > 0:
+                out |= 1 << j
+        return out
+
+    assert rows[1] == sig("spark join scan vector")
+    assert rows[2] == rows[1]
+    # empty/NULL docs produce no token rows, hence no signature row
+    assert 3 not in rows and 4 not in rows
+
+
+def test_simhash_portable_banding_equals_bruteforce(spark, sf_dir):
+    """The pigeonhole claim: with 4 bands and max_hamming=3 the banded
+    pair set EQUALS the all-pairs Hamming scan — banding loses nothing
+    below the bound (and the operator keeps nothing above it)."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.dedup import (
+        simhash_near_dup_pairs_portable,
+        simhash_portable,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs_portable(docs, bands=4, max_hamming=3).collect()
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_portable(docs).collect()}
+    ids = sorted(sigs)
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    )
+    assert got == want and len(want) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs_portable(docs, bands=4, max_hamming=4)
+
+
+def test_approx_join_portable_subset_and_recall(spark, sf_dir):
+    """approx_similarity_join_portable returns a SUBSET of the
+    brute-force quantized-cosine pairs (identical values where found)
+    with recall above the design floor at the default bits=4/seeds=4
+    (measured ~65% on the fixture; assert >= 0.35 to stay robust to
+    fixture regeneration)."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.similarity import (
+        approx_similarity_join_portable,
+        quantize_vec,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in approx_similarity_join_portable(emb, 0.40, dim=64).collect()
+    }
+    # brute force over the quantized vectors (exact integer dots)
+    q = {r["vec_id"]: r["qv"] for r in emb.select("vec_id", quantize_vec("embedding").alias("qv")).collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    ids = sorted(q)
+    want = {
+        (a, b): round(cos(q[a], q[b]), 6)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if cos(q[a], q[b]) >= 0.40
+    }
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) <= 1e-6
+    assert len(want) > 0 and len(got) / len(want) >= 0.35
