@@ -421,6 +421,100 @@ def approx_similarity_join_portable(
     )
 
 
+def quantize_list(vec: list[float], scale: int = _RP_SCALE) -> list[int]:
+    """Driver-side fixed-point quantization matching quantize_vec's
+    engine semantics: ROUND HALF AWAY FROM ZERO (Python's builtin
+    round() is half-even and would disagree on exact .5 products)."""
+    import math
+
+    return [
+        int(math.copysign(math.floor(abs(float(v)) * scale + 0.5), v))
+        for v in vec
+    ]
+
+
+def ann_topk_lsh_portable(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    seeds: int = 4,
+) -> DataFrame:
+    """ann_topk_lsh's ENGINE-PORTABLE twin: top-k by quantized cosine
+    among corpus rows sharing a (seed, bucket) key with the query
+    under ANY of ``seeds`` literal md5-derived mask families —
+    (vec_id, cos_sim), ordered (cos desc, id asc), fully
+    SQL-replayable (the NumPy-plane form grades rows-only).
+
+    The query's per-seed buckets are computed DRIVER-SIDE from the
+    same masks (plain ints, no engine involved) and broadcast as a
+    ``seeds``-row literal join table — the corpus side stays a pure
+    map (quantize + bucket expressions) semi-joined against it, so at
+    scale only matching buckets' rows reach the top-k heap
+    (TakeOrderedAndProject). Exact integer dots make the score and
+    its ordering engine-independent; ties break on id."""
+    masks = rp_sign_masks(seeds, bits)
+    qq = quantize_list(query_vec)
+    if not any(qq):
+        raise ValueError("query vector quantizes to zero — cosine undefined")
+    qbuckets = []
+    for s in range(seeds):
+        b = 0
+        for p, m in enumerate(masks[s]):
+            proj = sum(
+                v if (m >> d) & 1 else -v for d, v in enumerate(qq[:dim])
+            )
+            if proj >= 0:
+                b |= 1 << p
+        qbuckets.append((s, b))
+    spark = emb.sparkSession
+    probe = F.broadcast(
+        spark.createDataFrame(qbuckets, "seed int, bucket long")
+    )
+    q = emb.select(F.col(id_col), quantize_vec(vec_col).alias("qv")).filter(
+        F.exists("qv", lambda x: x != 0)
+    )
+    parts = [
+        q.select(
+            id_col,
+            "qv",
+            F.lit(s).alias("seed"),
+            _rp_bucket(F.col("qv"), masks[s], dim).alias("bucket"),
+        )
+        for s in range(seeds)
+    ]
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionAll(p)
+    cands = (
+        stacked.join(probe, ["seed", "bucket"], "left_semi")
+        .select(id_col, "qv")
+        .distinct()
+    )
+    qlit = F.array(*[F.lit(v).cast("long") for v in qq])
+    dot_qv_q = F.aggregate(
+        F.zip_with(F.col("qv"), qlit, lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dot_qv_qv = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qv"), lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qnorm = float(sum(v * v for v in qq)) ** 0.5
+    cos = dot_qv_q.cast("double") / (F.sqrt(dot_qv_qv.cast("double")) * F.lit(qnorm))
+    return (
+        cands.withColumn("cos", cos)
+        .orderBy(F.col("cos").desc(), id_col)
+        .limit(k)
+        .select(id_col, F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_vec: list[float],

@@ -794,6 +794,22 @@ def similarity_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_bucket_expr_sql(masks_row: list[int], qv_expr: str, dims: int) -> str:
+    """SQL expression for one seed's RP-LSH bucket over a quantized
+    vector column: per plane, the sign of an exact integer projection
+    against a +-1 literal list (the same md5-derived masks the Spark
+    side embeds — similarity.py:rp_sign_masks)."""
+    bit_terms = []
+    for pl, m in enumerate(masks_row):
+        signs = ", ".join("1" if (m >> d) & 1 else "-1" for d in range(dims))
+        proj = (
+            f"list_dot_product(CAST({qv_expr} AS DOUBLE[]),"
+            f" CAST([{signs}] AS DOUBLE[]))"
+        )
+        bit_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << pl} ELSE 0 END)")
+    return "(" + " + ".join(bit_terms) + ")"
+
+
 def _portable_rp_join_sql(
     src: str = "embeddings",
     bits: int = 4,
@@ -816,21 +832,10 @@ def _portable_rp_join_sql(
     masks = rp_sign_masks(seeds, bits)
     buck_rows = []
     for s in range(seeds):
-        bit_terms = []
-        for pl in range(bits):
-            m = masks[s][pl]
-            signs = ", ".join(
-                "1" if (m >> d) & 1 else "-1" for d in range(dims)
-            )
-            proj = (
-                f"list_dot_product(CAST(qv AS DOUBLE[]),"
-                f" CAST([{signs}] AS DOUBLE[]))"
-            )
-            bit_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << pl} ELSE 0 END)")
         buck_rows.append(
-            f"SELECT vec_id, qv, {s} AS seed, ("
-            + " + ".join(bit_terms)
-            + f") AS bucket FROM {p}q"
+            f"SELECT vec_id, qv, {s} AS seed, "
+            + _rp_bucket_expr_sql(masks[s], "qv", dims)
+            + f" AS bucket FROM {p}q"
         )
     stacked = "\n        UNION ALL ".join(buck_rows)
     return f"""{p}q AS MATERIALIZED (
@@ -881,6 +886,96 @@ def similarity_approx_join_portable(spark: SparkSession, sf_dir: str) -> DataFra
     t = _t(spark, sf_dir)
     return S.approx_similarity_join_portable(
         t["embeddings"], threshold=0.40, dim=64, bits=4, seeds=4
+    )
+
+
+def _portable_rp_topk_sql(
+    src: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    bits: int = 4,
+    seeds: int = 4,
+    dims: int = 64,
+    prefix: str = "rt",
+) -> str:
+    """CTE chain replaying ann_topk_lsh_portable in DuckDB: quantize
+    corpus AND query with the same half-away-from-zero rule, bucket
+    both under every seed's literal masks, keep corpus rows sharing a
+    (seed, bucket) with the query, rank by exact integer-dot cosine.
+    Ends in ``{prefix}top (vec_id, cos)`` — ordered, LIMIT ``k``."""
+    from bo_sql_spark.operators.similarity import _RP_SCALE, rp_sign_masks
+
+    p = prefix
+    masks = rp_sign_masks(seeds, bits)
+    corpus_rows = "\n        UNION ALL ".join(
+        f"SELECT vec_id, qv, {s} AS seed, "
+        + _rp_bucket_expr_sql(masks[s], "qv", dims)
+        + f" AS bucket FROM {p}c"
+        for s in range(seeds)
+    )
+    query_rows = "\n        UNION ALL ".join(
+        f"SELECT {s} AS seed, "
+        + _rp_bucket_expr_sql(masks[s], "qq", dims)
+        + f" AS bucket FROM {p}qv"
+        for s in range(seeds)
+    )
+    return f"""{p}q0 AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM {src} WHERE vec_id = {query_id}
+    ), {p}qv AS MATERIALIZED (
+        SELECT list_transform(v, x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qq
+        FROM {p}q0
+    ), {p}c AS MATERIALIZED (
+        SELECT vec_id, qv FROM (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qv
+            FROM {src} WHERE vec_id <> {query_id})
+        WHERE len(list_filter(qv, x -> x <> 0)) > 0
+    ), {p}cb AS (
+        {corpus_rows}
+    ), {p}qb AS (
+        {query_rows}
+    ), {p}cand AS (
+        SELECT DISTINCT c.vec_id, c.qv
+        FROM {p}cb c JOIN {p}qb q ON c.seed = q.seed AND c.bucket = q.bucket
+    ), {p}top AS (
+        SELECT vec_id,
+               list_dot_product(CAST(qv AS DOUBLE[]), CAST(qq AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(qq AS DOUBLE[]), CAST(qq AS DOUBLE[])))) AS cos
+        FROM {p}cand, {p}qv
+        ORDER BY cos DESC, vec_id LIMIT {k}
+    )"""
+
+
+@register(
+    "similarity_ann_lsh_portable",
+    oracle=f"""
+    WITH {_portable_rp_topk_sql()}
+    SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM rttop
+    """,
+    doc="ANN top-10 via LSH bucket probing with a FULL oracle (the "
+    "NumPy-plane similarity_ann_lsh grades rows-only): the query "
+    "vector (vec_id 0) is quantized and bucketed DRIVER-SIDE from the "
+    "same literal md5 sign masks and broadcast as a 4-row probe "
+    "table; the corpus side is a pure map (quantize + bucket "
+    "expressions) LEFT-SEMI-joined against it, so only matching "
+    "buckets' rows (~23% at bits=4/seeds=4, measured) reach the "
+    "top-k heap (TakeOrderedAndProject — no global sort). Exact "
+    "integer dots make score and ORDER engine-independent; ties break "
+    "on id. The oracle replays quantization (round half away from "
+    "zero on both engines), bucketing, probe, and ranking verbatim.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return S.ann_topk_lsh_portable(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, dim=64, bits=4, seeds=4
     )
 
 

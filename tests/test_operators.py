@@ -3028,3 +3028,58 @@ def test_approx_join_portable_subset_and_recall(spark, sf_dir):
     for k, v in got.items():
         assert abs(v - want[k]) <= 1e-6
     assert len(want) > 0 and len(got) / len(want) >= 0.35
+
+
+def test_quantize_list_rounds_half_away_from_zero():
+    """Driver-side quantization must match the engines' ROUND rule
+    (half AWAY from zero) — Python's builtin round() is half-even and
+    would bucket the query differently from the corpus on exact .5
+    products."""
+    from bo_sql_spark.operators.similarity import quantize_list
+
+    assert quantize_list([2.5e-6, -2.5e-6, 1.0, -0.75]) == [3, -3, 1_000_000, -750_000]
+    # the builtin would give 2/-2 here — the divergence being guarded
+    assert round(2.5) == 2
+
+
+def test_ann_topk_lsh_portable_values_and_order(spark, sf_dir):
+    """Returned cosines must equal the exact quantized-cosine values
+    (recomputed in pure Python), arrive sorted desc with id
+    tie-break, and never exceed the true exact-search maximum; the
+    zero query raises."""
+    import math
+
+    import pytest
+
+    from bo_sql_spark.operators.similarity import (
+        ann_topk_lsh_portable,
+        quantize_list,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    corpus = emb.filter("vec_id <> 0")
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_topk_lsh_portable(corpus, qvec, k=10, dim=64).collect()
+    ]
+    assert len(got) == 10
+    assert [c for _, c in got] == sorted((c for _, c in got), reverse=True)
+
+    qq = quantize_list(qvec)
+    qn = math.sqrt(sum(v * v for v in qq))
+
+    def cos(vec):
+        qv = quantize_list([float(x) for x in vec])
+        return sum(a * b for a, b in zip(qv, qq)) / (
+            math.sqrt(sum(v * v for v in qv)) * qn
+        )
+
+    exact = {r["vec_id"]: cos(r["embedding"]) for r in corpus.collect()}
+    best = max(exact.values())
+    for vid, c in got:
+        assert abs(c - round(exact[vid], 6)) <= 1e-6
+        assert c <= best + 1e-9
+
+    with pytest.raises(ValueError):
+        ann_topk_lsh_portable(corpus, [0.0] * 64, dim=64)

@@ -90,6 +90,27 @@ def test_similarity_topk_no_sort_shuffle(spark, sf_dir):
     assert has_operator(df, "TakeOrderedAndProject")
 
 
+def test_ann_lsh_portable_probe_plan(spark, sf_dir):
+    """The portable ANN probe must semi-join the corpus against the
+    BROADCAST 4-row query-bucket table (the corpus never shuffles for
+    the probe) and rank with TakeOrderedAndProject, not a global
+    sort; no cartesian anywhere."""
+    df = _df(spark, sf_dir, "similarity_ann_lsh_portable")
+    text = explain_str(df, "simple")
+    assert "LeftSemi" in text, text
+    assert "BroadcastHashJoin" in text, text
+    assert has_operator(df, "TakeOrderedAndProject")
+    assert "CartesianProduct" not in text
+
+
+def test_simhash_portable_no_cartesian(spark, sf_dir):
+    """Portable SimHash banding joins on (band, chunk) keys — never a
+    cartesian product."""
+    df = _df(spark, sf_dir, "dedup_simhash_portable")
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text
+
+
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     """The corpus must probe a BROADCAST eval-shingle set (never
     shuffle its own text) and remove hits via LEFT ANTI."""
