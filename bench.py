@@ -102,6 +102,10 @@ PIPELINE = [
     # round 12: the oracle-checked portable-MinHash dedup chain
     # (signature -> LSH -> verify -> components -> survivors)
     "dedup_minhash_survivors_portable",
+    # round 12 (cont.): the portable SimHash pair pipeline and the
+    # portable ANN bucket probe (broadcast semi-join + top-k heap)
+    "dedup_simhash_portable",
+    "similarity_ann_lsh_portable",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.

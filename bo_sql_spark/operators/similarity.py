@@ -421,6 +421,39 @@ def approx_similarity_join_portable(
     )
 
 
+def rp_bucket_histogram(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seeds: int = 2,
+) -> DataFrame:
+    """(seed, bucket, n_vectors) occupancy of the PORTABLE RP-LSH
+    buckets — the skew check a data engineer runs before trusting
+    bucketed ANN at scale (a hot bucket means a quadratic candidate
+    join downstream), as a fully oracle-checkable twin of
+    similarity_bucket_histogram's NumPy-plane form. Pure map + one
+    groupBy on (seed, bucket): at most seeds * 2^bits output rows
+    regardless of corpus size — mergeable, map-side combined."""
+    masks = rp_sign_masks(seeds, bits)
+    q = emb.select(quantize_vec(vec_col).alias("qv")).filter(
+        F.exists("qv", lambda x: x != 0)
+    )
+    parts = [
+        q.select(
+            F.lit(s).cast("long").alias("seed"),
+            _rp_bucket(F.col("qv"), masks[s], dim).alias("bucket"),
+        )
+        for s in range(seeds)
+    ]
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionAll(p)
+    return stacked.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
 def quantize_list(vec: list[float], scale: int = _RP_SCALE) -> list[int]:
     """Driver-side fixed-point quantization matching quantize_vec's
     engine semantics: ROUND HALF AWAY FROM ZERO (Python's builtin

@@ -1473,6 +1473,54 @@ def similarity_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_histogram_sql(
+    src: str = "embeddings", bits: int = 8, seeds: int = 2, dims: int = 64
+) -> str:
+    """DuckDB replay of rp_bucket_histogram, ending in ``rph (seed,
+    bucket, n_vectors)`` — same literal masks, quantization, and
+    zero-vector exclusion as the Spark side."""
+    from bo_sql_spark.operators.similarity import _RP_SCALE, rp_sign_masks
+
+    masks = rp_sign_masks(seeds, bits)
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS seed, CAST("
+        + _rp_bucket_expr_sql(masks[s], "qv", dims)
+        + " AS BIGINT) AS bucket FROM rphq"
+        for s in range(seeds)
+    )
+    return f"""rphq AS MATERIALIZED (
+        SELECT qv FROM (
+            SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qv
+            FROM {src})
+        WHERE len(list_filter(qv, x -> x <> 0)) > 0
+    ), rphb AS (
+        {rows}
+    ), rph AS (
+        SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM rphb GROUP BY seed, bucket
+    )"""
+
+
+@register(
+    "similarity_bucket_histogram_portable",
+    oracle=f"""
+    WITH {_rp_histogram_sql()}
+    SELECT seed, bucket, n_vectors FROM rph
+    """,
+    doc="LSH bucket occupancy histogram with a FULL oracle (the "
+    "NumPy-plane form grades rows-only): portable RP buckets "
+    "(quantized vectors x literal md5 sign masks) counted per (seed, "
+    "bucket) — at most seeds * 2^bits rows out regardless of corpus "
+    "size, map-side combined. The skew check before trusting bucketed "
+    "ANN: a hot bucket here is a quadratic candidate join downstream.",
+    tags=("pipeline", "similarity"),
+)
+def similarity_bucket_histogram_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return S.rp_bucket_histogram(t["embeddings"], dim=64, bits=8, seeds=2)
+
+
 # ------------------------------------------------------ text analysis
 @register(
     "text_token_count",
