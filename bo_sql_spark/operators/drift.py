@@ -525,3 +525,89 @@ def two_sample_ks(
         F.col("_m._d").cast("long").alias("d_num"),
         (-F.col("_m._nx")).alias("x_at_max"),
     )
+
+
+def embedding_centroid_drift(
+    emb: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-SPACE drift: per-group centroid direction vs the
+    global centroid — (group, n_vectors, cos_to_global). The
+    count-based monitors (chi-square/KL/EMD/Gini) are blind to a
+    source whose category MIX is stable but whose embedding
+    distribution rotated (a re-trained encoder, a topical shift
+    inside one source); this catches exactly that: a group pointing
+    off the corpus axis shows cos_to_global well below its siblings.
+
+    Exactness: vectors are fixed-point quantized (similarity.py:
+    quantize_vec, round(v*1e6) -> int64) and per-group component sums
+    fold in DECIMAL(38,0) — sums are bounded by n_vectors * 1e6 * |v|,
+    so the later sum-vector dot products (the widest values here)
+    stay under DECIMAL(38)'s 1e38 up to ~1e15 vectors per group;
+    int64 would already wrap at the global self-dot of ~60k vectors.
+    Cosine of SUM vectors equals cosine of centroids (scale
+    invariance) — no division until the final double. The oracle
+    replays in HUGEINT; CAST(exact int AS DOUBLE) rounds identically
+    in both engines.
+
+    100 TB shape: one groupBy(group) with 64 map-side-combinable
+    decimal sums; the global row is an aggregate OF the group rows
+    (never a second corpus pass) broadcast back — per-group state is
+    64 numbers, like every mergeable monitor in this family.
+    """
+    per_group = embedding_group_sums(emb, group_col, vec_col, dims)
+    return centroid_cosines_from_sums(per_group, dims).withColumnRenamed(
+        "grp", group_col
+    )
+
+
+def embedding_group_sums(
+    emb: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """The MERGEABLE summary behind embedding_centroid_drift:
+    (grp, n_vectors, s0..s{dims-1}) — per-group quantized component
+    sums in DECIMAL(38,0) plus the member count. Partial sums from
+    any split of the corpus (microbatches, shards) merge by summing
+    columns — the property the streaming twin appends on."""
+    from bo_sql_spark.operators.similarity import quantize_vec
+
+    qv = quantize_vec(vec_col)
+    dec = "decimal(38,0)"
+    return emb.select(F.col(group_col).alias("grp"), qv.alias("qv")).groupBy(
+        "grp"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        *[
+            F.sum(F.element_at(F.col("qv"), d + 1).cast(dec)).alias(f"s{d}")
+            for d in range(dims)
+        ],
+    )
+
+
+def centroid_cosines_from_sums(per_group: DataFrame, dims: int = 64) -> DataFrame:
+    """(grp, n_vectors, cos_to_global) from an embedding_group_sums
+    table (or any column-wise merge of several): the global sum
+    vector is an aggregate OF the group rows (broadcast back, never a
+    second corpus pass); cosine of sum vectors == cosine of centroids
+    by scale invariance; no division until the final double."""
+    dec = "decimal(38,0)"
+    glob = per_group.agg(
+        *[F.sum(F.col(f"s{d}")).cast(dec).alias(f"g{d}") for d in range(dims)]
+    )
+    joined = per_group.crossJoin(F.broadcast(glob))
+    dot_lg = sum(F.col(f"s{d}") * F.col(f"g{d}") for d in range(dims))
+    dot_ll = sum(F.col(f"s{d}") * F.col(f"s{d}") for d in range(dims))
+    dot_gg = sum(F.col(f"g{d}") * F.col(f"g{d}") for d in range(dims))
+    cos = dot_lg.cast("double") / (
+        F.sqrt(dot_ll.cast("double")) * F.sqrt(dot_gg.cast("double"))
+    )
+    return joined.select(
+        "grp",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round(cos, 6).alias("cos_to_global"),
+    )

@@ -980,6 +980,89 @@ def similarity_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ann_recall_portable",
+    oracle=f"""
+    WITH {_portable_rp_topk_sql()}, exq AS (
+        SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS qq
+        FROM embeddings WHERE vec_id = 0
+    ), exc AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id <> 0
+    ), extop AS (
+        SELECT vec_id,
+               list_dot_product(CAST(qv AS DOUBLE[]), CAST(qq AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(qq AS DOUBLE[]), CAST(qq AS DOUBLE[])))) AS cos
+        FROM exc, exq
+        ORDER BY cos DESC, vec_id LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM rttop) AS BIGINT) AS n_probe,
+           CAST((SELECT COUNT(*) FROM rttop JOIN extop USING (vec_id)) AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM rttop JOIN extop USING (vec_id)) * 1000 // 10 AS BIGINT) AS recall_permille
+    """,
+    doc="SELF-MEASURING ANN quality: recall@10 of the portable LSH "
+    "bucket probe against the exact quantized-cosine top-10 over the "
+    "same corpus, in one query — and because BOTH rankings are "
+    "engine-portable, the recall NUMBER itself is oracle-verified, "
+    "not just asserted in a unit test. The exact side is one "
+    "TakeOrderedAndProject scan (the brute-force baseline the probe "
+    "is traded against); the probe side reuses ann_topk_lsh_portable "
+    "verbatim. At 100 TB this is the nightly index-quality canary: "
+    "both sides are one pass, output is one row.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ann_recall_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    probe = S.ann_topk_lsh_portable(
+        corpus, qvec, k=10, dim=64, bits=4, seeds=4
+    ).select("vec_id")
+    qq = S.quantize_list(qvec)
+    qlit = F.array(*[F.lit(v).cast("long") for v in qq])
+    qv = S.quantize_vec("embedding")
+    dot_q = F.aggregate(
+        F.zip_with(qv, qlit, lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dot_self = F.aggregate(
+        F.zip_with(qv, qv, lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qnorm = float(sum(v * v for v in qq)) ** 0.5
+    cos = dot_q.cast("double") / (F.sqrt(dot_self.cast("double")) * F.lit(qnorm))
+    exact = (
+        corpus.select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = probe.join(exact, "vec_id")
+    return (
+        probe.agg(F.count(F.lit(1)).alias("n_probe"))
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.col("n_probe").cast("long").alias("n_probe"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") * 1000 / F.lit(10))
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )
+
+
+@register(
     "similarity_ivf_topk",
     oracle="""
     WITH cents AS (
@@ -3112,6 +3195,122 @@ _GINI_ORACLE = """
                 AS BIGINT) AS gini_micros
     FROM agg
     """
+
+
+_EMB_CENTROID_ORACLE = """
+    WITH ecq AS MATERIALIZED (
+        SELECT label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        FROM embeddings
+    ), ecs AS MATERIALIZED (
+        SELECT label, d.d AS d, SUM(CAST(qv[d.d + 1] AS HUGEINT)) AS s
+        FROM ecq CROSS JOIN (SELECT unnest(range(64)) AS d) d
+        GROUP BY label, d.d
+    ), ecn AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM ecq GROUP BY label
+    ), ecg AS (
+        SELECT d, SUM(s) AS g FROM ecs GROUP BY d
+    ), ecgg AS (
+        SELECT SUM(g * g) AS dot_gg FROM ecg
+    ), ecd AS (
+        SELECT label, SUM(s * g) AS dot_lg, SUM(s * s) AS dot_ll
+        FROM ecs JOIN ecg USING (d) GROUP BY label
+    )
+    SELECT CAST(e.label AS BIGINT) AS label, n.n_vectors,
+           ROUND(CAST(dot_lg AS DOUBLE)
+                 / (sqrt(CAST(dot_ll AS DOUBLE)) * sqrt(CAST(dot_gg AS DOUBLE))),
+                 6) AS cos_to_global
+    FROM ecd e JOIN ecn n USING (label), ecgg
+    """
+
+
+@register(
+    "drift_embedding_centroid",
+    oracle=_EMB_CENTROID_ORACLE,
+    doc="Embedding-SPACE drift monitor (operators/drift.py:"
+    "embedding_centroid_drift): per-label centroid direction vs the "
+    "global centroid as exact-integer cosine of DECIMAL(38)-widened "
+    "quantized sum vectors — the blind spot of every count-based "
+    "monitor in the family (chi-square/KL/EMD/Gini watch category "
+    "MIX; a source whose mix is stable but whose embeddings rotated — "
+    "re-trained encoder, topical shift — only moves THIS one). Sum "
+    "bounds documented at the operator: int64 would wrap at the "
+    "global self-dot of ~60k vectors, DECIMAL(38) holds to ~1e15 "
+    "per group; the oracle replays in HUGEINT. One map-side-combined "
+    "groupBy; the global row is an aggregate OF the group rows "
+    "broadcast back — never a second corpus pass.",
+    tags=("pipeline", "similarity", "monitor"),
+)
+def drift_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import embedding_centroid_drift
+
+    t = _t(spark, sf_dir)
+    out = embedding_centroid_drift(t["embeddings"], "label", dims=64)
+    return out.select(
+        F.col("label").cast("long").alias("label"), "n_vectors", "cos_to_global"
+    )
+
+
+@register(
+    "stream_drift_embedding_centroid",
+    oracle=_EMB_CENTROID_ORACLE,
+    doc="STREAMING embedding-space drift: each microbatch appends its "
+    "per-label mergeable summary (operators/drift.py:"
+    "embedding_group_sums — DECIMAL(38) component sums + count; "
+    "partial sums from any corpus split merge by summing columns) to "
+    "a store; serving column-sums the store and folds through the "
+    "SAME centroid_cosines_from_sums as the batch monitor => replays "
+    "drift_embedding_centroid's oracle VERBATIM, batching-independent."
+    " State is labels x (dims+1) numbers — O(groups), never vectors.",
+    tags=("pipeline", "streaming", "similarity", "monitor"),
+)
+def stream_drift_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators.drift import (
+        centroid_cosines_from_sums,
+        embedding_group_sums,
+    )
+
+    emb_schema = _t(spark, sf_dir)["embeddings"].schema
+    root = tempfile.mkdtemp(prefix="bosql_embdrift_stream_")
+    store = os.path.join(root, "sums")
+
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        embedding_group_sums(batch_df, "label", dims=64).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dec = "decimal(38,0)"
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("grp")
+        .agg(
+            F.sum("n_vectors").cast("long").alias("n_vectors"),
+            *[F.sum(F.col(f"s{d}")).cast(dec).alias(f"s{d}") for d in range(64)],
+        )
+    )
+    return centroid_cosines_from_sums(merged, dims=64).select(
+        F.col("grp").cast("long").alias("label"), "n_vectors", "cos_to_global"
+    )
 
 
 @register(

@@ -3030,6 +3030,62 @@ def test_approx_join_portable_subset_and_recall(spark, sf_dir):
     assert len(want) > 0 and len(got) / len(want) >= 0.35
 
 
+def test_embedding_centroid_drift_separates_rotated_group(spark):
+    """A group whose embedding DIRECTION rotated must fall far below
+    its siblings in cos_to_global even when every count-based monitor
+    sees nothing (same group sizes, same categories) — the blind spot
+    this monitor exists for. Also pins the merge property: column-
+    summing two half-corpus sum tables equals the one-pass fold
+    (what the streaming twin relies on)."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.drift import (
+        centroid_cosines_from_sums,
+        embedding_centroid_drift,
+        embedding_group_sums,
+    )
+
+    dims = 4
+    rows = []
+    # groups 0 and 1 point near +e1 (with small fixed jitter); group 2
+    # points near -e1 — a pure rotation, identical sizes
+    jit = [0.01, -0.02, 0.03, -0.01, 0.02]
+    for i in range(5):
+        rows.append((10 + i, 0, [1.0, jit[i], 0.1, 0.0]))
+        rows.append((20 + i, 1, [0.9, 0.1, jit[i], 0.05]))
+        rows.append((30 + i, 2, [-1.0, jit[i], 0.1, 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {
+        r["label"]: r["cos_to_global"]
+        for r in embedding_centroid_drift(emb, "label", dims=dims).collect()
+    }
+    assert out[0] > 0.9 and out[1] > 0.9
+    assert out[2] < -0.5
+    # merge property: two halves column-summed == one pass
+    h1 = embedding_group_sums(emb.filter("vec_id % 2 = 0"), "label", dims=dims)
+    h2 = embedding_group_sums(emb.filter("vec_id % 2 = 1"), "label", dims=dims)
+    dec = "decimal(38,0)"
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("grp")
+        .agg(
+            F.sum("n_vectors").cast("long").alias("n_vectors"),
+            *[F.sum(f"s{d}").cast(dec).alias(f"s{d}") for d in range(dims)],
+        )
+    )
+    got = sorted(
+        (r["grp"], r["n_vectors"], r["cos_to_global"])
+        for r in centroid_cosines_from_sums(merged, dims=dims).collect()
+    )
+    want = sorted(
+        (r["label"], r["n_vectors"], r["cos_to_global"])
+        for r in embedding_centroid_drift(emb, "label", dims=dims).collect()
+    )
+    assert got == want
+
+
 def test_quantize_list_rounds_half_away_from_zero():
     """Driver-side quantization must match the engines' ROUND rule
     (half AWAY from zero) — Python's builtin round() is half-even and
