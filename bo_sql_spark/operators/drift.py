@@ -159,6 +159,57 @@ def kl_from_counts(counts: DataFrame) -> DataFrame:
     ).orderBy("category")
 
 
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """Population Stability Index fold over a pre-aggregated
+    (category, n_a, n_b) table — THE drift number model-risk teams
+    ship (banking/scorecard literature thresholds: < 0.1 stable,
+    0.1-0.25 watch, > 0.25 act). PSI is the SYMMETRIZED KL
+    (J-divergence): sum over categories of (p_a - p_b) ln(p_a/p_b),
+    so it reuses kl_from_counts' add-one smoothing and ln chain
+    verbatim and shares the mergeable counts store with every other
+    count-based monitor. Computed directly as
+
+        contrib_micros = ((a'*B' - b'*A') * L) DIV (A'*B')
+
+    with a' = n_a+1, A' = ta+K (smoothed), L the fixed-point ln
+    difference in micros — ONE truncated DIV, not kl(A||B)+kl(B||A)
+    with two roundings. Every contribution is theoretically >= 0
+    (both factors share a sign in exact math); fixed-point ln
+    rounding can produce micro-negatives near p_a == p_b, which is
+    why the DIV's toward-zero truncation (Spark DIV == DuckDB //,
+    fuzz-verified) matters for bit-equality. Widths: the numerator
+    reaches N^2 * 176e6 — DECIMAL(38)-widened (HUGEINT oracle), safe
+    to ~1e14 rows per side; the quotient magnitude is bounded by
+    |p_a - p_b| * 176e6 < 1.76e8, far inside the DECIMAL DIV's int64
+    wrap. Emits (category, n_a, n_b, psi_contrib_micros); total PSI
+    is the sum over categories."""
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    totals = counts.agg(
+        F.sum("n_a").cast("long").alias("_ta"),
+        F.sum("n_b").cast("long").alias("_tb"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    t = counts.crossJoin(F.broadcast(totals))
+    t = with_ln_micros(t, "n_a + 1", "_ln_a1")
+    t = with_ln_micros(t, "n_b + 1", "_ln_b1")
+    t = with_ln_micros(t, "_ta + _k", "_ln_aa")
+    t = with_ln_micros(t, "_tb + _k", "_ln_bb")
+    return t.select(
+        "category",
+        "n_a",
+        "n_b",
+        F.expr(
+            "((CAST(n_a + 1 AS DECIMAL(38,0)) * (_tb + _k)"
+            "  - CAST(n_b + 1 AS DECIMAL(38,0)) * (_ta + _k))"
+            " * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb))"
+            " DIV (CAST(_ta + _k AS DECIMAL(38,0)) * (_tb + _k))"
+        )
+        .cast("long")
+        .alias("psi_contrib_micros"),
+    )
+
+
 def entropy_from_counts(counts: DataFrame, count_col: str = "n") -> DataFrame:
     """Shannon entropy of a categorical MIX from its count table —
     1 row (n_total, n_categories, entropy_micros, norm_entropy_permille),

@@ -3631,6 +3631,94 @@ def stream_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kl_from_counts(_merged_drift_counts(spark, store))
 
 
+def _psi_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    ln_chain = "SELECT * FROM c2"
+    for x_sql, out in (
+        ("n_a + 1", "_ln_a1"),
+        ("n_b + 1", "_ln_b1"),
+        ("_ta + _k", "_ln_aa"),
+        ("_tb + _k", "_ln_bb"),
+    ):
+        ln_chain = duckdb_ln_select(ln_chain, x_sql, out)
+    return f"""
+    WITH counts AS (
+        SELECT event_type AS category,
+               CAST(COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS BIGINT) AS n_b
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS _ta, CAST(SUM(n_b) AS BIGINT) AS _tb,
+               CAST(COUNT(*) AS BIGINT) AS _k
+        FROM counts
+    ), c2 AS (
+        SELECT category, n_a, n_b, _ta, _tb, _k FROM counts, tot
+    ), c3 AS ({ln_chain})
+    SELECT category, n_a, n_b,
+           CAST(((CAST(n_a + 1 AS HUGEINT) * (_tb + _k)
+                  - CAST(n_b + 1 AS HUGEINT) * (_ta + _k))
+                 * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb))
+                // (CAST(_ta + _k AS HUGEINT) * (_tb + _k)) AS BIGINT)
+               AS psi_contrib_micros
+    FROM c3 ORDER BY category
+    """
+
+
+@register(
+    "drift_psi_event_types",
+    oracle=_psi_oracle(),
+    doc="Population Stability Index of the event-type mix, weekday vs "
+    "weekend (operators/drift.py:psi_from_counts) — THE drift number "
+    "model-risk teams threshold (< 0.1 stable / 0.1-0.25 watch / "
+    "> 0.25 act). PSI is the symmetrized KL, so it reuses the KL "
+    "fold's add-one smoothing and fixed-point ln chain verbatim and "
+    "computes each contribution as ONE truncated DIV of "
+    "((a'B' - b'A') * ln-diff) over A'B' — DECIMAL(38)-widened "
+    "(numerator reaches N^2 * 176e6; safe to ~1e14 rows per side), "
+    "HUGEINT oracle, toward-zero truncation on both engines. "
+    "Contributions are >= 0 up to ln rounding near p_a == p_b; total "
+    "PSI is the sum. Same 100 TB shape as chi-square/KL: one counting "
+    "groupBy + a broadcast 1-row totals join.",
+    tags=("pipeline", "stats", "monitoring"),
+)
+def drift_psi_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import psi_from_counts
+
+    ev = _t(spark, sf_dir)["events"]
+    counts = (
+        ev.select(
+            F.col("event_type").alias("category"),
+            F.dayofweek("ts").isin(1, 7).alias("_b"),
+        )
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    return psi_from_counts(counts).orderBy("category")
+
+
+@register(
+    "stream_drift_psi",
+    oracle=_psi_oracle(),
+    doc="STREAMING PSI monitor: drains the SAME mergeable (category, "
+    "n_a, n_b) counts store every count-based monitor ingests (one "
+    "store shape serves chi-square/KL/entropy/Gini/PSI) through the "
+    "shared psi_from_counts fold => replays drift_psi_event_types' "
+    "oracle VERBATIM. At 100 TB the A side is a pinned reference "
+    "snapshot's counts, sum-merged identically — the scorecard-"
+    "monitoring deployment shape.",
+    tags=("pipeline", "streaming", "stats", "monitoring"),
+)
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.drift import psi_from_counts
+
+    store = _ingest_drift_counts_stream(spark, sf_dir)
+    return psi_from_counts(_merged_drift_counts(spark, store)).orderBy("category")
+
+
 @register(
     "events_anomaly_mad",
     oracle="""

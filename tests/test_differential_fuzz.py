@@ -1753,8 +1753,39 @@ def test_entropy_and_kl_folds_cross_engine(ctx, docs, counts):
             """
         ).fetchall()
     )
+    # --- PSI (symmetrized KL) over the same arbitrary count tables:
+    # the ((a'B' - b'A') * L) DIV (A'B') single-DIV form, toward-zero
+    # truncation on a product of two signed factors
+    from bo_sql_spark.operators.drift import psi_from_counts
+
+    got_psi = sorted(tuple(r) for r in psi_from_counts(cdf).collect())
+    want_psi = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH tot AS (
+                SELECT CAST(SUM(n_a) AS BIGINT) AS _ta,
+                       CAST(SUM(n_b) AS BIGINT) AS _tb,
+                       CAST(COUNT(*) AS BIGINT) AS _k
+                FROM fz_k
+            ), c2 AS (
+                SELECT category, CAST(n_a AS BIGINT) AS n_a,
+                       CAST(n_b AS BIGINT) AS n_b, _ta, _tb, _k
+                FROM fz_k, tot
+            ), c3 AS ({ln_chain})
+            SELECT category, n_a, n_b,
+                   CAST(((CAST(n_a + 1 AS HUGEINT) * (_tb + _k)
+                          - CAST(n_b + 1 AS HUGEINT) * (_ta + _k))
+                         * (_ln_a1 - _ln_aa - _ln_b1 + _ln_bb))
+                        // (CAST(_ta + _k AS HUGEINT) * (_tb + _k))
+                        AS BIGINT)
+            FROM c3
+            """
+        ).fetchall()
+    )
     con.unregister("fz_k")
     assert got_kl == want_kl
+    assert got_psi == want_psi
 
 
 @settings(

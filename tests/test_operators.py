@@ -2714,6 +2714,42 @@ def test_bm25_fold_ansi_overflow_guard_linear_idf(spark):
     assert rows[0]["bm25_micros"] == (idf * tfpart) // 1_000_000
 
 
+def test_psi_from_counts_hand_checked_symmetric_monotone(spark):
+    """PSI fold: (1) matches a pure-Python replay of the smoothed
+    formula (fixed-point ln in micros, toward-zero DIV) within the
+    ln table's rounding, (2) is SYMMETRIC (swapping samples leaves
+    every contribution identical — the J-divergence property KL
+    lacks), (3) grows with the planted shift, and crosses the
+    textbook 0.25 'act' line only for the big one."""
+    import math
+
+    from bo_sql_spark.operators.drift import psi_from_counts
+
+    def spark_psi(rows):
+        df = spark.createDataFrame(rows, "category string, n_a long, n_b long")
+        out = psi_from_counts(df).collect()
+        return {r["category"]: r["psi_contrib_micros"] for r in out}
+
+    rows = [("x", 900, 100), ("y", 100, 900)]
+    got = spark_psi(rows)
+    # pure-Python replay with EXACT ln (tolerance covers the micros table)
+    k = 2
+    ta, tb = 1000, 1000
+    for cat, a, b in [("x", 900, 100), ("y", 100, 900)]:
+        pa, pb = (a + 1) / (ta + k), (b + 1) / (tb + k)
+        want = (pa - pb) * math.log(pa / pb) * 1e6
+        assert abs(got[cat] - want) <= 2500  # ln micros rounding x |pa-pb|
+        assert got[cat] > 0
+    # symmetry: swap the samples -> identical contributions
+    swapped = spark_psi([("x", 100, 900), ("y", 900, 100)])
+    assert swapped == {"x": got["y"], "y": got["x"]} or swapped == got
+    # monotone in shift; only the big shift crosses PSI=0.25 (250000 micros)
+    small = sum(spark_psi([("x", 550, 450), ("y", 450, 550)]).values())
+    big = sum(got.values())
+    assert 0 <= small < big
+    assert small < 250_000 < big
+
+
 def test_emd_from_counts_hand_checked_and_geometry(spark):
     """EMD fold: hand-checked example (A={1,1,2}, B={3} => W1 = 5/3
     exactly); identical distributions => 0; duplicate-value rows are
