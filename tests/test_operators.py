@@ -3171,7 +3171,8 @@ def test_ann_topk_lsh_portable_values_and_order(spark, sf_dir):
     best = max(exact.values())
     for vid, c in got:
         assert abs(c - round(exact[vid], 6)) <= 1e-6
-        assert c <= best + 1e-9
+        # c is rounded to 6dp and can round UP past the unrounded max
+        assert c <= best + 5e-7
 
     with pytest.raises(ValueError):
         ann_topk_lsh_portable(corpus, [0.0] * 64, dim=64)
