@@ -657,6 +657,10 @@ def centroid_cosines_from_sums(per_group: DataFrame, dims: int = 64) -> DataFram
     cos = dot_lg.cast("double") / (
         F.sqrt(dot_ll.cast("double")) * F.sqrt(dot_gg.cast("double"))
     )
+    # a sum vector can cancel to exactly zero (v and -v in one group,
+    # or all members quantizing to zero) — 0/0 is NaN whose ordering/
+    # hashing is an engine quirk; emit NULL deterministically instead
+    cos = F.when((dot_ll == 0) | (dot_gg == 0), F.lit(None)).otherwise(cos)
     return joined.select(
         "grp",
         F.col("n_vectors").cast("long").alias("n_vectors"),

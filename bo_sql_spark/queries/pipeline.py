@@ -3218,9 +3218,11 @@ _EMB_CENTROID_ORACLE = """
         FROM ecs JOIN ecg USING (d) GROUP BY label
     )
     SELECT CAST(e.label AS BIGINT) AS label, n.n_vectors,
-           ROUND(CAST(dot_lg AS DOUBLE)
-                 / (sqrt(CAST(dot_ll AS DOUBLE)) * sqrt(CAST(dot_gg AS DOUBLE))),
-                 6) AS cos_to_global
+           CASE WHEN dot_ll = 0 OR dot_gg = 0 THEN NULL
+                ELSE ROUND(CAST(dot_lg AS DOUBLE)
+                           / (sqrt(CAST(dot_ll AS DOUBLE))
+                              * sqrt(CAST(dot_gg AS DOUBLE))),
+                           6) END AS cos_to_global
     FROM ecd e JOIN ecn n USING (label), ecgg
     """
 

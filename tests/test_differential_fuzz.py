@@ -2062,3 +2062,106 @@ def test_portable_rp_join_cross_engine(ctx, vecs, threshold):
     )
     con.unregister("fz_rp")
     assert got == want, (got, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.lists(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-1.0, max_value=1.0,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_embedding_centroid_fold_cross_engine(ctx, groups):
+    """Family 23 — the embedding-centroid drift fold on ARBITRARY
+    4-dim float32 vectors (including groups that quantize to zero or
+    cancel exactly — the NULL leg): Spark's DECIMAL(38) sum fold
+    (operators/drift.py:embedding_centroid_drift) and a HUGEINT DuckDB
+    replay must agree on every (group, n, cos) row, NULLs included."""
+    import math
+
+    import pyarrow as pa
+
+    from bo_sql_spark.operators.drift import embedding_centroid_drift
+
+    spark, con = ctx
+    rows = []
+    vid = 0
+    for g, vecs in enumerate(groups):
+        for v in vecs:
+            rows.append((vid, g, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = sorted(
+        (
+            r["label"],
+            r["n_vectors"],
+            None if r["cos_to_global"] is None else round(r["cos_to_global"], 6),
+        )
+        for r in embedding_centroid_drift(df, "label", dims=4).collect()
+    )
+    con.register(
+        "fz_ec",
+        pa.table(
+            {
+                "label": pa.array([r[1] for r in rows], pa.int32()),
+                "embedding": pa.array([r[2] for r in rows], pa.list_(pa.float32())),
+            }
+        ),
+    )
+    want = sorted(
+        (
+            int(label),
+            int(n),
+            None if c is None or (isinstance(c, float) and math.isnan(c)) else round(float(c), 6),
+        )
+        for label, n, c in con.execute(
+            """
+            WITH ecq AS MATERIALIZED (
+                SELECT label,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+                FROM fz_ec
+            ), ecs AS MATERIALIZED (
+                SELECT label, d.d AS d, SUM(CAST(qv[d.d + 1] AS HUGEINT)) AS s
+                FROM ecq CROSS JOIN (SELECT unnest(range(4)) AS d) d
+                GROUP BY label, d.d
+            ), ecn AS (
+                SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+                FROM ecq GROUP BY label
+            ), ecg AS (
+                SELECT d, SUM(s) AS g FROM ecs GROUP BY d
+            ), ecgg AS (
+                SELECT SUM(g * g) AS dot_gg FROM ecg
+            ), ecd AS (
+                SELECT label, SUM(s * g) AS dot_lg, SUM(s * s) AS dot_ll
+                FROM ecs JOIN ecg USING (d) GROUP BY label
+            )
+            SELECT e.label, n.n_vectors,
+                   CASE WHEN dot_ll = 0 OR dot_gg = 0 THEN NULL
+                        ELSE ROUND(CAST(dot_lg AS DOUBLE)
+                                   / (sqrt(CAST(dot_ll AS DOUBLE))
+                                      * sqrt(CAST(dot_gg AS DOUBLE))),
+                                   6) END
+            FROM ecd e JOIN ecn n USING (label), ecgg
+            """
+        ).fetchall()
+    )
+    con.unregister("fz_ec")
+    assert got == want, (got, want)
