@@ -102,10 +102,12 @@ PIPELINE = [
     # round 12: the oracle-checked portable-MinHash dedup chain
     # (signature -> LSH -> verify -> components -> survivors)
     "dedup_minhash_survivors_portable",
-    # round 12 (cont.): the portable SimHash pair pipeline and the
-    # portable ANN bucket probe (broadcast semi-join + top-k heap)
+    # round 12 (cont.): the portable SimHash pair pipeline, the
+    # portable ANN bucket probe (broadcast semi-join + top-k heap),
+    # and the embedding-space drift monitor (DECIMAL(38) sum fold)
     "dedup_simhash_portable",
     "similarity_ann_lsh_portable",
+    "drift_embedding_centroid",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.
