@@ -593,6 +593,60 @@ def dedup_minhash_survivors_portable(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "dedup_pair_evidence",
+    oracle=f"""
+    WITH {_portable_minhash_pairs_sql("documents")}, pev AS (
+        SELECT p.id_a, p.id_b,
+               list_sort(list_intersect(a.sh, b.sh)) AS shared
+        FROM pmpairs p
+        JOIN pmsh a ON p.id_a = a.doc_id
+        JOIN pmsh b ON p.id_b = b.doc_id
+    )
+    SELECT id_a, id_b, CAST(len(shared) AS BIGINT) AS n_shared,
+           COALESCE(array_to_string(shared[1:3], ' | '), '') AS evidence
+    FROM pev
+    """,
+    doc="Dedup AUDIT surface: for every verified portable-MinHash "
+    "near-dup pair, the EVIDENCE a reviewer needs to trust the merge "
+    "— shared-shingle count and the first three shared shingles "
+    "(lexicographic, deterministic). Production dedup gets disputed "
+    "('why were these two docs merged?'); the answer has to be "
+    "reconstructable from the pipeline itself, not a rerun. Shingle "
+    "sets move ONLY for flagged pairs (O(pairs), never the corpus); "
+    "the oracle replays the pair set and the evidence strings "
+    "verbatim, including the array_to_string([])-is-NULL DuckDB guard.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import word_shingles
+
+    docs = _t(spark, sf_dir)["documents"]
+    pairs = D.minhash_dedup_pairs_portable(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sh = docs.select(
+        F.col("doc_id"), word_shingles(F.col("text"), 3).alias("sh")
+    )
+    ev = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("shared", F.array_sort(F.array_intersect("sh_a", "sh_b")))
+    )
+    return ev.select(
+        "id_a",
+        "id_b",
+        F.size("shared").cast("long").alias("n_shared"),
+        F.concat_ws(" | ", F.slice("shared", 1, 3)).alias("evidence"),
+    )
+
+
 _LINES_K = 8
 
 
