@@ -3,11 +3,12 @@ multimodal, as-of join, JSON extraction.
 
 These wrap the bo_sql_spark.operators modules into graded entries.
 Oracle design notes:
-- xxhash64-based operators (MinHash/LSH, SimHash, hyperplane buckets)
-  have no DuckDB twin -> rows-only checks, with a SEPARATE exact
-  oracle-checked query covering the same semantic (n-gram Jaccard for
-  near-dup, brute-force cosine for ANN) so correctness of the family is
-  still gated.
+- xxhash64/NumPy-plane operators (MinHash/LSH, SimHash, hyperplane
+  buckets) have no DuckDB twin -> rows-only checks; since round 12
+  EVERY such family also has an ENGINE-PORTABLE sibling graded against
+  a full oracle (md5-derived hashes / literal sign masks / fixed-point
+  quantization: *_portable queries), so the production-default hash
+  family stays fast while the algorithm itself is bit-replayed.
 - Cosine math is written as the same explicit double-precision
   dot/sqrt formula on both engines (accumulate in index order) — bit-
   identical, then rounded to 6dp for the hash.
