@@ -8804,6 +8804,105 @@ _CM_BUCKET = (
 )
 
 
+_BLOOM_M = 380928  # 62 * 6144 words; ~16x the build shingle count -> sub-% FPR
+_BLOOM_K = 4
+
+
+def _bloom_oracle() -> str:
+    from bo_sql_spark.operators.bloom import WORD_BITS
+    from bo_sql_spark.operators.dedup import _PMH_P, _pmh_ab
+
+    def sh_cte(pred: str, name: str) -> str:
+        return f"""{name}tok AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents WHERE ({pred}) AND text IS NOT NULL
+    ), {name} AS (
+        SELECT DISTINCT unnest(list_filter(list_distinct(list_transform(
+            range(1, greatest(len(tok) - 1, 2)),
+            i -> array_to_string(tok[i:i+2], ' '))), s -> s <> '')) AS shingle
+        FROM {name}tok
+    )"""
+
+    pos_rows = lambda src: "\n        UNION ALL ".join(  # noqa: E731
+        f"SELECT shingle, ((hb * {a} + {b}) % {_PMH_P}) % {_BLOOM_M} AS pos"
+        f" FROM {src}"
+        for a, b in (_pmh_ab(i) for i in range(_BLOOM_K))
+    )
+    return f"""
+    WITH {sh_cte("doc_id < 400", "bbsh")}, {sh_cte("doc_id >= 400 AND doc_id < 450", "bpsh")},
+    bbhb AS (
+        SELECT shingle,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_PMH_P} AS hb
+        FROM bbsh
+    ), bphb AS (
+        SELECT shingle,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_PMH_P} AS hb
+        FROM bpsh
+    ), bbpos AS (
+        {pos_rows("bbhb")}
+    ), bwords AS (
+        SELECT pos // {WORD_BITS} AS word,
+               bit_or(1::BIGINT << CAST(pos % {WORD_BITS} AS INT)) AS bits
+        FROM bbpos GROUP BY 1
+    ), bppos AS (
+        {pos_rows("bphb")}
+    ), bprobe AS (
+        SELECT p.shingle,
+               SUM(CASE WHEN w.bits IS NOT NULL
+                        AND (w.bits & (1::BIGINT << CAST(p.pos % {WORD_BITS} AS INT))) <> 0
+                   THEN 1 ELSE 0 END) AS n_set
+        FROM bppos p LEFT JOIN bwords w ON p.pos // {WORD_BITS} = w.word
+        GROUP BY p.shingle
+    )
+    SELECT shingle,
+           CAST(CASE WHEN n_set = {_BLOOM_K} THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+           CAST(CASE WHEN shingle IN (SELECT shingle FROM bbsh) THEN 1 ELSE 0 END
+                AS BIGINT) AS true_member
+    FROM bprobe
+    """
+
+
+@register(
+    "sketch_bloom_probe",
+    oracle=_bloom_oracle(),
+    doc="Portable BLOOM FILTER sketch (operators/bloom.py): shingles "
+    "of docs < 400 folded into a 380928-bit / 4-hash filter "
+    "(62-bit words — 1 << 63 is a DuckDB overflow error and a Spark "
+    "sign flip; the 2-bit waste buys bit-identical replays), probed "
+    "with the shingles of docs 400-449; output carries bloom_hit AND "
+    "true_member per probe key so the false-positive set is part of "
+    "the graded artifact — with a deterministic hash family, WHICH "
+    "keys collide is replayable, not a statistical claim (and no "
+    "false negative can exist, asserted in tests). The 100 TB use is "
+    "broadcast-a-filter-not-the-set: the filter is m/62 rows (~48 KB) "
+    "vs the full key set, with the exact verify only on probable "
+    "hits; build is one bit_or groupBy (mergeable: filters of corpus "
+    "shards OR together, unit-pinned).",
+    tags=("pipeline", "sketch"),
+)
+def sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import word_shingles
+    from bo_sql_spark.operators import bloom as B
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+
+    def sh(df):
+        return (
+            df.select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+            .filter(F.col("shingle") != "")
+            .distinct()
+        )
+
+    build = sh(docs.filter(F.col("doc_id") < 400))
+    probes = sh(docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)))
+    filt = B.bloom_build(build, "shingle", _BLOOM_M, _BLOOM_K)
+    hits = B.bloom_probe(filt, probes, "shingle", _BLOOM_M, _BLOOM_K)
+    member = probes.join(
+        build.withColumn("_m", F.lit(1)), "shingle", "left"
+    ).select("shingle", F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("true_member"))
+    return hits.join(member, "shingle").select("shingle", "bloom_hit", "true_member")
+
+
 @register(
     "sketch_count_min_grid",
     oracle=f"""

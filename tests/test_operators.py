@@ -2714,6 +2714,42 @@ def test_bm25_fold_ansi_overflow_guard_linear_idf(spark):
     assert rows[0]["bm25_micros"] == (idf * tfpart) // 1_000_000
 
 
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom structural properties: (1) NO member ever misses (every
+    built key probes hit — the guarantee that makes it a safe
+    prefilter), (2) merge(filter(A), filter(B)) == filter(A union B)
+    word for word (the shard/microbatch fold), (3) a disjoint probe
+    set's hit rate stays under a loose FPR bound at 16x sizing."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.bloom import bloom_build, bloom_merge, bloom_probe
+
+    m, k = 62 * 64, 4  # 3968 bits for ~250 keys -> kn/m ~ 0.25
+    a = spark.createDataFrame(
+        [(f"key_a_{i}",) for i in range(120)], "s string"
+    )
+    b = spark.createDataFrame(
+        [(f"key_b_{i}",) for i in range(120)], "s string"
+    )
+    fa, fb = bloom_build(a, "s", m, k), bloom_build(b, "s", m, k)
+    merged = bloom_merge(fa, fb)
+    direct = bloom_build(a.unionByName(b), "s", m, k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # every member hits
+    hits = bloom_probe(merged, a.unionByName(b), "s", m, k)
+    assert hits.filter(F.col("bloom_hit") == 0).count() == 0
+    # disjoint probes: loose bound (expected FPR ~2%, assert < 20%)
+    probes = spark.createDataFrame(
+        [(f"other_{i}",) for i in range(200)], "s string"
+    )
+    fp = bloom_probe(merged, probes, "s", m, k).filter(
+        F.col("bloom_hit") == 1
+    ).count()
+    assert fp < 40
+
+
 def test_psi_from_counts_hand_checked_symmetric_monotone(spark):
     """PSI fold: (1) matches a pure-Python replay of the smoothed
     formula (fixed-point ln in micros, toward-zero DIV) within the
