@@ -119,3 +119,47 @@ def bloom_probe(
     return per_key.select(
         key_col, (F.col("_set") == k).cast("long").alias("bloom_hit")
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    m_bits: int = 380928,
+    k_hashes: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """dedup.decontaminate with the Bloom PREFILTER in front — same
+    output exactly (no false negative can exist, so no contaminated
+    doc escapes; false positives die in the exact verify), different
+    scale shape: the corpus-side (doc_id, shingle) stream meets a
+    ~48 KB broadcast BITSET first, and the string-keyed exact join
+    against the eval shingle set runs only over the probable
+    vocabulary (FPR + true-hit fraction of it) instead of every
+    distinct corpus shingle. At 100 TB with a large eval suite this
+    is the difference between broadcasting megabytes of shingle
+    strings into every task and broadcasting kilobytes of bits.
+    Returns (survivors, contaminated_ids) like the exact form."""
+    from bo_sql_spark.functions import word_shingles
+
+    ev_sh = (
+        evalset.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+        ).distinct()
+    )
+    filt = bloom_build(ev_sh, "shingle", m_bits, k_hashes)
+    tr_sh = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    probable = (
+        bloom_probe(filt, tr_sh.select("shingle"), "shingle", m_bits, k_hashes)
+        .filter(F.col("bloom_hit") == 1)
+        .select("shingle")
+    )
+    confirmed = probable.join(F.broadcast(ev_sh), "shingle")
+    contaminated = (
+        tr_sh.join(F.broadcast(confirmed), "shingle").select(id_col).distinct()
+    )
+    survivors = train.join(contaminated, id_col, "left_anti")
+    return survivors, contaminated

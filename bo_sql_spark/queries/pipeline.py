@@ -648,6 +648,57 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_bloom_survivors",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tok) - 5 + 2, 2)),
+                       i -> array_to_string(tok[i:i+4], ' ')))) AS shingle
+            FROM toks
+        )
+        WHERE shingle IS NOT NULL AND shingle <> ''
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s
+        JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0) e
+          USING (shingle)
+        WHERE s.doc_id % 25 <> 0
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id % 25 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    doc="decontaminate_survivors through the BLOOM PREFILTER "
+    "(operators/bloom.py:decontaminate_bloom): identical output "
+    "(Bloom admits no false negative, so no contaminated doc escapes; "
+    "false positives die in the exact verify — the oracle is the "
+    "exact form's, verbatim), different scale shape: the corpus "
+    "shingle stream meets a ~48 KB broadcast BITSET before any "
+    "string-keyed join, and the exact eval-set join runs only over "
+    "the probable vocabulary. At 100 TB with a large eval suite: "
+    "kilobytes of bits into every task instead of megabytes of "
+    "shingle strings.",
+    tags=("pipeline", "dedup", "training", "sketch"),
+)
+def decontaminate_bloom_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.bloom import decontaminate_bloom
+
+    docs = _t(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    evalset = docs.filter(F.col("doc_id") % 25 == 0)
+    survivors, _ = decontaminate_bloom(train, evalset, k=5)
+    return survivors.select("doc_id", "source")
+
+
 _LINES_K = 8
 
 
@@ -8900,6 +8951,78 @@ def sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = probes.join(
         build.withColumn("_m", F.lit(1)), "shingle", "left"
     ).select("shingle", F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("true_member"))
+    return hits.join(member, "shingle").select("shingle", "bloom_hit", "true_member")
+
+
+@register(
+    "stream_bloom_ingest",
+    oracle=_bloom_oracle(),
+    doc="STREAMING Bloom build: each microbatch folds its shingles "
+    "into (word, bits) rows appended to a store; serving bit_ors the "
+    "store per word and probes exactly like the batch form — Bloom "
+    "filters are mergeable (OR), so this replays sketch_bloom_probe's "
+    "oracle VERBATIM regardless of batching (sketch-of-union == "
+    "OR-of-sketches, same statement stream_count_min makes for CM). "
+    "State is O(m/62) words per batch, never keys.",
+    tags=("pipeline", "streaming", "sketch"),
+)
+def stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.functions import word_shingles
+    from bo_sql_spark.operators import bloom as B
+
+    doc_schema = _t(spark, sf_dir)["documents"].schema
+    root = tempfile.mkdtemp(prefix="bosql_bloom_stream_")
+    store = os.path.join(root, "words")
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def sh(df):
+        return (
+            df.filter(F.col("text").isNotNull())
+            .select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+            .filter(F.col("shingle") != "")
+            .distinct()
+        )
+
+    def ingest(batch_df, batch_id):
+        B.bloom_build(
+            sh(batch_df.filter(F.col("doc_id") < 400)),
+            "shingle",
+            _BLOOM_M,
+            _BLOOM_K,
+        ).write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    filt = (
+        spark.read.parquet(store)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+    build = sh(docs.filter(F.col("doc_id") < 400))
+    probes = sh(docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)))
+    hits = B.bloom_probe(filt, probes, "shingle", _BLOOM_M, _BLOOM_K)
+    member = probes.join(
+        build.withColumn("_m", F.lit(1)), "shingle", "left"
+    ).select(
+        "shingle", F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("true_member")
+    )
     return hits.join(member, "shingle").select("shingle", "bloom_hit", "true_member")
 
 
