@@ -9,11 +9,16 @@ import subprocess
 import sys
 
 
-def test_bench_emits_single_json_line():
+def test_bench_emits_single_json_line(tmp_path):
+    # Redirect the side artifact: without this the test's sf0.001 run
+    # CLOBBERS the committed BENCH_SPREAD.json (which should hold the
+    # graded sf0.1 run) every time the suite runs.
+    spread_out = str(tmp_path / "BENCH_SPREAD.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
+        BOSQL_BENCH_SPREAD_OUT=spread_out,
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -59,8 +64,7 @@ def test_bench_emits_single_json_line():
         "streaming_rows_per_sec", "anchor_s", "sf",
     }
     # the full payload incl. spread lands in the side artifact
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_SPREAD.json")) as fh:
+    with open(spread_out) as fh:
         side = json.load(fh)
     assert set(side["spread"]) == set(payload["queries"])
     for q, (lo, med, hi) in side["spread"].items():
