@@ -490,19 +490,7 @@ def ann_topk_lsh_portable(
     (TakeOrderedAndProject). Exact integer dots make the score and
     its ordering engine-independent; ties break on id."""
     masks = rp_sign_masks(seeds, bits)
-    qq = quantize_list(query_vec)
-    if not any(qq):
-        raise ValueError("query vector quantizes to zero — cosine undefined")
-    qbuckets = []
-    for s in range(seeds):
-        b = 0
-        for p, m in enumerate(masks[s]):
-            proj = sum(
-                v if (m >> d) & 1 else -v for d, v in enumerate(qq[:dim])
-            )
-            if proj >= 0:
-                b |= 1 << p
-        qbuckets.append((s, b))
+    qq, qbuckets = rp_query_buckets(query_vec, dim, bits, seeds)
     spark = emb.sparkSession
     probe = F.broadcast(
         spark.createDataFrame(qbuckets, "seed int, bucket long")
@@ -527,25 +515,117 @@ def ann_topk_lsh_portable(
         .select(id_col, "qv")
         .distinct()
     )
+    return _topk_quantized_cosine(cands, qq, k, id_col)
+
+
+def _topk_quantized_cosine(
+    cands: DataFrame, qq: list[int], k: int, id_col: str
+) -> DataFrame:
+    """(id, cos_sim) top-k of (id, qv) rows against a literal quantized
+    query — exact int64 dots, double division, (cos desc, id) order,
+    TakeOrderedAndProject. Shared tail of the one-shot and the
+    index-served ANN probes (bit-identical by construction)."""
     qlit = F.array(*[F.lit(v).cast("long") for v in qq])
-    dot_qv_q = F.aggregate(
+    dot_q = F.aggregate(
         F.zip_with(F.col("qv"), qlit, lambda u, v: u * v),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    dot_qv_qv = F.aggregate(
+    dot_self = F.aggregate(
         F.zip_with(F.col("qv"), F.col("qv"), lambda u, v: u * v),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     qnorm = float(sum(v * v for v in qq)) ** 0.5
-    cos = dot_qv_q.cast("double") / (F.sqrt(dot_qv_qv.cast("double")) * F.lit(qnorm))
+    cos = dot_q.cast("double") / (F.sqrt(dot_self.cast("double")) * F.lit(qnorm))
     return (
         cands.withColumn("cos", cos)
         .orderBy(F.col("cos").desc(), id_col)
         .limit(k)
         .select(id_col, F.round("cos", 6).alias("cos_sim"))
     )
+
+
+def rp_query_buckets(
+    query_vec: list[float], dim: int, bits: int = 4, seeds: int = 4
+) -> tuple[list[int], list[tuple[int, int]]]:
+    """(quantized query, [(seed, bucket), ...]) computed DRIVER-SIDE
+    from the literal masks — plain ints, engine-free, shared by the
+    one-shot probe and the index-served probe."""
+    masks = rp_sign_masks(seeds, bits)
+    qq = quantize_list(query_vec)
+    if not any(qq):
+        raise ValueError("query vector quantizes to zero — cosine undefined")
+    out = []
+    for s in range(seeds):
+        b = 0
+        for p, m in enumerate(masks[s]):
+            proj = sum(v if (m >> d) & 1 else -v for d, v in enumerate(qq[:dim]))
+            if proj >= 0:
+                b |= 1 << p
+        out.append((s, b))
+    return qq, out
+
+
+def materialize_rp_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    seeds: int = 4,
+) -> None:
+    """Persist the portable RP-LSH state partitioned by (seed, bucket)
+    — the RP twin of materialize_ivf_assignment / the minhash band
+    index: the corpus quantize+bucket pass happens ONCE, and a query
+    reads ONLY its seeds' bucket directories (partition-pruned scan,
+    plan-pinned in tests) instead of re-bucketing the corpus per
+    probe. seeds * 2^bits directories, each row (id, qv) — fixed
+    width regardless of corpus size."""
+    masks = rp_sign_masks(seeds, bits)
+    q = emb.select(F.col(id_col), quantize_vec(vec_col).alias("qv")).filter(
+        F.exists("qv", lambda x: x != 0)
+    )
+    parts = [
+        q.select(
+            id_col,
+            "qv",
+            F.lit(s).alias("seed"),
+            _rp_bucket(F.col("qv"), masks[s], dim).alias("bucket"),
+        )
+        for s in range(seeds)
+    ]
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionAll(p)
+    stacked.write.mode("overwrite").partitionBy("seed", "bucket").parquet(path)
+
+
+def rp_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    bits: int = 4,
+    seeds: int = 4,
+) -> DataFrame:
+    """Top-k from a materialize_rp_index store: the query's (seed,
+    bucket) keys are computed driver-side and become PARTITION FILTERS
+    on the index scan — only matching directories are read. Produces
+    bit-identical results to ann_topk_lsh_portable over the same
+    corpus (same masks, same quantization, same ranking) — asserted
+    by grading against the same oracle."""
+    qq, qbuckets = rp_query_buckets(query_vec, dim, bits, seeds)
+    idx = spark.read.parquet(path)
+    cond = None
+    for s, b in qbuckets:
+        leg = (F.col("seed") == s) & (F.col("bucket") == b)
+        cond = leg if cond is None else (cond | leg)
+    cands = idx.filter(cond).select(id_col, "qv").distinct()
+    return _topk_quantized_cosine(cands, qq, k, id_col)
 
 
 def ann_topk_lsh(

@@ -1086,6 +1086,43 @@ def similarity_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_rp_index_served",
+    oracle=f"""
+    WITH {_portable_rp_topk_sql()}
+    SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM rttop
+    """,
+    doc="INDEX-SERVED portable ANN: the corpus quantize+bucket pass is "
+    "materialized ONCE partitioned by (seed, bucket) "
+    "(similarity.py:materialize_rp_index — the RP twin of the IVF "
+    "assignment and minhash band indexes), and the probe turns the "
+    "query's driver-computed (seed, bucket) keys into PARTITION "
+    "FILTERS: only 4 of 64 directories are read (plan-pinned). "
+    "Bit-identical to the one-shot probe — this entry grades against "
+    "similarity_ann_lsh_portable's oracle VERBATIM, the "
+    "served-equals-oneshot statement the IVF/BM25 served paths make.",
+    tags=("pipeline", "similarity", "approx", "served"),
+)
+def similarity_rp_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.operators.similarity import (
+        materialize_rp_index,
+        rp_index_topk,
+    )
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    path = tempfile.mkdtemp(prefix="bosql_rp_index_") + "/index"
+    materialize_rp_index(
+        emb.filter(F.col("vec_id") != 0), path, dim=64, bits=4, seeds=4
+    )
+    return rp_index_topk(spark, path, qvec, k=10, dim=64, bits=4, seeds=4)
+
+
+@register(
     "similarity_ann_recall_portable",
     oracle=f"""
     WITH {_portable_rp_topk_sql()}, exq AS (

@@ -103,6 +103,19 @@ def test_ann_lsh_portable_probe_plan(spark, sf_dir):
     assert "CartesianProduct" not in text
 
 
+def test_rp_index_served_partition_pruned(spark, sf_dir):
+    """The index-served ANN probe must turn the query's (seed, bucket)
+    keys into PARTITION filters on the index scan — pruning
+    directories, not filtering rows (DataFilters stays empty) — and
+    rank via TakeOrderedAndProject."""
+    df = _df(spark, sf_dir, "similarity_rp_index_served")
+    text = explain_str(df, "formatted")
+    assert "PartitionFilters" in text
+    scan = [l for l in text.splitlines() if "PartitionFilters" in l][0]
+    assert "seed" in scan and "bucket" in scan, scan
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
 def test_simhash_portable_no_cartesian(spark, sf_dir):
     """Portable SimHash banding joins on (band, chunk) keys — never a
     cartesian product."""
