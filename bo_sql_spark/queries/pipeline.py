@@ -10345,3 +10345,291 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: distinct estimation WITH set operations
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256  # per-group sketch size; rel. error ~ 1/sqrt(k) ~ 6%
+_KMV_OK = 512  # overlap-query sketch size
+_KMV_SHARDS = 32
+
+
+def _kmv_sh_cte(pred: str, name: str, keep_lang: bool = False) -> str:
+    """DuckDB CTE replaying word_shingles(text, 3) under ``pred`` —
+    same tokenization/slice construction as the Bloom oracle."""
+    lang = "lang, " if keep_lang else ""
+    return f"""{name}tok AS (
+        SELECT {lang}string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents WHERE ({pred}) AND text IS NOT NULL
+    ), {name} AS (
+        SELECT DISTINCT {lang}unnest(list_filter(list_distinct(list_transform(
+            range(1, greatest(len(tok) - 1, 2)),
+            i -> array_to_string(tok[i:i+2], ' '))), s -> s <> '')) AS shingle
+        FROM {name}tok
+    )"""
+
+
+def _kmv_distinct_oracle() -> str:
+    from bo_sql_spark.operators.kmv import KMV_P
+
+    k = _KMV_K
+    return f"""
+    WITH {_kmv_sh_cte("TRUE", "kml", keep_lang=True)},
+    kmh AS (
+        SELECT DISTINCT lang,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {KMV_P} AS h
+        FROM kml
+    ), kmr AS (
+        SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+        FROM kmh
+    ), kmagg AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS mx
+        FROM kmr WHERE r <= {k} GROUP BY lang
+    ), kmex AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+        FROM kmh GROUP BY lang
+    )
+    SELECT a.lang, a.n_kept,
+           CAST(CASE WHEN a.n_kept < {k} THEN {KMV_P} ELSE a.mx END AS BIGINT) AS theta,
+           CAST(CASE WHEN a.n_kept < {k} THEN a.n_kept
+                ELSE ({k - 1} * CAST({KMV_P} AS BIGINT)) // a.mx END AS BIGINT) AS est_distinct,
+           e.exact_distinct
+    FROM kmagg a JOIN kmex e USING (lang)
+    """
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=_kmv_distinct_oracle(),
+    doc="Portable KMV / theta sketch (operators/kmv.py; Bar-Yossef et "
+    "al. 2002, (k-1)/h_k estimator per Beyer et al. 2007): per-lang "
+    "distinct-shingle estimate from the k=256 SMALLEST md5-mod-P "
+    "hashes. The gap it closes vs HLL: the retained rows are a "
+    "uniform hash-region sample, so sketches support INTERSECTION "
+    "(see sketch_kmv_overlap), which HLL's register array cannot. "
+    "Deterministic hash family -> the oracle replays every retained "
+    "hash, theta, and estimate, and the output carries exact_distinct "
+    "beside est_distinct so the estimation ERROR is a graded, "
+    "replayable artifact. Build is two ROW_NUMBER passes — per "
+    "(lang, h mod 32) first so no task ever sorts a whole group's "
+    "hash set, then per lang over <= 32k survivors; everything "
+    "downstream touches <= k rows per group.",
+    tags=("pipeline", "sketch"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import word_shingles
+    from bo_sql_spark.operators import kmv as K
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+    sh = docs.select(
+        "lang", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+    hashes = sh.select("lang", K.kmv_hash("shingle").alias("h")).distinct()
+    sk = K.kmv_sketch_from_hashes(hashes, ["lang"], _KMV_K, _KMV_SHARDS)
+    est = K.kmv_estimate(sk, ["lang"], _KMV_K)
+    exact = hashes.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "lang")
+
+
+def _kmv_overlap_oracle() -> str:
+    from bo_sql_spark.operators.kmv import KMV_P
+
+    k = _KMV_OK
+    return f"""
+    WITH {_kmv_sh_cte("doc_id < 250", "koa")}, {_kmv_sh_cte("doc_id >= 250", "kob")},
+    kha AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {KMV_P} AS h
+        FROM koa
+    ), khb AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {KMV_P} AS h
+        FROM kob
+    ), ska AS (
+        SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM kha)
+        WHERE r <= {k}
+    ), skb AS (
+        SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM khb)
+        WHERE r <= {k}
+    ), sta AS (SELECT CAST(COUNT(*) AS BIGINT) AS na, MAX(h) AS mxa FROM ska),
+    stb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, MAX(h) AS mxb FROM skb),
+    th AS (
+        SELECT least(CASE WHEN na < {k} THEN CAST({KMV_P} AS BIGINT) ELSE mxa END,
+                     CASE WHEN nb < {k} THEN CAST({KMV_P} AS BIGINT) ELSE mxb END) AS theta,
+               CAST(CASE WHEN na < {k} THEN na
+                    ELSE ({k - 1} * CAST({KMV_P} AS BIGINT)) // mxa END AS BIGINT) AS est_a,
+               CAST(CASE WHEN nb < {k} THEN nb
+                    ELSE ({k - 1} * CAST({KMV_P} AS BIGINT)) // mxb END AS BIGINT) AS est_b
+        FROM sta, stb
+    ), ni AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM (SELECT h FROM ska INTERSECT SELECT h FROM skb) s, th
+        WHERE s.h < th.theta
+    ), nu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_union
+        FROM (SELECT h FROM ska UNION SELECT h FROM skb) s, th
+        WHERE s.h < th.theta
+    ), ex AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM kha) AS exact_a,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM khb) AS exact_b,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT h FROM kha UNION SELECT h FROM khb)) AS exact_union,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT h FROM kha INTERSECT SELECT h FROM khb)) AS exact_intersect
+    )
+    SELECT th.theta, th.est_a, th.est_b,
+           (nu.n_union * CAST({KMV_P} AS BIGINT)) // th.theta AS est_union,
+           (ni.n_inter * CAST({KMV_P} AS BIGINT)) // th.theta AS est_intersect,
+           CAST(CASE WHEN nu.n_union > 0 THEN (ni.n_inter * 1000) // nu.n_union
+                ELSE 0 END AS BIGINT) AS jaccard_est_permille,
+           ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersect
+    FROM th, ni, nu, ex
+    """
+
+
+@register(
+    "sketch_kmv_overlap",
+    oracle=_kmv_overlap_oracle(),
+    doc="Theta-sketch SET OPERATIONS (operators/kmv.py:"
+    "kmv_set_estimates; the Apache DataSketches theta construction): "
+    "estimate the distinct-shingle UNION, INTERSECTION, and Jaccard "
+    "between two corpus halves from two k=512 KMV sketches — no "
+    "vocabulary join, the op HLL cannot express. Every hash below "
+    "theta = min(theta_A, theta_B) is a uniform theta/P sample of "
+    "each key set, so |sample| * P DIV theta estimates each region; "
+    "when both halves are under k the estimates DEGENERATE TO EXACT "
+    "(theta = P). Output carries the exact union/intersection beside "
+    "the estimates — the estimation error is itself oracle-replayed. "
+    "100 TB: the corpus is touched once per side to build a k-row "
+    "sketch; the set algebra joins k-row tables (broadcast), and "
+    "re-estimating after a merge never revisits the corpus.",
+    tags=("pipeline", "sketch"),
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import word_shingles
+    from bo_sql_spark.operators import kmv as K
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+
+    def hashes(pred):
+        return (
+            docs.filter(pred)
+            .select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+            .filter(F.col("shingle") != "")
+            .select(K.kmv_hash("shingle").alias("h"))
+            .distinct()
+        )
+
+    # Each side's hash table feeds the sketch AND three exact-count
+    # aggregates, and each k-row sketch feeds five set-op branches —
+    # checkpoint both (the corpus_filter_entropy shared-tail pattern)
+    # so the corpus is tokenized once per side, not once per branch.
+    # The hash tables are vocabulary-grain (the idf-table precedent);
+    # the sketches are k rows.
+    ha = hashes(F.col("doc_id") < 250).localCheckpoint(eager=False)
+    hb = hashes(F.col("doc_id") >= 250).localCheckpoint(eager=False)
+    ska = K.kmv_sketch_from_hashes(ha, [], _KMV_OK, _KMV_SHARDS).localCheckpoint(
+        eager=False
+    )
+    skb = K.kmv_sketch_from_hashes(hb, [], _KMV_OK, _KMV_SHARDS).localCheckpoint(
+        eager=False
+    )
+    est = K.kmv_set_estimates(ska, skb, _KMV_OK)
+    exact = (
+        ha.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(
+            F.broadcast(hb.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        )
+        .crossJoin(
+            F.broadcast(
+                ha.union(hb)
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ha.intersect(hb).agg(
+                    F.count(F.lit(1)).cast("long").alias("exact_intersect")
+                )
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "stream_kmv_ingest",
+    oracle=_kmv_distinct_oracle(),
+    doc="STREAMING KMV build: each microbatch is split into 4 doc_id "
+    "strata and each stratum's per-lang k-smallest sketch rows append "
+    "to a store; serving takes the k smallest of the DISTINCT stored "
+    "rows per lang — k-min of a union equals k-min of per-shard "
+    "k-mins (the k smallest overall all survive their own shard's "
+    "cut), so the served estimate replays sketch_kmv_distinct's "
+    "oracle VERBATIM regardless of batching — the same "
+    "sketch-of-union == merge-of-sketches statement the Bloom/CM/HLL "
+    "streams make. State is O(k) rows per (stratum, lang) per batch, "
+    "never keys.",
+    tags=("pipeline", "streaming", "sketch"),
+)
+def stream_kmv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.functions import word_shingles
+    from bo_sql_spark.operators import kmv as K
+
+    doc_schema = _t(spark, sf_dir)["documents"].schema
+    root = tempfile.mkdtemp(prefix="bosql_kmv_stream_")
+    store = os.path.join(root, "sketch")
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        base = batch_df.filter(F.col("text").isNotNull())
+        for s in range(4):
+            sh = (
+                base.filter(F.pmod(F.col("doc_id"), F.lit(4)) == s)
+                .select(
+                    "lang",
+                    F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+                )
+                .filter(F.col("shingle") != "")
+            )
+            K.kmv_sketch(sh, "shingle", ["lang"], _KMV_K, _KMV_SHARDS).write.mode(
+                "append"
+            ).parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = K.kmv_sketch_from_hashes(
+        spark.read.parquet(store).distinct(), ["lang"], _KMV_K, _KMV_SHARDS
+    )
+    est = K.kmv_estimate(merged, ["lang"], _KMV_K)
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+    exact = (
+        docs.select(
+            "lang", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+        )
+        .filter(F.col("shingle") != "")
+        .select("lang", K.kmv_hash("shingle").alias("h"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "lang")
