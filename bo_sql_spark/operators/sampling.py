@@ -494,3 +494,85 @@ def epoch_upsample_budget(
             "cum_tokens",
         )
     )
+
+
+def weighted_reservoir_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: int = 0
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact size k
+    (Efraimidis & Spirakis 2006): each row draws key_i = u_i^(1/w_i)
+    from its deterministic uniform u_i and the k LARGEST keys win.
+    The distributed-native weighted reservoir — the complement of
+    sample_quality_weighted's Bernoulli form, which weights keep
+    PROBABILITY but cannot promise an exact sample size.
+
+    Integer form (both engines replay it bit-for-bit): maximizing
+    u^(1/w) is maximizing ln(u)/w (ln u <= 0), so
+
+        u_i       = (portable_hash(id, salt) + 1) / P      in (0, 1]
+        es_key    = (ln_micros(h+1) - ln_micros(P)) * 1e6 DIV w
+
+    via the fixed-point ln (functions/fixedpoint.py). The numerator is
+    <= 0 with |.| <= ln(P)*1e12 ~ 2.1e13 — plain BIGINT; Spark DIV and
+    DuckDB // agree by truncating toward zero on the negative quotient
+    (the cross-engine fuzz pins this). Quantization can tie keys at
+    the boundary, so the cut orders by (es_key DESC, id ASC) — total
+    and engine-portable.
+
+    ``weight_col`` must be BIGINT >= 1 (callers clamp with
+    greatest(1, w)); a zero weight would divide by zero rather than
+    silently excluding the row.
+
+    Scale shape: the ln chain is a fixed list of codegen'd integer
+    ops evaluated once per candidate ROW in the scan stage (the
+    summary-grain ln doctrine is about token-exploded grains; document
+    grain is the reservoir's natural input), and the cut is a global
+    top-k — TakeOrderedAndProject, per-partition heaps of k rows, no
+    full sort, no shuffle of non-winners.
+    """
+    from bo_sql_spark.functions.fixedpoint import ln_micros_py, with_ln_micros
+
+    ln_p = ln_micros_py(PORTABLE_PRIME)
+    d = df.withColumn("_h1", portable_hash(id_col, salt) + F.lit(1))
+    d = with_ln_micros(d, "_h1", "_lnh1")
+    d = d.withColumn(
+        "es_key",
+        F.expr(f"((_lnh1 - {ln_p}) * 1000000) DIV ({weight_col})"),
+    ).drop("_h1", "_lnh1")
+    return d.orderBy(F.col("es_key").desc(), F.col(id_col).asc()).limit(k)
+
+
+def weighted_reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Stratified weighted reservoir: the Efraimidis-Spirakis cut run
+    independently per ``group_col`` — exactly min(k, |group|) rows per
+    group, weighted without replacement within each. The 'exactly N
+    exemplars per source, quality-weighted' step of a curriculum
+    build. Same key as weighted_reservoir_topk; the cut is a
+    row_number window PARTITIONED by group (never global), ordered by
+    (es_key DESC, id) for the same portable tie total order."""
+    from pyspark.sql import Window
+
+    from bo_sql_spark.functions.fixedpoint import ln_micros_py, with_ln_micros
+
+    ln_p = ln_micros_py(PORTABLE_PRIME)
+    d = df.withColumn("_h1", portable_hash(id_col, salt) + F.lit(1))
+    d = with_ln_micros(d, "_h1", "_lnh1")
+    d = d.withColumn(
+        "es_key",
+        F.expr(f"((_lnh1 - {ln_p}) * 1000000) DIV ({weight_col})"),
+    ).drop("_h1", "_lnh1")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        d.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )

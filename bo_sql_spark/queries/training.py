@@ -839,3 +839,64 @@ def training_pipeline_e2e_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         holdout.select("doc_id", F.lit("holdout").alias("drop_reason"), mv, *nulls)
     )
     return out.orderBy("doc_id")
+
+
+_WR_SALT = 29
+_WR_K = 100
+
+
+def _weighted_reservoir_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select, ln_micros_py
+
+    ln_p = ln_micros_py(PORTABLE_PRIME)
+    inner = f"""
+    SELECT doc_id, source,
+           GREATEST(1, CAST(LEAST(999,
+               1000 * length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               // GREATEST(1, length(text))) AS BIGINT)) AS weight,
+           {portable_hash_sql('doc_id', _WR_SALT)} + 1 AS _h1
+    FROM documents WHERE text IS NOT NULL
+    """
+    chained = duckdb_ln_select(inner, "_h1", "_lnh1")
+    return f"""
+    SELECT doc_id, source, weight,
+           ((_lnh1 - {ln_p}) * 1000000) // weight AS es_key
+    FROM ({chained})
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT {_WR_K}
+    """
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=_weighted_reservoir_oracle(),
+    doc="Weighted sampling WITHOUT replacement, exact size k=100 "
+    "(operators/sampling.py:weighted_reservoir_topk; Efraimidis & "
+    "Spirakis 2006): every doc draws key = u^(1/weight) from its "
+    "deterministic uniform and the k largest keys win — the "
+    "distributed weighted reservoir. Complements "
+    "sample_quality_weighted: Bernoulli weights the keep PROBABILITY "
+    "but the sample SIZE is random; a training run that needs exactly "
+    "N curriculum exemplars needs the reservoir form. The key is the "
+    "fixed-point ln chain ((ln(h+1) - ln(P)) * 1e6 DIV w, truncation "
+    "agreement fuzz-pinned), so the oracle replays the winning set "
+    "bit-for-bit, ties broken by (es_key DESC, doc_id). Scale: the "
+    "key is codegen'd scan-stage arithmetic; the cut is "
+    "TakeOrderedAndProject — per-partition k-row heaps, no global "
+    "sort, no shuffle of losers.",
+    tags=("pipeline", "training", "sampling"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+    alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    weight = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(
+            F.lit(999).cast("long"),
+            F.floor(
+                F.lit(1000) * alpha / F.greatest(F.lit(1), F.length("text"))
+            ).cast("long"),
+        ),
+    )
+    staged = docs.select("doc_id", "source", weight.alias("weight"))
+    return SA.weighted_reservoir_topk(staged, "doc_id", "weight", _WR_K, _WR_SALT)

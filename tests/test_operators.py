@@ -3212,3 +3212,67 @@ def test_ann_topk_lsh_portable_values_and_order(spark, sf_dir):
 
     with pytest.raises(ValueError):
         ann_topk_lsh_portable(corpus, [0.0] * 64, dim=64)
+
+
+def test_weighted_reservoir_matches_python_replay(spark):
+    """The E-S top-k is a pure integer function of (id, weight, salt):
+    a Python replay of the key formula must select the same winners
+    with the same keys."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.functions.fixedpoint import ln_micros_py
+    from bo_sql_spark.operators.sampling import (
+        PORTABLE_PRIME,
+        _ADD,
+        _MULT,
+        _SALT_MIX,
+        weighted_reservoir_topk,
+    )
+
+    rows = [(i, 1 + (i * 7) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = weighted_reservoir_topk(df, "id", "w", 20, salt=3).collect()
+
+    ln_p = ln_micros_py(PORTABLE_PRIME)
+
+    def key(i, w):
+        h = ((i % PORTABLE_PRIME) * _MULT + _ADD + (3 * _SALT_MIX) % PORTABLE_PRIME) % PORTABLE_PRIME
+        num = (ln_micros_py(h + 1) - ln_p) * 1_000_000
+        q = abs(num) // w
+        return -q if num < 0 else q  # truncation toward zero
+
+    want = sorted(((key(i, w), i, w) for i, w in rows), key=lambda t: (-t[0], t[1]))[:20]
+    assert [(r.es_key, r.id) for r in got] == [(k, i) for k, i, _ in want]
+
+
+def test_weighted_reservoir_weight_monotone_and_exact_k(spark):
+    """Raising a row's weight can only improve (weakly) its key —
+    u^(1/w) is monotone in w for fixed u — and the cut size is exactly
+    k regardless of weights."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.sampling import weighted_reservoir_topk
+
+    base = spark.createDataFrame([(i, 5) for i in range(200)], "id long, w long")
+    boosted = spark.createDataFrame(
+        [(i, 500 if i == 137 else 5) for i in range(200)], "id long, w long"
+    )
+    k_base = {r.id: r.es_key for r in weighted_reservoir_topk(base, "id", "w", 200).collect()}
+    k_boost = {r.id: r.es_key for r in weighted_reservoir_topk(boosted, "id", "w", 200).collect()}
+    assert k_boost[137] >= k_base[137]
+    assert all(k_boost[i] == k_base[i] for i in k_base if i != 137)
+    assert len(weighted_reservoir_topk(boosted, "id", "w", 17).collect()) == 17
+
+
+def test_weighted_reservoir_favors_heavy_rows_across_salts(spark):
+    """Inclusion tracks weight: over 40 independent salts, a weight-9
+    item beats a weight-1 item for the single slot far more often
+    (expected 90%; deterministic given the fixed salt list)."""
+    from bo_sql_spark.operators.sampling import weighted_reservoir_topk
+
+    df = spark.createDataFrame([(0, 9), (1, 1)], "id long, w long")
+    wins = sum(
+        weighted_reservoir_topk(df, "id", "w", 1, salt=s).collect()[0].id == 0
+        for s in range(40)
+    )
+    assert wins >= 28, wins
