@@ -900,3 +900,71 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = docs.select("doc_id", "source", weight.alias("weight"))
     return SA.weighted_reservoir_topk(staged, "doc_id", "weight", _WR_K, _WR_SALT)
+
+
+_WRG_SALT = 31
+_WRG_K = 20
+
+
+def _weighted_reservoir_per_source_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select, ln_micros_py
+
+    ln_p = ln_micros_py(PORTABLE_PRIME)
+    inner = f"""
+    SELECT doc_id, source,
+           GREATEST(1, CAST(LEAST(999,
+               1000 * length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               // GREATEST(1, length(text))) AS BIGINT)) AS weight,
+           {portable_hash_sql('doc_id', _WRG_SALT)} + 1 AS _h1
+    FROM documents WHERE text IS NOT NULL
+    """
+    chained = duckdb_ln_select(inner, "_h1", "_lnh1")
+    return f"""
+    SELECT doc_id, source, weight, es_key
+    FROM (
+        SELECT doc_id, source, weight, es_key,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY es_key DESC, doc_id ASC) AS r
+        FROM (
+            SELECT doc_id, source, weight,
+                   ((_lnh1 - {ln_p}) * 1000000) // weight AS es_key
+            FROM ({chained})
+        )
+    )
+    WHERE r <= {_WRG_K}
+    """
+
+
+@register(
+    "sample_weighted_per_source",
+    oracle=_weighted_reservoir_per_source_oracle(),
+    doc="STRATIFIED weighted reservoir (operators/sampling.py:"
+    "weighted_reservoir_per_group): the Efraimidis-Spirakis cut run "
+    "independently per source — exactly min(k=20, |source|) docs per "
+    "source, weighted without replacement within each. The 'exactly N "
+    "exemplars per source, quality-weighted' curriculum step; "
+    "complements sample_fixed_k_per_source (uniform) the same way the "
+    "global reservoir complements the Bernoulli sample. Same portable "
+    "integer key, so the oracle replays every stratum's winners; the "
+    "cut is a row_number window PARTITIONED by source (never global), "
+    "shuffling only (source, key) grouping — the stratified-sampling "
+    "shape that holds at any source skew because each stratum's heap "
+    "is independent.",
+    tags=("pipeline", "training", "sampling"),
+)
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+    alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    weight = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(
+            F.lit(999).cast("long"),
+            F.floor(
+                F.lit(1000) * alpha / F.greatest(F.lit(1), F.length("text"))
+            ).cast("long"),
+        ),
+    )
+    staged = docs.select("doc_id", "source", weight.alias("weight"))
+    return SA.weighted_reservoir_per_group(
+        staged, "source", "doc_id", "weight", _WRG_K, _WRG_SALT
+    )
