@@ -108,6 +108,11 @@ PIPELINE = [
     "dedup_simhash_portable",
     "similarity_ann_lsh_portable",
     "drift_embedding_centroid",
+    # round 12 (cont. 2): KMV/theta sketch set algebra (the overlap
+    # query checkpoints two sketches then joins k-row tables) and the
+    # Efraimidis-Spirakis weighted reservoir (ln-chain key + top-k)
+    "sketch_kmv_overlap",
+    "sample_weighted_reservoir",
 ]
 
 # Streaming tier: bounded replays through the microbatch engine.

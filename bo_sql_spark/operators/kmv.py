@@ -225,3 +225,85 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
             .alias("jaccard_est_permille"),
         )
     )
+
+
+def kmv_pairwise_jaccard(
+    sketches: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """All-pairs set estimates from ONE grouped sketch table: for every
+    unordered group pair (a < b), (theta, n_inter, n_union,
+    est_intersect, jaccard_est_permille). The payoff of sketch set
+    algebra at matrix scale — G groups need G(G-1)/2 pairwise overlap
+    answers and the corpus is scanned ONCE; every pair is then a
+    k-row-table join.
+
+    Per pair: theta = min(theta_a, theta_b); the pair's sample is each
+    side's retained hashes strictly below theta, so
+    n_union = |A<theta| + |B<theta| - n_inter (inclusion-exclusion on
+    counted samples — no union materialization). Group stats are a
+    G-row broadcast; the only row-level joins are sketch-vs-pairs
+    range filters and the h-equijoin for n_inter, all bounded by G*k.
+    """
+    stats = kmv_estimate(sketches, [group_col], k)
+    g = group_col
+    pairs = (
+        stats.select(
+            F.col(g).alias("ga"),
+            F.col("theta").alias("_ta"),
+            F.col("est_distinct").alias("est_a"),
+        )
+        .crossJoin(
+            stats.select(
+                F.col(g).alias("gb"),
+                F.col("theta").alias("_tb"),
+                F.col("est_distinct").alias("est_b"),
+            )
+        )
+        .filter(F.col("ga") < F.col("gb"))
+        .withColumn("theta", F.least("_ta", "_tb"))
+        .drop("_ta", "_tb")
+    )
+    sk = sketches.select(F.col(g).alias("_g"), "h")
+    below_a = (
+        sk.join(F.broadcast(pairs), (F.col("_g") == F.col("ga")) & (F.col("h") < F.col("theta")))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("_na"))
+    )
+    below_b = (
+        sk.join(F.broadcast(pairs), (F.col("_g") == F.col("gb")) & (F.col("h") < F.col("theta")))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nb"))
+    )
+    shared = (
+        sk.alias("x")
+        .join(sk.alias("y"), (F.col("x.h") == F.col("y.h")) & (F.col("x._g") < F.col("y._g")))
+        .select(F.col("x._g").alias("ga"), F.col("y._g").alias("gb"), F.col("x.h").alias("h"))
+        .join(F.broadcast(pairs.select("ga", "gb", "theta")), ["ga", "gb"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+    )
+    out = (
+        pairs.join(below_a, ["ga", "gb"], "left")
+        .join(below_b, ["ga", "gb"], "left")
+        .join(shared, ["ga", "gb"], "left")
+        .na.fill(0, ["_na", "_nb", "_ni"])
+        .withColumn("n_inter", F.col("_ni"))
+        .withColumn("n_union", (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("long"))
+    )
+    return out.select(
+        "ga",
+        "gb",
+        "theta",
+        "est_a",
+        "est_b",
+        "n_inter",
+        "n_union",
+        F.expr(f"(n_inter * CAST({KMV_P} AS BIGINT)) DIV theta").alias(
+            "est_intersect"
+        ),
+        F.when(F.col("n_union") > 0, F.expr("(n_inter * 1000) DIV n_union"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("jaccard_est_permille"),
+    )

@@ -10633,3 +10633,95 @@ def stream_kmv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
     )
     return est.join(exact, "lang")
+
+
+def _kmv_pairwise_oracle() -> str:
+    from bo_sql_spark.operators.kmv import KMV_P
+
+    k = _KMV_K
+    return f"""
+    WITH {_kmv_sh_cte("TRUE", "kpl", keep_lang=True)},
+    kph AS (
+        SELECT DISTINCT lang,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {KMV_P} AS h
+        FROM kpl
+    ), kpr AS (
+        SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+        FROM kph
+    ), kpsk AS (
+        SELECT lang, h FROM kpr WHERE r <= {k}
+    ), kpst AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MAX(h) AS mx
+        FROM kpsk GROUP BY lang
+    ), kpstat AS (
+        SELECT lang,
+               CAST(CASE WHEN n_kept < {k} THEN {KMV_P} ELSE mx END AS BIGINT) AS theta,
+               CAST(CASE WHEN n_kept < {k} THEN n_kept
+                    ELSE ({k - 1} * CAST({KMV_P} AS BIGINT)) // mx END AS BIGINT) AS est
+        FROM kpst
+    ), kpp AS (
+        SELECT a.lang AS ga, b.lang AS gb,
+               least(a.theta, b.theta) AS theta,
+               a.est AS est_a, b.est AS est_b
+        FROM kpstat a, kpstat b WHERE a.lang < b.lang
+    ), kpna AS (
+        SELECT p.ga, p.gb, CAST(COUNT(*) AS BIGINT) AS na
+        FROM kpp p JOIN kpsk s ON s.lang = p.ga AND s.h < p.theta
+        GROUP BY p.ga, p.gb
+    ), kpnb AS (
+        SELECT p.ga, p.gb, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM kpp p JOIN kpsk s ON s.lang = p.gb AND s.h < p.theta
+        GROUP BY p.ga, p.gb
+    ), kpni AS (
+        SELECT p.ga, p.gb, CAST(COUNT(*) AS BIGINT) AS ni
+        FROM kpp p
+        JOIN kpsk x ON x.lang = p.ga AND x.h < p.theta
+        JOIN kpsk y ON y.lang = p.gb AND y.h = x.h
+        GROUP BY p.ga, p.gb
+    )
+    SELECT p.ga, p.gb, p.theta, p.est_a, p.est_b,
+           COALESCE(i.ni, 0) AS n_inter,
+           COALESCE(a.na, 0) + COALESCE(b.nb, 0) - COALESCE(i.ni, 0) AS n_union,
+           (COALESCE(i.ni, 0) * CAST({KMV_P} AS BIGINT)) // p.theta AS est_intersect,
+           CAST(CASE WHEN COALESCE(a.na, 0) + COALESCE(b.nb, 0) - COALESCE(i.ni, 0) > 0
+                THEN (COALESCE(i.ni, 0) * 1000)
+                     // (COALESCE(a.na, 0) + COALESCE(b.nb, 0) - COALESCE(i.ni, 0))
+                ELSE 0 END AS BIGINT) AS jaccard_est_permille
+    FROM kpp p
+    LEFT JOIN kpna a ON a.ga = p.ga AND a.gb = p.gb
+    LEFT JOIN kpnb b ON b.ga = p.ga AND b.gb = p.gb
+    LEFT JOIN kpni i ON i.ga = p.ga AND i.gb = p.gb
+    """
+
+
+@register(
+    "sketch_kmv_pairwise",
+    oracle=_kmv_pairwise_oracle(),
+    doc="ALL-PAIRS set estimates from ONE grouped KMV build "
+    "(operators/kmv.py:kmv_pairwise_jaccard): the lang x lang "
+    "distinct-shingle Jaccard/intersection matrix — G groups need "
+    "G(G-1)/2 overlap answers and the corpus is scanned once; every "
+    "pair is then a k-row-table join against a G-row broadcast stats "
+    "table (per-pair theta = min of the two sides, n_union by "
+    "inclusion-exclusion on counted samples, no union "
+    "materialization). The production question is 'which corpus "
+    "slices share vocabulary' (contamination screens across dumps, "
+    "language-confusion detection); pairwise EXACT answers would be "
+    "G(G-1)/2 vocabulary joins over the corpus. Same portable hash "
+    "family, so the oracle replays the whole matrix.",
+    tags=("pipeline", "sketch"),
+)
+def sketch_kmv_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import word_shingles
+    from bo_sql_spark.operators import kmv as K
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+    sh = docs.select(
+        "lang", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+    sk = K.kmv_sketch(sh, "shingle", ["lang"], _KMV_K, _KMV_SHARDS).localCheckpoint(
+        eager=False
+    )
+    return K.kmv_pairwise_jaccard(sk, "lang", _KMV_K)

@@ -968,3 +968,73 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.weighted_reservoir_per_group(
         staged, "source", "doc_id", "weight", _WRG_K, _WRG_SALT
     )
+
+
+@register(
+    "stream_weighted_reservoir",
+    oracle=_weighted_reservoir_oracle(),
+    doc="STREAMING weighted reservoir: each microbatch is split into "
+    "4 doc_id strata and each stratum's local Efraimidis-Spirakis "
+    "top-k (same key, salt, and k as sample_weighted_reservoir) "
+    "appends to a candidate store; serving takes the global top-k "
+    "over the stored rows. Weighted reservoirs MERGE: the k largest "
+    "keys of a union all survive their own shard's cut, so the served "
+    "sample replays the batch oracle VERBATIM regardless of batching "
+    "— the property that lets a 100 TB ingest keep an always-current "
+    "exact-size weighted sample with O(k) state per shard and no "
+    "reprocessing. Ties stay portable through the (es_key DESC, "
+    "doc_id) total order at both levels.",
+    tags=("pipeline", "training", "sampling", "streaming"),
+)
+def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    doc_schema = _t(spark, sf_dir)["documents"].schema
+    root = tempfile.mkdtemp(prefix="bosql_wres_stream_")
+    store = os.path.join(root, "candidates")
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    weight = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(
+            F.lit(999).cast("long"),
+            F.floor(
+                F.lit(1000) * alpha / F.greatest(F.lit(1), F.length("text"))
+            ).cast("long"),
+        ),
+    )
+
+    def ingest(batch_df, batch_id):
+        staged = batch_df.filter(F.col("text").isNotNull()).select(
+            "doc_id", "source", weight.alias("weight")
+        )
+        for s in range(4):
+            SA.weighted_reservoir_topk(
+                staged.filter(F.pmod(F.col("doc_id"), F.lit(4)) == s),
+                "doc_id",
+                "weight",
+                _WR_K,
+                _WR_SALT,
+            ).write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cands = spark.read.parquet(store)
+    return cands.orderBy(
+        F.col("es_key").desc(), F.col("doc_id").asc()
+    ).limit(_WR_K)

@@ -123,3 +123,32 @@ def test_kmv_hash_matches_duckdb(spark):
             f"SELECT {K.kmv_hash_sql('?')}", [row.s]
         ).fetchone()[0]
         assert row.h == want, row.s
+
+
+def test_pairwise_matches_two_sketch_estimates(spark):
+    """The all-pairs matrix must agree with kmv_set_estimates run on
+    the same two groups' sketches (same theta, intersection count, and
+    Jaccard), and emit exactly G(G-1)/2 rows."""
+    parts = {
+        "g1": [f"s{i}" for i in range(600)],
+        "g2": [f"s{i}" for i in range(300)] + [f"t{i}" for i in range(300)],
+        "g3": [f"u{i}" for i in range(50)],
+    }
+    rows = [(g, v) for g, vs in parts.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, k string")
+    sk = K.kmv_sketch(df, "k", ["g"], k=128)
+    matrix = {
+        (r.ga, r.gb): r for r in K.kmv_pairwise_jaccard(sk, "g", k=128).collect()
+    }
+    assert set(matrix) == {("g1", "g2"), ("g1", "g3"), ("g2", "g3")}
+
+    ska = K.kmv_sketch(df.filter(F.col("g") == "g1"), "k", [], k=128)
+    skb = K.kmv_sketch(df.filter(F.col("g") == "g2"), "k", [], k=128)
+    pair = K.kmv_set_estimates(ska, skb, k=128).collect()[0]
+    m = matrix[("g1", "g2")]
+    assert m.theta == pair.theta
+    assert m.est_intersect == pair.est_intersect
+    assert m.jaccard_est_permille == pair.jaccard_est_permille
+    # disjoint pair: zero intersection, exactly
+    assert matrix[("g1", "g3")].n_inter == 0
+    assert matrix[("g1", "g3")].jaccard_est_permille == 0
