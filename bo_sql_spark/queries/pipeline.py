@@ -10725,3 +10725,87 @@ def sketch_kmv_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     return K.kmv_pairwise_jaccard(sk, "lang", _KMV_K)
+
+
+_KNN_EDGES_CTE = """
+    vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id < 16
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), av AS (
+        SELECT a.vec_id, a.cell, ve.v FROM assigned a JOIN vecs ve USING (vec_id)
+    ), prs AS (
+        SELECT x.vec_id, y.vec_id AS neighbor_id,
+               list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+        FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    ), knn AS (
+        SELECT vec_id AS s, neighbor_id AS d
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM prs
+        ) WHERE rnk <= 5
+    )
+"""
+
+
+@register(
+    "graph_triangle_stats",
+    oracle=f"""
+    WITH {_KNN_EDGES_CTE},
+    und AS (
+        SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM knn WHERE s <> d
+    ), deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+        GROUP BY n
+    ), tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ), ne AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und
+    )
+    SELECT st.n_nodes, ne.n_edges, st.n_wedges, tri.n_triangles,
+           CAST(CASE WHEN st.n_wedges > 0
+                THEN (3 * tri.n_triangles * 1000) // st.n_wedges
+                ELSE 0 END AS BIGINT) AS clustering_permille
+    FROM st, ne, tri
+    """,
+    doc="Exact TRIANGLE COUNT + global clustering coefficient of the "
+    "k-NN similarity graph (operators/graph.py:triangle_stats; "
+    "Cohen's degree-ordered MapReduce enumeration). Community "
+    "structure in one number: transitivity distinguishes a corpus "
+    "whose near-dup neighborhoods form tight cliques (template spam, "
+    "mirror clusters) from benign diffuse similarity — the graph-"
+    "level sibling of the pairwise dedup evidence. Degree ordering is "
+    "the 100 TB term: orienting every edge low->high degree caps "
+    "per-node wedge fan-out at O(sqrt(m)) so hub nodes cannot emit "
+    "quadratic wedges (a k-NN graph is further degree-capped at ~2k "
+    "by construction); the DuckDB twin counts by the direct ordered "
+    "3-way self-join, pinning the oriented enumeration to the "
+    "definition. All-integer output, bit-replayed.",
+    tags=("pipeline", "graph"),
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.graph import triangle_stats
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    edges = S.knn_graph(emb, cents, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return triangle_stats(edges)

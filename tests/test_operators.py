@@ -3276,3 +3276,44 @@ def test_weighted_reservoir_favors_heavy_rows_across_salts(spark):
         for s in range(40)
     )
     assert wins >= 28, wins
+
+
+def test_triangle_stats_hand_graph_and_random_bruteforce(spark):
+    """Hand-checked K4 (4 triangles, 12 wedges, transitivity 1) plus a
+    pseudorandom graph against a Python brute-force count — pins the
+    degree-ordered enumeration to the definition."""
+    from itertools import combinations
+
+    from bo_sql_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    r = triangle_stats(
+        spark.createDataFrame(k4, "src long, dst long")
+    ).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.clustering_permille == 1000
+
+    # pseudorandom graph: deterministic edge set, duplicate + reversed
+    # edges and self-loops thrown in to exercise canonicalization
+    edges = []
+    for i in range(200):
+        a, b = (i * 73) % 40, (i * 137 + 11) % 40
+        edges += [(a, b), (b, a), (a, a)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = triangle_stats(df).collect()[0]
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted({n for e in und for n in e}), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert got.n_triangles == tri
+    assert got.n_edges == len(und)
+    assert got.n_wedges == wedges
+    assert got.clustering_permille == (3 * tri * 1000) // wedges
