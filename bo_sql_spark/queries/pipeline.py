@@ -10809,3 +10809,215 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return triangle_stats(edges)
+
+
+def _kmv_setops_tail(k: int) -> str:
+    """Shared two-sketch set-estimate oracle tail: expects CTEs
+    ``kha``/``khb`` (DISTINCT h per side) to be defined by the caller
+    and emits the (theta, est_*, jaccard, exact_*) row."""
+    from bo_sql_spark.operators.kmv import KMV_P
+
+    return f"""ska AS (
+        SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM kha)
+        WHERE r <= {k}
+    ), skb AS (
+        SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM khb)
+        WHERE r <= {k}
+    ), sta AS (SELECT CAST(COUNT(*) AS BIGINT) AS na, MAX(h) AS mxa FROM ska),
+    stb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, MAX(h) AS mxb FROM skb),
+    th AS (
+        SELECT least(CASE WHEN na < {k} THEN CAST({KMV_P} AS BIGINT) ELSE mxa END,
+                     CASE WHEN nb < {k} THEN CAST({KMV_P} AS BIGINT) ELSE mxb END) AS theta,
+               CAST(CASE WHEN na < {k} THEN na
+                    ELSE ({k - 1} * CAST({KMV_P} AS BIGINT)) // mxa END AS BIGINT) AS est_a,
+               CAST(CASE WHEN nb < {k} THEN nb
+                    ELSE ({k - 1} * CAST({KMV_P} AS BIGINT)) // mxb END AS BIGINT) AS est_b
+        FROM sta, stb
+    ), ni AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM (SELECT h FROM ska INTERSECT SELECT h FROM skb) s, th
+        WHERE s.h < th.theta
+    ), nu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_union
+        FROM (SELECT h FROM ska UNION SELECT h FROM skb) s, th
+        WHERE s.h < th.theta
+    ), ex AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM kha) AS exact_a,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM khb) AS exact_b,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT h FROM kha UNION SELECT h FROM khb)) AS exact_union,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT h FROM kha INTERSECT SELECT h FROM khb)) AS exact_intersect
+    )
+    SELECT th.theta, th.est_a, th.est_b,
+           (nu.n_union * CAST({KMV_P} AS BIGINT)) // th.theta AS est_union,
+           (ni.n_inter * CAST({KMV_P} AS BIGINT)) // th.theta AS est_intersect,
+           CAST(CASE WHEN nu.n_union > 0 THEN (ni.n_inter * 1000) // nu.n_union
+                ELSE 0 END AS BIGINT) AS jaccard_est_permille,
+           ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersect
+    FROM th, ni, nu, ex"""
+
+
+_KMV_UK = 64  # user-overlap sketch size (user sets are smaller than vocab)
+
+
+def _kmv_user_overlap_oracle() -> str:
+    from bo_sql_spark.operators.kmv import KMV_P
+
+    return f"""
+    WITH kha AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {KMV_P} AS h
+        FROM events WHERE dayofweek(ts) NOT IN (0, 6)
+    ), khb AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {KMV_P} AS h
+        FROM events WHERE dayofweek(ts) IN (0, 6)
+    ), {_kmv_setops_tail(_KMV_UK)}
+    """
+
+
+def _kmv_user_hashes(ev: DataFrame, weekend: bool) -> DataFrame:
+    from bo_sql_spark.operators import kmv as K
+
+    is_wknd = F.dayofweek("ts").isin(1, 7)
+    return (
+        ev.filter(is_wknd if weekend else ~is_wknd)
+        .select(K.kmv_hash(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+
+
+def _kmv_user_overlap_result(
+    spark: SparkSession, sf_dir: str, ska: DataFrame, skb: DataFrame
+) -> DataFrame:
+    """Shared serve leg: set estimates from the two sketches + exact
+    columns recomputed from the batch events (the graded accuracy
+    artifact; production would drop the exact_* legs)."""
+    from bo_sql_spark.operators import kmv as K
+
+    ev = _t(spark, sf_dir)["events"]
+    ha = _kmv_user_hashes(ev, weekend=False).localCheckpoint(eager=False)
+    hb = _kmv_user_hashes(ev, weekend=True).localCheckpoint(eager=False)
+    est = K.kmv_set_estimates(ska, skb, _KMV_UK)
+    exact = (
+        ha.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(
+            F.broadcast(hb.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        )
+        .crossJoin(
+            F.broadcast(
+                ha.union(hb)
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ha.intersect(hb).agg(
+                    F.count(F.lit(1)).cast("long").alias("exact_intersect")
+                )
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "drift_user_overlap_kmv",
+    oracle=_kmv_user_overlap_oracle(),
+    doc="ENTITY-overlap monitor from KMV sketches (operators/kmv.py): "
+    "distinct-user union / intersection / Jaccard between the weekday "
+    "and weekend event populations, k=64 — the retention/returning-"
+    "users question answered from kilobyte sketches instead of a "
+    "user-level join (the canonical production theta-sketch use). The "
+    "blind spot it covers in the monitor family: every count-based "
+    "monitor (chi-sq/KL/PSI/EMD/Gini) sees DISTRIBUTION shift over a "
+    "fixed category set; this one sees SET churn — which entities "
+    "arrived or vanished — even when per-category counts look stable. "
+    "Exact columns ride along as the graded accuracy artifact.",
+    tags=("pipeline", "sketch", "stats", "monitoring"),
+)
+def drift_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import kmv as K
+
+    ev = _t(spark, sf_dir)["events"]
+    ska = K.kmv_sketch_from_hashes(
+        _kmv_user_hashes(ev, weekend=False), [], _KMV_UK, _KMV_SHARDS
+    ).localCheckpoint(eager=False)
+    skb = K.kmv_sketch_from_hashes(
+        _kmv_user_hashes(ev, weekend=True), [], _KMV_UK, _KMV_SHARDS
+    ).localCheckpoint(eager=False)
+    return _kmv_user_overlap_result(spark, sf_dir, ska, skb)
+
+
+@register(
+    "stream_drift_user_overlap",
+    oracle=_kmv_user_overlap_oracle(),
+    doc="STREAMING twin of drift_user_overlap_kmv: each microbatch "
+    "appends its own per-side (weekday/weekend) k=64 user-hash "
+    "sketches to a store; serving k-min-merges the stored rows per "
+    "side and runs the same set estimates — k-min of a union equals "
+    "k-min of per-batch k-mins, so the served monitor replays the "
+    "batch oracle VERBATIM regardless of batching. O(k) state per "
+    "(side, batch); the 100 TB shape is a daily sketch per side "
+    "folded into the monitor without ever rescanning events.",
+    tags=("pipeline", "streaming", "sketch", "stats", "monitoring"),
+)
+def stream_drift_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators import kmv as K
+
+    ev_schema = _t(spark, sf_dir)["events"].schema
+    root = tempfile.mkdtemp(prefix="bosql_useroverlap_stream_")
+    store = os.path.join(root, "sketches")
+
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        is_wknd = F.dayofweek("ts").isin(1, 7)
+        for side, pred in (("a", ~is_wknd), ("b", is_wknd)):
+            hashes = (
+                batch_df.filter(pred)
+                .select(K.kmv_hash(F.col("user_id").cast("string")).alias("h"))
+                .distinct()
+            )
+            K.kmv_sketch_from_hashes(hashes, [], _KMV_UK, _KMV_SHARDS).withColumn(
+                "side", F.lit(side)
+            ).write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # Checkpoint the k-row served sketches (same as the batch twin):
+    # each feeds five set-op branches, and uncheckpointed the per-side
+    # k-min window subtree would replay once per branch.
+    stored = spark.read.parquet(store)
+    ska = K.kmv_sketch_from_hashes(
+        stored.filter(F.col("side") == "a").select("h").distinct(),
+        [],
+        _KMV_UK,
+        _KMV_SHARDS,
+    ).localCheckpoint(eager=False)
+    skb = K.kmv_sketch_from_hashes(
+        stored.filter(F.col("side") == "b").select("h").distinct(),
+        [],
+        _KMV_UK,
+        _KMV_SHARDS,
+    ).localCheckpoint(eager=False)
+    return _kmv_user_overlap_result(spark, sf_dir, ska, skb)
