@@ -329,3 +329,70 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .cast("long")
         .alias("clustering_permille"),
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient of the
+    undirected graph underlying ``edges``: (node, deg, n_triangles,
+    local_clustering_permille = tri * 1000 DIV C(deg, 2)).
+
+    Node-level sibling of triangle_stats: the same degree-ordered
+    wedge enumeration, but each closed wedge credits all THREE corners
+    (a triangle contains exactly one ordered wedge, whose closure emits
+    the corner triple) — one extra explode over closed wedges, still
+    O(m^1.5)-bounded rows. Local clustering separates the node roles a
+    global coefficient averages away: a node embedded in a clique
+    scores 1000 (template/mirror cluster member), a pure hub bridging
+    otherwise-unlinked neighbors scores 0 (aggregator page, boilerplate
+    shingle), which is exactly the per-document evidence a graph-based
+    dedup/spam triage wants next to the corpus-level transitivity.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("_dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        e, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")), "inner"
+    ).select("a", "x", "y")
+    per_node = (
+        closed.select(F.explode(F.array("a", "x", "y")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "n", "left")
+        .na.fill(0, ["n_triangles"])
+        .select(
+            F.col("n").alias("node"),
+            "deg",
+            "n_triangles",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(n_triangles * 1000) DIV (deg * (deg - 1) DIV 2)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("local_clustering_permille"),
+        )
+    )

@@ -11021,3 +11021,61 @@ def stream_drift_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _KMV_SHARDS,
     ).localCheckpoint(eager=False)
     return _kmv_user_overlap_result(spark, sf_dir, ska, skb)
+
+
+@register(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH {_KNN_EDGES_CTE},
+    und AS (
+        SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM knn WHERE s <> d
+    ), deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+        GROUP BY n
+    ), tri3 AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), pern AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS n FROM tri3
+              UNION ALL SELECT b FROM tri3
+              UNION ALL SELECT c FROM tri3)
+        GROUP BY n
+    )
+    SELECT d.n AS node, d.deg,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           CAST(CASE WHEN d.deg >= 2
+                THEN (COALESCE(p.n_triangles, 0) * 1000)
+                     // (d.deg * (d.deg - 1) // 2)
+                ELSE 0 END AS BIGINT) AS local_clustering_permille
+    FROM deg d LEFT JOIN pern p ON p.n = d.n
+    """,
+    doc="PER-NODE triangle counts + local clustering coefficient over "
+    "the k-NN graph (operators/graph.py:local_clustering) — the "
+    "node-level evidence the global transitivity averages away: a "
+    "vector embedded in a clique scores 1000 (template/mirror cluster "
+    "member, a dedup candidate), a hub bridging otherwise-unlinked "
+    "neighbors scores 0 (boilerplate/aggregator), so the column is a "
+    "per-document graph feature for spam triage and cluster-quality "
+    "audits. Same degree-ordered wedge enumeration as "
+    "graph_triangle_stats with each closed wedge crediting its three "
+    "corners (one extra explode, still O(m^1.5)-bounded); the oracle "
+    "counts per-corner from the direct ordered 3-way join.",
+    tags=("pipeline", "graph"),
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.graph import local_clustering
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    edges = S.knn_graph(emb, cents, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return local_clustering(edges)

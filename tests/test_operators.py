@@ -3317,3 +3317,42 @@ def test_triangle_stats_hand_graph_and_random_bruteforce(spark):
     assert got.n_edges == len(und)
     assert got.n_wedges == wedges
     assert got.clustering_permille == (3 * tri * 1000) // wedges
+
+
+def test_local_clustering_brute_force_and_identities(spark):
+    """Per-node triangles against a Python brute force; each node of
+    K4 has 3 triangles / C(3,2)=3 wedges -> coefficient 1000; the sum
+    of per-node triangle counts is 3x the global count."""
+    from itertools import combinations
+
+    from bo_sql_spark.operators.graph import local_clustering, triangle_stats
+
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    rows = local_clustering(
+        spark.createDataFrame(k4, "src long, dst long")
+    ).collect()
+    assert all(r.n_triangles == 3 and r.local_clustering_permille == 1000 for r in rows)
+
+    edges = []
+    for i in range(150):
+        a, b = (i * 73) % 30, (i * 137 + 11) % 30
+        edges += [(a, b)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r for r in local_clustering(df).collect()}
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in und for n in e})
+    per = {n: 0 for n in nodes}
+    n_tri = 0
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            n_tri += 1
+            per[a] += 1
+            per[b] += 1
+            per[c] += 1
+    for n in nodes:
+        assert got[n].n_triangles == per[n], n
+        d = got[n].deg
+        want = (per[n] * 1000) // (d * (d - 1) // 2) if d >= 2 else 0
+        assert got[n].local_clustering_permille == want, n
+    glob = triangle_stats(df).collect()[0]
+    assert sum(per.values()) == 3 * glob.n_triangles
