@@ -161,6 +161,15 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, tuple[int, str, int | None]] = {
         "rank over the category-count aggregate (K = #event types)",
         64,
     ),
+    "sketch_kmv_rollup": (
+        1,
+        "the global-grain sketch's phase-2 ROW_NUMBER over phase-1's "
+        "per-(h mod 32) k=128 survivors — <= n_shards * k = 4096 rows "
+        "by the phase-1 filter, a scale-invariant construction bound "
+        "(input is the checkpointed cell-sketch rows, themselves "
+        "bounded at cells * k)",
+        4096,
+    ),
     "stream_gini_mix": (
         1,
         "rank over the drained category-count store (K = #event types)",
