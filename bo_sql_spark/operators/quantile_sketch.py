@@ -152,3 +152,60 @@ def sketch_quantiles(
     return qdf.filter(below_first | bracket).select(
         *group_cols, "q", est.alias("est")
     )
+
+
+def weighted_percentile_exact(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    qs_permille: Sequence[int],
+) -> DataFrame:
+    """EXACT weighted lower percentile per group: for each q (in
+    permille), the smallest value whose cumulative weight reaches
+    ceil(q * W / 1000) — the weighted-median/percentile definition
+    (type-1 / lower quantile generalized to weights).
+
+    The sketch functions above trade exactness for mergeability; this
+    is the exact complement for when the question itself is weighted —
+    'the token-weighted p90 document length' treats a 10k-token doc as
+    10k observations, which the unweighted percentile (and Spark's
+    percentile/approx_percentile, which weight rows equally) cannot
+    express without exploding rows by weight.
+
+    Shape: one groupBy to VALUE grain (weights summed per distinct
+    value — also what makes the cumulative window tie-free), one
+    cumulative-sum window partitioned by group over that value-domain
+    aggregate (the drift_emd/ordinal-support precedent: rows = value
+    domain, not events), and a broadcast (group x qs) threshold join.
+    All-integer (caller passes integral value/weight encodings, e.g.
+    cents), so both engines replay every threshold and pick exactly.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    vg = df.groupBy(*gcols, value_col).agg(
+        F.sum(F.col(weight_col).cast("long")).cast("long").alias("_w")
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vg.withColumn("_cw", F.sum("_w").over(w).cast("long"))
+    tot = vg.groupBy(*gcols).agg(F.sum("_w").cast("long").alias("_tw"))
+    qs = (
+        df.sparkSession.createDataFrame(
+            [(int(q),) for q in qs_permille], "q_permille long"
+        )
+    )
+    thr = tot.crossJoin(F.broadcast(qs)).withColumn(
+        "_thr", F.expr("(q_permille * _tw + 999) DIV 1000").cast("long")
+    )
+    return (
+        cum.join(F.broadcast(thr), gcols)
+        .filter(F.col("_cw") >= F.col("_thr"))
+        .groupBy(*gcols, "q_permille")
+        .agg(F.min(value_col).alias("value"))
+    )

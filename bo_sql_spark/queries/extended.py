@@ -1803,3 +1803,57 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+_WPCT_QS = (250, 500, 750, 900, 990)
+
+
+@register(
+    "percentile_weighted_exact",
+    oracle=f"""
+    WITH vg AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, v,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cw
+        FROM vg
+    ), tot AS (
+        SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tw FROM vg GROUP BY 1
+    ), thr AS (
+        SELECT l_returnflag, q, (q * tw + 999) // 1000 AS thr
+        FROM tot, (SELECT unnest([{', '.join(str(q) for q in _WPCT_QS)}]) AS q)
+    )
+    SELECT t.l_returnflag,
+           CAST(t.q AS BIGINT) AS q_permille,
+           MIN(c.v) AS value
+    FROM thr t JOIN cum c ON c.l_returnflag = t.l_returnflag AND c.cw >= t.thr
+    GROUP BY t.l_returnflag, t.q
+    """,
+    doc="EXACT weighted percentiles (operators/quantile_sketch.py:"
+    "weighted_percentile_exact): per return flag, the "
+    "quantity-weighted p25/p50/p75/p90/p99 of extended price in cents "
+    "— each line item counts with weight = quantity, the question "
+    "Spark's percentile/approx_percentile (row-weighted) cannot "
+    "express without exploding rows by weight. Definition: smallest "
+    "value whose cumulative weight reaches ceil(q*W/1000) (type-1 "
+    "lower quantile generalized). Shape: one groupBy to VALUE grain, "
+    "a cumulative window over the value-domain aggregate (the "
+    "drift_emd ordinal-support precedent — rows = distinct values, "
+    "never events), and a broadcast (group x qs) threshold join; "
+    "all-integer, both engines replay every pick.",
+    tags=("extended", "aggregate"),
+)
+def percentile_weighted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.quantile_sketch import weighted_percentile_exact
+
+    li = _t(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("value_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_percentile_exact(
+        li, ["l_returnflag"], "value_cents", "qty", _WPCT_QS
+    )

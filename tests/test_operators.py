@@ -3356,3 +3356,36 @@ def test_local_clustering_brute_force_and_identities(spark):
         assert got[n].local_clustering_permille == want, n
     glob = triangle_stats(df).collect()[0]
     assert sum(per.values()) == 3 * glob.n_triangles
+
+
+def test_weighted_percentile_reduces_to_unweighted_and_scales(spark):
+    """With all weights 1 the weighted lower percentile equals the
+    classic rank-ceil(q*n) pick; multiplying every weight by a
+    constant changes nothing; a dominant weight drags the median to
+    its value."""
+    from bo_sql_spark.operators.quantile_sketch import weighted_percentile_exact
+
+    vals = [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]
+    df1 = spark.createDataFrame([("g", v, 1) for v in vals], "g string, v long, w long")
+    got = {
+        r.q_permille: r.value
+        for r in weighted_percentile_exact(df1, ["g"], "v", "w", [100, 500, 900]).collect()
+    }
+    import math
+
+    sv = sorted(vals)
+    want = {q: sv[math.ceil(q * len(sv) / 1000) - 1] for q in (100, 500, 900)}
+    assert got == want
+
+    df7 = spark.createDataFrame([("g", v, 7) for v in vals], "g string, v long, w long")
+    got7 = {
+        r.q_permille: r.value
+        for r in weighted_percentile_exact(df7, ["g"], "v", "w", [100, 500, 900]).collect()
+    }
+    assert got7 == want
+
+    heavy = spark.createDataFrame(
+        [("g", v, 1) for v in vals] + [("g", 9, 1000)], "g string, v long, w long"
+    )
+    med = weighted_percentile_exact(heavy, ["g"], "v", "w", [500]).collect()[0]
+    assert med.value == 9
