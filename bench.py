@@ -550,7 +550,11 @@ def main() -> None:
         "metric": "headline_query_wall_time",
         "value": tiers["core"],
         "unit": "sec",
-        "queries": times,
+        # stdout carries 3dp per query (the noise floor is well above
+        # 1 ms): ~45 bytes of headroom under the driver's tail-capture
+        # budget as the tier lists grow; the spread side artifact keeps
+        # the 4dp values for tools_bench_compare.
+        "queries": {n: round(t, 3) for n, t in times.items()},
         "tiers": tiers,
         "streaming_rows_per_sec": streaming_rows_per_sec or None,
         "anchor_s": anchor_s,
@@ -565,7 +569,7 @@ def main() -> None:
     )
     try:
         with open(spread_out, "w") as fh:
-            json.dump(dict(payload, spread=spread), fh, indent=1)
+            json.dump(dict(payload, queries=times, spread=spread), fh, indent=1)
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout contract line still carries the grade
