@@ -2165,3 +2165,124 @@ def test_embedding_centroid_fold_cross_engine(ctx, groups):
     )
     con.unregister("fz_ec")
     assert got == want, (got, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys_a=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    keys_b=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    k=st.sampled_from([2, 4, 8, 16]),
+)
+def test_kmv_sketch_and_setops_cross_engine(ctx, keys_a, keys_b, k):
+    """Family 24 — the KMV/theta sketch on ARBITRARY key sets (heavy
+    duplication, singletons, under-k and saturated regimes all occur):
+    Spark's two-phase k-smallest (operators/kmv.py) and the DuckDB
+    direct ORDER BY replay must agree on every retained hash AND on
+    the full set-estimate row (theta, both cardinalities, union,
+    intersection, Jaccard)."""
+    import pyarrow as pa
+
+    from bo_sql_spark.operators import kmv as K
+    from bo_sql_spark.queries.pipeline import _kmv_setops_tail
+
+    spark, con = ctx
+    sa = [f"k{v}" for v in keys_a]
+    sb = [f"k{v}" for v in keys_b]
+    dfa = spark.createDataFrame([(s,) for s in sa], "key string")
+    dfb = spark.createDataFrame([(s,) for s in sb], "key string")
+    ska = K.kmv_sketch(dfa, "key", [], k=k, n_shards=4)
+    skb = K.kmv_sketch(dfb, "key", [], k=k, n_shards=4)
+    got_rows = sorted(r.h for r in ska.collect())
+    got = K.kmv_set_estimates(ska, skb, k=k).collect()[0]
+
+    con.register("fz_ka", pa.table({"key": sa}))
+    con.register("fz_kb", pa.table({"key": sb}))
+    want_rows = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS r
+                FROM (SELECT DISTINCT {K.kmv_hash_sql('key')} AS h FROM fz_ka)
+            ) WHERE r <= {k} ORDER BY h"""
+        ).fetchall()
+    ]
+    assert got_rows == want_rows
+    want = con.execute(
+        f"""WITH kha AS (SELECT DISTINCT {K.kmv_hash_sql('key')} AS h FROM fz_ka),
+        khb AS (SELECT DISTINCT {K.kmv_hash_sql('key')} AS h FROM fz_kb),
+        {_kmv_setops_tail(k)}"""
+    ).fetchone()
+    assert (
+        got.theta,
+        got.est_a,
+        got.est_b,
+        got.est_union,
+        got.est_intersect,
+        got.jaccard_est_permille,
+    ) == tuple(int(x) for x in want[:6])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([1, 3, 10]),
+    salt=st.sampled_from([0, 7, 29]),
+)
+def test_weighted_reservoir_cross_engine(ctx, rows, k, salt):
+    """Family 25 — the Efraimidis-Spirakis weighted reservoir on
+    ARBITRARY (id, weight) tables: the Spark ln-chain key + top-k
+    (operators/sampling.py:weighted_reservoir_topk) and a DuckDB
+    replay through the same fixed-point ln step list must pick the
+    SAME winners with the SAME keys in the same order — including the
+    negative-quotient truncation the DIV/'//' agreement rests on."""
+    import pyarrow as pa
+
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select, ln_micros_py
+    from bo_sql_spark.operators.sampling import (
+        PORTABLE_PRIME,
+        portable_hash_sql,
+        weighted_reservoir_topk,
+    )
+
+    spark, con = ctx
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = [
+        (r.id, r.es_key)
+        for r in weighted_reservoir_topk(df, "id", "w", k, salt=salt).collect()
+    ]
+    con.register(
+        "fz_wr",
+        pa.table({"id": [i for i, _ in rows], "w": [w for _, w in rows]}),
+    )
+    ln_p = ln_micros_py(PORTABLE_PRIME)
+    inner = (
+        f"SELECT id, w, {portable_hash_sql('id', salt)} + 1 AS _h1 FROM fz_wr"
+    )
+    chained = duckdb_ln_select(inner, "_h1", "_lnh1")
+    want = [
+        (int(i), int(key))
+        for i, key in con.execute(
+            f"""SELECT id, ((_lnh1 - {ln_p}) * 1000000) // w AS es_key
+            FROM ({chained})
+            ORDER BY es_key DESC, id ASC LIMIT {k}"""
+        ).fetchall()
+    ]
+    assert got == want
