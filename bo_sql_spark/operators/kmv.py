@@ -307,3 +307,54 @@ def kmv_pairwise_jaccard(
         .cast("long")
         .alias("jaccard_est_permille"),
     )
+
+
+def kmv_churn_estimates(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Directional set-difference estimates for two ungrouped sketches
+    — one row (theta, est_a_only, est_both, est_b_only): the CHURN
+    decomposition of kmv_set_estimates' overlap (reading A as the
+    before period and B as the after: lapsed / retained / new).
+
+    Below theta = min(theta_A, theta_B) sketch membership equals set
+    membership (each side retains ALL its hashes under its own theta,
+    and theta is the smaller), so the differences are exact counted
+    samples: est_a_only = (|A<theta| - |A∩B<theta|) * P DIV theta,
+    symmetrically for B. Same k-row joins as the overlap estimator —
+    no corpus access, no new exchange shapes."""
+    ea = kmv_estimate(a, [], k).select(
+        F.col("theta").alias("_ta"),
+    )
+    eb = kmv_estimate(b, [], k).select(
+        F.col("theta").alias("_tb"),
+    )
+    stats = (
+        F.broadcast(ea)
+        .crossJoin(F.broadcast(eb))
+        .withColumn("theta", F.least("_ta", "_tb"))
+        .select("theta")
+    )
+    inter = a.select("h").intersect(b.select("h"))
+
+    def below(df, name):
+        return df.join(
+            F.broadcast(stats), df["h"] < F.col("theta")
+        ).agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    n_a = below(a.select("h"), "_na")
+    n_b = below(b.select("h"), "_nb")
+    n_i = below(inter, "_ni")
+    return (
+        stats.crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_i))
+        .select(
+            "theta",
+            F.expr(f"((_na - _ni) * CAST({KMV_P} AS BIGINT)) DIV theta").alias(
+                "est_a_only"
+            ),
+            F.expr(f"(_ni * CAST({KMV_P} AS BIGINT)) DIV theta").alias("est_both"),
+            F.expr(f"((_nb - _ni) * CAST({KMV_P} AS BIGINT)) DIV theta").alias(
+                "est_b_only"
+            ),
+        )
+    )

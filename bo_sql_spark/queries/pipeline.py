@@ -11211,3 +11211,100 @@ def sketch_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_lang = with_exact(K.kmv_estimate(lang_sk, ["lang"], _KMV_RK), "lang", ["lang"])
     out_glob = with_exact(K.kmv_estimate(glob_sk, [], _KMV_RK), "global", [])
     return out_cell.unionByName(out_lang).unionByName(out_glob)
+
+
+def _kmv_churn_oracle() -> str:
+    from bo_sql_spark.operators.kmv import KMV_P
+
+    k = _KMV_UK
+    return f"""
+    WITH kha AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {KMV_P} AS h
+        FROM events WHERE dayofweek(ts) NOT IN (0, 6)
+    ), khb AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {KMV_P} AS h
+        FROM events WHERE dayofweek(ts) IN (0, 6)
+    ), ska AS (
+        SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM kha)
+        WHERE r <= {k}
+    ), skb AS (
+        SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM khb)
+        WHERE r <= {k}
+    ), sta AS (SELECT CAST(COUNT(*) AS BIGINT) AS na, MAX(h) AS mxa FROM ska),
+    stb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, MAX(h) AS mxb FROM skb),
+    th AS (
+        SELECT least(CASE WHEN na < {k} THEN CAST({KMV_P} AS BIGINT) ELSE mxa END,
+                     CASE WHEN nb < {k} THEN CAST({KMV_P} AS BIGINT) ELSE mxb END) AS theta
+        FROM sta, stb
+    ), cnts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ska s, th WHERE s.h < th.theta) AS na,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM skb s, th WHERE s.h < th.theta) AS nb,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT h FROM ska INTERSECT SELECT h FROM skb) s, th
+                WHERE s.h < th.theta) AS ni
+    ), ex AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM kha
+                WHERE h NOT IN (SELECT h FROM khb)) AS exact_a_only,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT h FROM kha INTERSECT SELECT h FROM khb)) AS exact_both,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM khb
+                WHERE h NOT IN (SELECT h FROM kha)) AS exact_b_only
+    )
+    SELECT th.theta,
+           ((cnts.na - cnts.ni) * CAST({KMV_P} AS BIGINT)) // th.theta AS est_a_only,
+           (cnts.ni * CAST({KMV_P} AS BIGINT)) // th.theta AS est_both,
+           ((cnts.nb - cnts.ni) * CAST({KMV_P} AS BIGINT)) // th.theta AS est_b_only,
+           ex.exact_a_only, ex.exact_both, ex.exact_b_only
+    FROM th, cnts, ex
+    """
+
+
+@register(
+    "drift_user_churn_kmv",
+    oracle=_kmv_churn_oracle(),
+    doc="CHURN decomposition of the entity-overlap monitor "
+    "(operators/kmv.py:kmv_churn_estimates): weekday-only / both / "
+    "weekend-only distinct-user estimates from the same two k=64 "
+    "sketches — reading A as the before period and B as the after, "
+    "these are lapsed / retained / new. Below theta sketch membership "
+    "EQUALS set membership (each side retains all its hashes under "
+    "the smaller theta), so the differences are exact counted "
+    "samples scaled by P/theta; the three SAMPLE COUNTS sum to the "
+    "overlap query's union sample by construction (the estimates "
+    "truncate per term, so they sum to within 3 DIV truncations of "
+    "est_union). Same k-row joins, no corpus access beyond the "
+    "build; exact_* columns ride along.",
+    tags=("pipeline", "sketch", "stats", "monitoring"),
+)
+def drift_user_churn_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators import kmv as K
+
+    ev = _t(spark, sf_dir)["events"]
+    ha = _kmv_user_hashes(ev, weekend=False).localCheckpoint(eager=False)
+    hb = _kmv_user_hashes(ev, weekend=True).localCheckpoint(eager=False)
+    ska = K.kmv_sketch_from_hashes(ha, [], _KMV_UK, _KMV_SHARDS).localCheckpoint(
+        eager=False
+    )
+    skb = K.kmv_sketch_from_hashes(hb, [], _KMV_UK, _KMV_SHARDS).localCheckpoint(
+        eager=False
+    )
+    est = K.kmv_churn_estimates(ska, skb, _KMV_UK)
+    only_a = ha.join(hb, "h", "left_anti")
+    only_b = hb.join(ha, "h", "left_anti")
+    both = ha.intersect(hb)
+    exact = (
+        only_a.agg(F.count(F.lit(1)).cast("long").alias("exact_a_only"))
+        .crossJoin(
+            F.broadcast(both.agg(F.count(F.lit(1)).cast("long").alias("exact_both")))
+        )
+        .crossJoin(
+            F.broadcast(
+                only_b.agg(F.count(F.lit(1)).cast("long").alias("exact_b_only"))
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -152,3 +152,33 @@ def test_pairwise_matches_two_sketch_estimates(spark):
     # disjoint pair: zero intersection, exactly
     assert matrix[("g1", "g3")].n_inter == 0
     assert matrix[("g1", "g3")].jaccard_est_permille == 0
+
+
+def test_churn_decomposition_identities(spark):
+    """Churn = set_estimates decomposed: identical sets -> both only;
+    disjoint sets -> no both; sample counts of (a_only, both, b_only)
+    partition the union sample, so each estimate sits within one DIV
+    truncation of the corresponding exact region under theta."""
+    a = _keys(spark, 800, "x")
+    b_rows = [f"x{i}" for i in range(400)] + [f"y{i}" for i in range(400)]
+    b = spark.createDataFrame([(v,) for v in b_rows], "k string")
+    ska = K.kmv_sketch(a, "k", [], k=96)
+    skb = K.kmv_sketch(b, "k", [], k=96)
+
+    same = K.kmv_churn_estimates(ska, ska, k=96).collect()[0]
+    assert same.est_a_only == 0 and same.est_b_only == 0
+    assert same.est_both > 0
+
+    churn = K.kmv_churn_estimates(ska, skb, k=96).collect()[0]
+    pair = K.kmv_set_estimates(ska, skb, k=96).collect()[0]
+    assert churn.theta == pair.theta
+    assert churn.est_both == pair.est_intersect
+    # count-level partition: the three regions sum to the union sample,
+    # so the estimate sum is within 3 truncations (< 3) of est_union
+    total = churn.est_a_only + churn.est_both + churn.est_b_only
+    assert pair.est_union - 3 <= total <= pair.est_union
+
+    disj = K.kmv_churn_estimates(
+        ska, K.kmv_sketch(_keys(spark, 500, "z"), "k", [], k=96), k=96
+    ).collect()[0]
+    assert disj.est_both == 0 and disj.est_a_only > 0 and disj.est_b_only > 0
