@@ -69,4 +69,6 @@ def test_bench_emits_single_json_line(tmp_path):
     assert set(side["spread"]) == set(payload["queries"])
     for q, (lo, med, hi) in side["spread"].items():
         assert lo <= med <= hi
-        assert abs(lo - payload["queries"][q]) < 1e-9  # reported time = min
+        # stdout reports min at 3dp (line-budget headroom); the side
+        # artifact keeps 4dp — equal within the rounding step
+        assert abs(lo - payload["queries"][q]) <= 0.0005 + 1e-9
