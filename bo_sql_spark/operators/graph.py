@@ -396,3 +396,76 @@ def local_clustering(
             .alias("local_clustering_permille"),
         )
     )
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    node_col: str = "node",
+    comm_col: str = "community",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity Q of a node partition over the undirected
+    graph underlying ``edges`` — one row (n_communities, m_edges,
+    q_micros):
+
+        Q = sum_c [ e_c/m  -  (deg_c / 2m)^2 ]
+
+    (e_c = edges with both endpoints in community c, deg_c = total
+    degree of c's nodes, m = undirected edge count). The
+    clustering-quality number for a graph partition: Q near 0 means
+    the partition explains no more edge mass than a random one with
+    the same degrees; Q toward 1 means communities capture the edges.
+
+    Integer fixed-point: per-community contribution
+    (e_c * 1e6) DIV m - (deg_c^2 * 1e6) DIV (4*m*m), summed — a sum
+    of per-community integers, order-independent and replayable
+    (deg_c <= 2m so deg_c^2 * 1e6 <= 4e6 * m^2; callers with m beyond
+    ~1.5e6 edges should widen — fixture graphs are k-NN-degree-capped
+    far below that). Nodes missing from ``assign`` are dropped with
+    their edges (inner joins); a node in ``assign`` but isolated in
+    the graph contributes nothing (degree 0).
+
+    Shape: canonicalize edges once, two broadcast-able joins to tag
+    endpoint communities, one groupBy per term — no windows, no
+    iteration; community count is the only output cardinality.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    a_u = assign.select(F.col(node_col).alias("u"), F.col(comm_col).alias("_cu"))
+    a_v = assign.select(F.col(node_col).alias("v"), F.col(comm_col).alias("_cv"))
+    tagged = e.join(a_u, "u").join(a_v, "v")
+    deg = (
+        tagged.select(F.col("_cu").alias("c"))
+        .unionAll(tagged.select(F.col("_cv").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg_c"))
+    )
+    within = (
+        tagged.filter(F.col("_cu") == F.col("_cv"))
+        .groupBy(F.col("_cu").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    m = tagged.agg(F.count(F.lit(1)).cast("long").alias("m")).collect()[0].m
+    if m == 0:
+        raise ValueError("no edges after assignment join")
+    contrib = (
+        deg.join(within, "c", "left")
+        .na.fill(0, ["e_c"])
+        .select(
+            F.expr(
+                f"(e_c * 1000000) DIV {m}"
+                f" - (deg_c * deg_c * 1000000) DIV ({4 * m * m})"
+            )
+            .cast("long")
+            .alias("_q")
+        )
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.lit(m).cast("long").alias("m_edges"),
+        F.sum("_q").cast("long").alias("q_micros"),
+    )

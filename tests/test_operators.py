@@ -3389,3 +3389,29 @@ def test_weighted_percentile_reduces_to_unweighted_and_scales(spark):
     )
     med = weighted_percentile_exact(heavy, ["g"], "v", "w", [500]).collect()[0]
     assert med.value == 9
+
+
+def test_modularity_hand_values_and_partition_sensitivity(spark):
+    """Two disjoint triangles: the perfect 2-community partition has
+    Q = 1/2 (e_c/m = 1/2, (deg_c/2m)^2 = 1/4 each); the everything-in-
+    one-community partition has Q = 0 (e/m = 1, (2m/2m)^2 = 1); a
+    cross-cutting partition goes negative."""
+    from bo_sql_spark.operators.graph import modularity
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    edges = spark.createDataFrame(tri, "src long, dst long")
+
+    def assign(mapping):
+        return spark.createDataFrame(
+            [(n, c) for n, c in mapping.items()], "node long, community long"
+        )
+
+    perfect = modularity(edges, assign({0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1})).collect()[0]
+    assert (perfect.n_communities, perfect.m_edges) == (2, 6)
+    assert perfect.q_micros == 500_000
+
+    merged = modularity(edges, assign({n: 0 for n in range(6)})).collect()[0]
+    assert merged.q_micros == 0
+
+    crossed = modularity(edges, assign({0: 0, 1: 1, 2: 0, 3: 1, 4: 0, 5: 1})).collect()[0]
+    assert crossed.q_micros < 0
