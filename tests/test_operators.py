@@ -3415,3 +3415,22 @@ def test_modularity_hand_values_and_partition_sensitivity(spark):
 
     crossed = modularity(edges, assign({0: 0, 1: 1, 2: 0, 3: 1, 4: 0, 5: 1})).collect()[0]
     assert crossed.q_micros < 0
+
+
+def test_kcore_trace_hand_graph(spark):
+    """A 4-clique with a pendant chain: the 3-core is exactly the
+    clique (pendants peel in order), and the trace records the
+    cascade; trailing rounds repeat the fixed point."""
+    from itertools import combinations
+
+    from bo_sql_spark.operators.graph import kcore_peel_trace
+
+    clique = [(a, b) for a, b in combinations(range(4), 2)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    rows = {r.round: (r.n_nodes, r.n_edges) for r in kcore_peel_trace(df, 3, 4).collect()}
+    assert rows[0] == (7, 9)
+    # round 1 drops 12 and 11? no: one peel drops ALL deg<3 at once
+    # (10, 11, 12 have deg 2, 2, 1) -> clique (4 nodes, 6 edges) remains
+    assert rows[1] == (4, 6)
+    assert rows[2] == (4, 6) == rows[3] == rows[4]
