@@ -1808,9 +1808,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WPCT_QS = (250, 500, 750, 900, 990)
 
 
-@register(
-    "percentile_weighted_exact",
-    oracle=f"""
+_WPCT_ORACLE = f"""
     WITH vg AS (
         SELECT l_returnflag,
                CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
@@ -1831,7 +1829,12 @@ _WPCT_QS = (250, 500, 750, 900, 990)
            MIN(c.v) AS value
     FROM thr t JOIN cum c ON c.l_returnflag = t.l_returnflag AND c.cw >= t.thr
     GROUP BY t.l_returnflag, t.q
-    """,
+    """
+
+
+@register(
+    "percentile_weighted_exact",
+    oracle=_WPCT_ORACLE,
     doc="EXACT weighted percentiles (operators/quantile_sketch.py:"
     "weighted_percentile_exact): per return flag, the "
     "quantity-weighted p25/p50/p75/p90/p99 of extended price in cents "
@@ -1856,4 +1859,70 @@ def percentile_weighted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return weighted_percentile_exact(
         li, ["l_returnflag"], "value_cents", "qty", _WPCT_QS
+    )
+
+
+@register(
+    "stream_percentile_weighted",
+    oracle=_WPCT_ORACLE,
+    doc="STREAMING weighted percentiles: each microbatch appends its "
+    "(return flag, price-cents, summed quantity) VALUE-GRAIN counts "
+    "to a store; serving sum-merges the stored rows back to value "
+    "grain and runs the same cumulative-threshold fold as the batch "
+    "query — weighted counts are the mergeable summary (sums of sums), "
+    "so the served percentiles replay percentile_weighted_exact's "
+    "oracle VERBATIM regardless of batching. The same "
+    "one-store-shape-serves-the-statistic pattern as the drift "
+    "monitors; state per batch is O(distinct values in the batch), "
+    "never events.",
+    tags=("extended", "aggregate", "streaming"),
+)
+def stream_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators.quantile_sketch import weighted_percentile_exact
+
+    li_schema = _t(spark, sf_dir)["lineitem"].schema
+    root = tempfile.mkdtemp(prefix="bosql_wpct_stream_")
+    store = os.path.join(root, "counts")
+
+    stream = (
+        spark.readStream.schema(li_schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        (
+            batch_df.select(
+                "l_returnflag",
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("value_cents"),
+                F.col("l_quantity").cast("long").alias("qty"),
+            )
+            .groupBy("l_returnflag", "value_cents")
+            .agg(F.sum("qty").cast("long").alias("qty"))
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("l_returnflag", "value_cents")
+        .agg(F.sum("qty").cast("long").alias("qty"))
+    )
+    return weighted_percentile_exact(
+        merged, ["l_returnflag"], "value_cents", "qty", _WPCT_QS
     )
