@@ -523,3 +523,67 @@ def kcore_peel_trace(
     return spark.createDataFrame(
         rows, "round long, n_nodes long, n_edges long"
     )
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected graph
+    (Newman 2002, the Pearson correlation of degrees across edges) —
+    one row (m_edges, s1, s2, s3, assortativity_permille):
+
+        r = (4m*S1 - S2^2) / (2m*S3 - S2^2)
+        S1 = sum_edges du*dv,  S2 = sum (du+dv),  S3 = sum (du^2+dv^2)
+
+    (the textbook ratio with both sides multiplied by 4m^2, which
+    makes numerator and denominator INTEGERS — no floats anywhere, so
+    any engine replays the coefficient bit-for-bit). Positive r:
+    hubs link to hubs (social-style graphs); negative: hubs link to
+    leaves (web/biological style; a k-NN graph is typically mildly
+    disassortative because high-degree vectors are popular neighbors
+    of low-degree ones). The mixing diagnostic that rounds out the
+    graph-stats suite (triangles, local clustering, modularity,
+    k-core): it reads STRUCTURE in who-links-whom that none of the
+    per-node counts see.
+
+    NULL when the denominator is 0 (a degree-regular graph has no
+    degree variance to correlate). Magnitudes: 4m*S1 <= 4*m^2*D^2 —
+    int64-safe through m*D ~ 1.5e9 (fixture m*D ~ 2e4); beyond that,
+    widen to DECIMAL(38) like the chi-square fold. Shape: one degree
+    groupBy, two endpoint joins, ONE global aggregate row — no
+    windows, no iteration, no driver-side stats.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tagged = e.join(
+        deg.select(F.col("n").alias("u"), F.col("deg").alias("_du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("deg").alias("_dv")), "v")
+    agg = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(F.expr("_du * _dv")).cast("long").alias("s1"),
+        F.sum(F.expr("_du + _dv")).cast("long").alias("s2"),
+        F.sum(F.expr("_du * _du + _dv * _dv")).cast("long").alias("s3"),
+    )
+    return agg.select(
+        "m_edges",
+        "s1",
+        "s2",
+        "s3",
+        F.when(
+            F.expr("2 * m_edges * s3 - s2 * s2") != 0,
+            F.expr(
+                "((4 * m_edges * s1 - s2 * s2) * 1000)"
+                " DIV (2 * m_edges * s3 - s2 * s2)"
+            ),
+        )
+        .cast("long")
+        .alias("assortativity_permille"),
+    )

@@ -11468,3 +11468,60 @@ def graph_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return kcore_peel_trace(edges, _KCORE_K, _KCORE_ROUNDS)
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_KNN_EDGES_CTE},
+    und AS (
+        SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM knn WHERE s <> d
+    ), gdeg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+        GROUP BY n
+    ), tagged AS (
+        SELECT du.deg AS d1, dv.deg AS d2
+        FROM und e
+        JOIN gdeg du ON du.n = e.u
+        JOIN gdeg dv ON dv.n = e.v
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+               CAST(SUM(d1 * d2) AS BIGINT) AS s1,
+               CAST(SUM(d1 + d2) AS BIGINT) AS s2,
+               CAST(SUM(d1 * d1 + d2 * d2) AS BIGINT) AS s3
+        FROM tagged
+    )
+    SELECT m_edges, s1, s2, s3,
+           CAST(CASE WHEN 2 * m_edges * s3 - s2 * s2 <> 0
+                THEN ((4 * m_edges * s1 - s2 * s2) * 1000)
+                     // (2 * m_edges * s3 - s2 * s2)
+                ELSE NULL END AS BIGINT) AS assortativity_permille
+    FROM agg
+    """,
+    doc="Degree ASSORTATIVITY of the k-NN graph (operators/graph.py:"
+    "assortativity; Newman 2002): the Pearson degree-degree "
+    "correlation across edges as an all-integer ratio "
+    "(4m*S1 - S2^2) / (2m*S3 - S2^2) in permille — positive means "
+    "hubs link to hubs, negative means hubs serve leaves (a k-NN "
+    "graph leans disassortative: popular vectors are neighbors of "
+    "many low-degree ones). Completes the graph-stats suite "
+    "(triangles / local clustering / modularity / k-core) with the "
+    "mixing diagnostic none of the per-node counts see. One degree "
+    "groupBy, two endpoint joins, ONE global aggregate row; the "
+    "oracle replays the exact integers.",
+    tags=("pipeline", "graph"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.operators.graph import assortativity
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    edges = S.knn_graph(emb, cents, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return assortativity(edges)

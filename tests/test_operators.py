@@ -3434,3 +3434,24 @@ def test_kcore_trace_hand_graph(spark):
     # (10, 11, 12 have deg 2, 2, 1) -> clique (4 nodes, 6 edges) remains
     assert rows[1] == (4, 6)
     assert rows[2] == (4, 6) == rows[3] == rows[4]
+
+
+def test_assortativity_hand_graphs(spark):
+    """Star S3: maximally disassortative, r = -1 exactly. Path P4:
+    r = -1/2 exactly. Cycle: degree-regular, zero variance -> NULL."""
+    from bo_sql_spark.operators.graph import assortativity
+
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    r = assortativity(star).collect()[0]
+    assert r.assortativity_permille == -1000
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    r = assortativity(path).collect()[0]
+    assert (r.m_edges, r.s1, r.s2, r.s3) == (3, 8, 10, 18)
+    assert r.assortativity_permille == -500
+
+    cycle = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    r = assortativity(cycle).collect()[0]
+    assert r.assortativity_permille is None
