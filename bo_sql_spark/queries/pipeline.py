@@ -11525,3 +11525,116 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return assortativity(edges)
+
+
+def _heaps_oracle() -> str:
+    from bo_sql_spark.functions.fixedpoint import duckdb_ln_select
+
+    chain = "SELECT * FROM hc2"
+    for x, out in (
+        ("n_types", "_lnv"),
+        ("n_types_half", "_lnvh"),
+        ("n_tokens", "_lnn"),
+        ("n_tokens_half", "_lnnh"),
+    ):
+        chain = duckdb_ln_select(chain, x, out)
+    return f"""
+    WITH hstok AS (
+        SELECT lang, doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents WHERE text IS NOT NULL
+    ), hs AS MATERIALIZED (
+        SELECT DISTINCT lang, doc_id, unnest(list_filter(list_distinct(list_transform(
+            range(1, greatest(len(tok) - 1, 2)),
+            i -> array_to_string(tok[i:i+2], ' '))), s -> s <> '')) AS shingle
+        FROM hstok
+    ), hcnt AS (
+        SELECT lang, shingle, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hs GROUP BY lang, shingle
+    ), hfull AS (
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+        FROM hcnt GROUP BY lang
+    ), hhalf AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens_half,
+               CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_types_half
+        FROM hs WHERE doc_id % 2 = 0 GROUP BY lang
+    ), hc2 AS (
+        SELECT f.lang, f.n_tokens, f.n_types, f.n_hapax,
+               h.n_tokens_half, h.n_types_half
+        FROM hfull f JOIN hhalf h USING (lang)
+    ), hln AS ({chain})
+    SELECT lang, n_tokens, n_types, n_hapax,
+           (n_hapax * 1000) // n_types AS hapax_permille,
+           n_tokens_half, n_types_half,
+           ((_lnv - _lnvh) * 1000000) // (_lnn - _lnnh) AS heaps_beta_micros
+    FROM hln
+    """
+
+
+@register(
+    "corpus_heaps_hapax",
+    oracle=_heaps_oracle(),
+    doc="Vocabulary-growth diagnostics per lang, exact in integer "
+    "micros: HAPAX ratio (fraction of shingle types seen exactly "
+    "once — the classic burstiness/contamination signal: template "
+    "floods crush it, healthy natural text holds it high) and the "
+    "HEAPS'-law exponent beta estimated from the half-corpus to "
+    "full-corpus vocabulary growth (V ~ N^beta; beta = "
+    "(ln V - ln V_half) DIV (ln N - ln N_half) on the fixed-point ln "
+    "chain — a saturated/duplicated corpus drives beta toward 0, "
+    "fresh text sits near 0.5-0.8). Shingle grain (the token fixture "
+    "vocabulary saturates at 31 types; 3-word shingles grow ~16k). "
+    "Companion of corpus_zipf_slope: Zipf reads the frequency "
+    "SPECTRUM shape, Heaps reads vocabulary GROWTH — a corpus can "
+    "fake one but rarely both. Plan: one per-doc shingle explode, "
+    "one vocabulary-grain count aggregate, per-lang 1-row folds; the "
+    "deterministic doc_id%2 half needs no second tokenization (one "
+    "filtered re-aggregate of the same exploded frame).",
+    tags=("pipeline", "text", "stats"),
+)
+def corpus_heaps_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.functions import word_shingles
+    from bo_sql_spark.functions.fixedpoint import with_ln_micros
+
+    docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
+    hs = docs.select(
+        "lang", "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    ).filter(F.col("shingle") != "").localCheckpoint(eager=False)
+    cnt = hs.groupBy("lang", "shingle").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    full = cnt.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    half = (
+        hs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens_half"),
+            F.count_distinct("shingle").cast("long").alias("n_types_half"),
+        )
+    )
+    j = full.join(half, "lang")
+    for x, out in (
+        ("n_types", "_lnv"),
+        ("n_types_half", "_lnvh"),
+        ("n_tokens", "_lnn"),
+        ("n_tokens_half", "_lnnh"),
+    ):
+        j = with_ln_micros(j, x, out)
+    return j.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("(n_hapax * 1000) DIV n_types").alias("hapax_permille"),
+        "n_tokens_half",
+        "n_types_half",
+        F.expr("((_lnv - _lnvh) * 1000000) DIV (_lnn - _lnnh)").alias(
+            "heaps_beta_micros"
+        ),
+    )
