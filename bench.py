@@ -553,7 +553,11 @@ def main() -> None:
         # stdout carries 3dp per query (the noise floor is well above
         # 1 ms): ~45 bytes of headroom under the driver's tail-capture
         # budget as the tier lists grow; the spread side artifact keeps
-        # the 4dp values for tools_bench_compare.
+        # the 4dp values for tools_bench_compare. Audited r13: the only
+        # in-repo consumers of stdout per-query times are
+        # tools_bench_compare.py (prefers the spread file when present)
+        # and tests/test_bench.py (asserts 0.0005 tolerance) — no other
+        # tool parses them, so the 3dp contract is safe.
         "queries": {n: round(t, 3) for n, t in times.items()},
         "tiers": tiers,
         "streaming_rows_per_sec": streaming_rows_per_sec or None,

@@ -452,6 +452,16 @@ def modularity(
     m = tagged.agg(F.count(F.lit(1)).cast("long").alias("m")).collect()[0].m
     if m == 0:
         raise ValueError("no edges after assignment join")
+    # deg_c <= 2m, so the squared term deg_c^2 * 1e6 is bounded by
+    # 4e6*m^2 — enforce the int64 bound the docstring names LOUDLY:
+    # beyond it Spark widens the 4*m*m literal to DECIMAL while DuckDB
+    # widens to HUGEINT, and the engines would diverge silently.
+    if 4 * m * m * 1_000_000 > 2**63 - 1:
+        raise ValueError(
+            f"modularity int64 bound exceeded: m={m} edges implies "
+            f"deg_c^2*1e6 up to {4 * m * m * 1_000_000} > 2^63-1; "
+            "widen the fixed point before using this operator"
+        )
     contrib = (
         deg.join(within, "c", "left")
         .na.fill(0, ["e_c"])

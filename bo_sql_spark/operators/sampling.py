@@ -520,8 +520,14 @@ def weighted_reservoir_topk(
     and engine-portable.
 
     ``weight_col`` must be BIGINT >= 1 (callers clamp with
-    greatest(1, w)); a zero weight would divide by zero rather than
-    silently excluding the row.
+    greatest(1, w)); rows with weight < 1 are EXCLUDED by an explicit
+    filter before the key draw. That is both the E-S limit semantics
+    (u^(1/w) -> 0 as w -> 0+ for u < 1: a zero-weight row can never
+    win) and the only engine-independent behavior — DIV 0 throws
+    under Spark ANSI mode but returns NULL under ansi=off and in
+    DuckDB //, so leaving w=0 to the division would make the result
+    depend on session config
+    (test_weighted_reservoir_zero_weight_excluded pins this).
 
     Scale shape: the ln chain is a fixed list of codegen'd integer
     ops evaluated once per candidate ROW in the scan stage (the
@@ -533,11 +539,12 @@ def weighted_reservoir_topk(
     from bo_sql_spark.functions.fixedpoint import ln_micros_py, with_ln_micros
 
     ln_p = ln_micros_py(PORTABLE_PRIME)
-    d = df.withColumn("_h1", portable_hash(id_col, salt) + F.lit(1))
+    d = df.filter(F.col(weight_col) >= 1)
+    d = d.withColumn("_h1", portable_hash(id_col, salt) + F.lit(1))
     d = with_ln_micros(d, "_h1", "_lnh1")
     d = d.withColumn(
         "es_key",
-        F.expr(f"((_lnh1 - {ln_p}) * 1000000) DIV ({weight_col})"),
+        F.expr(f"((_lnh1 - {ln_p}) * 1000000) DIV (`{weight_col}`)"),
     ).drop("_h1", "_lnh1")
     return d.orderBy(F.col("es_key").desc(), F.col(id_col).asc()).limit(k)
 
@@ -562,11 +569,12 @@ def weighted_reservoir_per_group(
     from bo_sql_spark.functions.fixedpoint import ln_micros_py, with_ln_micros
 
     ln_p = ln_micros_py(PORTABLE_PRIME)
-    d = df.withColumn("_h1", portable_hash(id_col, salt) + F.lit(1))
+    d = df.filter(F.col(weight_col) >= 1)
+    d = d.withColumn("_h1", portable_hash(id_col, salt) + F.lit(1))
     d = with_ln_micros(d, "_h1", "_lnh1")
     d = d.withColumn(
         "es_key",
-        F.expr(f"((_lnh1 - {ln_p}) * 1000000) DIV ({weight_col})"),
+        F.expr(f"((_lnh1 - {ln_p}) * 1000000) DIV (`{weight_col}`)"),
     ).drop("_h1", "_lnh1")
     w = Window.partitionBy(group_col).orderBy(
         F.col("es_key").desc(), F.col(id_col).asc()

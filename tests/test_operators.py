@@ -3278,6 +3278,97 @@ def test_weighted_reservoir_favors_heavy_rows_across_salts(spark):
     assert wins >= 28, wins
 
 
+def test_weighted_reservoir_zero_weight_excluded(spark):
+    """Pins the zero-weight semantics: rows with weight < 1 are
+    excluded by an explicit filter (the E-S limit — u^(1/w) -> 0 as
+    w -> 0+ — and the only behavior independent of ANSI mode, where
+    DIV 0 throws instead of returning NULL). Even when k exceeds the
+    valid-row count, the zero-weight row never appears."""
+    from bo_sql_spark.operators.sampling import (
+        weighted_reservoir_per_group,
+        weighted_reservoir_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 5), (2, 5), (3, -4)], "id long, w long"
+    )
+    got = weighted_reservoir_topk(df, "id", "w", 2).collect()
+    assert {r.id for r in got} == {1, 2}
+    assert all(r.es_key is not None for r in got)
+    all4 = weighted_reservoir_topk(df, "id", "w", 4).collect()
+    assert {r.id for r in all4} == {1, 2}
+
+    g = df.withColumn("g", F.col("id") % F.lit(2))
+    per = weighted_reservoir_per_group(g, "g", "id", "w", 4).collect()
+    assert {r.id for r in per} == {1, 2}
+
+
+def test_weighted_reservoir_keyword_weight_column(spark):
+    """The weight identifier is backtick-quoted into the key expr, so
+    a SQL-keyword column name (`order`) works instead of silently
+    parsing as something else."""
+    from bo_sql_spark.operators.sampling import (
+        weighted_reservoir_per_group,
+        weighted_reservoir_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 7, i % 2) for i in range(100)],
+        "id long, `order` long, g long",
+    )
+    assert len(weighted_reservoir_topk(df, "id", "order", 10).collect()) == 10
+    per = weighted_reservoir_per_group(df, "g", "id", "order", 5).collect()
+    assert len(per) == 10
+
+
+def test_modularity_int64_bound_raises(spark):
+    """modularity raises ValueError past the documented ~1.5e6-edge
+    int64 bound instead of silently diverging between Spark DECIMAL
+    and DuckDB HUGEINT literal widening. Checked via the pure-Python
+    guard condition plus a monkeypatched count (building a 1.6e6-edge
+    graph in a unit test is pointless)."""
+    # The guard condition itself, at the documented boundary:
+    bound_m = int((((2**63) - 1) // 4_000_000) ** 0.5)
+    assert 4 * bound_m * bound_m * 1_000_000 <= 2**63 - 1
+    assert 4 * (bound_m + 1) * (bound_m + 1) * 1_000_000 > 2**63 - 1
+    assert 1_400_000 < bound_m < 1_600_000  # the docstring's ~1.5e6
+
+    import pytest
+
+    from bo_sql_spark.operators import graph as graph_mod
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "node long, community long"
+    )
+    # Patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4; instances override agg in a subclass).
+    cls = type(edges)
+    real_agg = cls.agg
+
+    class _FakeRow:
+        m = bound_m + 1
+
+    class _FakeAgg:
+        def collect(self):
+            return [_FakeRow()]
+
+    def fake_agg(self, *a, **kw):
+        # modularity's only single-argument DataFrame.agg is the edge
+        # count m (groupBy aggs go through GroupedData.agg, and the
+        # final output agg passes 3 columns).
+        if len(a) == 1:
+            return _FakeAgg()
+        return real_agg(self, *a, **kw)
+
+    cls.agg = fake_agg
+    try:
+        with pytest.raises(ValueError, match="int64 bound"):
+            graph_mod.modularity(edges, assign)
+    finally:
+        cls.agg = real_agg
+
+
 def test_triangle_stats_hand_graph_and_random_bruteforce(spark):
     """Hand-checked K4 (4 triangles, 12 wedges, transitivity 1) plus a
     pseudorandom graph against a Python brute-force count — pins the
