@@ -3214,6 +3214,114 @@ def test_ann_topk_lsh_portable_values_and_order(spark, sf_dir):
         ann_topk_lsh_portable(corpus, [0.0] * 64, dim=64)
 
 
+def test_rp_auto_params_rule():
+    """Pins the pure-integer auto-sizing rules the SQL oracles replay
+    as COUNT(*) range gates: join bits = clamp(ceil_log2(n) - 5, 4,
+    16); probe bits = clamp(ceil_log2(n) - 2, 5, 16) with flips =
+    bits - 4 and radius 2 (bits <= 7) / 3 (bits >= 8) — including the
+    fixture points (n=500 -> join 4 / probe 7, n=2000 -> join 6 /
+    probe 9) and the tier boundaries at powers of two."""
+    from bo_sql_spark.operators.similarity import (
+        rp_auto_join_params,
+        rp_auto_probe_params,
+    )
+    from bo_sql_spark.queries.pipeline import (
+        _rp_join_tier_bounds,
+        _rp_probe_tier_bounds,
+    )
+
+    assert rp_auto_join_params(500) == (4, 4)
+    assert rp_auto_join_params(512) == (4, 4)
+    assert rp_auto_join_params(513) == (5, 4)
+    assert rp_auto_join_params(2000) == (6, 4)
+    assert rp_auto_join_params(1) == (4, 4)  # low clamp
+    assert rp_auto_join_params(10**9)[0] == 16  # high clamp
+    assert rp_auto_probe_params(499) == (7, 4, 3, 2)
+    assert rp_auto_probe_params(512) == (7, 4, 3, 2)
+    assert rp_auto_probe_params(513) == (8, 4, 4, 3)
+    assert rp_auto_probe_params(1999) == (9, 4, 5, 3)
+    assert rp_auto_probe_params(1) == (5, 4, 1, 2)  # low clamp
+    # the SQL tier gates cover exactly the same n-ranges as the rule
+    for b in (4, 5, 6):
+        lo, hi = _rp_join_tier_bounds(b)
+        assert rp_auto_join_params(lo)[0] == b
+        assert rp_auto_join_params(hi)[0] == b
+        assert rp_auto_join_params(hi + 1)[0] == b + 1
+    for b in (7, 8, 9):
+        lo, hi = _rp_probe_tier_bounds(b)
+        assert rp_auto_probe_params(lo)[0] == b
+        assert rp_auto_probe_params(hi)[0] == b
+        assert rp_auto_probe_params(hi + 1)[0] == b + 1
+
+
+def test_rp_query_probes_structure():
+    """Probe-set shape: sum_{i<=radius} C(flips, i) probes per seed,
+    each within Hamming distance <= radius of the seed's own bucket,
+    flips restricted to the most-marginal planes, and the base bucket
+    always included."""
+    from math import comb
+
+    from bo_sql_spark.operators.similarity import (
+        rp_query_buckets,
+        rp_query_probes,
+    )
+
+    qvec = [0.1 * ((i % 7) - 3) for i in range(64)]
+    bits, seeds, flips, radius = 7, 4, 3, 2
+    qq, probes = rp_query_probes(qvec, 64, bits, seeds, flips, radius)
+    _, base = rp_query_buckets(qvec, 64, bits, seeds)
+    base_by_seed = dict(base)
+    want_per_seed = sum(comb(flips, i) for i in range(radius + 1))
+    by_seed = {}
+    for s, b in probes:
+        by_seed.setdefault(s, set()).add(b)
+    assert set(by_seed) == set(range(seeds))
+    for s, bs in by_seed.items():
+        assert len(bs) == want_per_seed
+        assert base_by_seed[s] in bs
+        for b in bs:
+            assert bin(b ^ base_by_seed[s]).count("1") <= radius
+
+
+def test_rp_arrow_and_hof_paths_identical(spark, sf_dir):
+    """The Arrow (NumPy int64 matmul) and interpreted-HOF bucket/verify
+    paths must produce IDENTICAL rows — exact integer arithmetic both
+    ways — for the self-join and the top-k probe."""
+    from bo_sql_spark.operators.similarity import (
+        ann_topk_lsh_portable,
+        approx_similarity_join_portable,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 300"
+    )
+    a = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in approx_similarity_join_portable(
+            emb, 0.35, dim=64, bits=4, seeds=2, impl="arrow"
+        ).collect()
+    )
+    h = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in approx_similarity_join_portable(
+            emb, 0.35, dim=64, bits=4, seeds=2, impl="hof"
+        ).collect()
+    )
+    assert a == h and len(a) > 0
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    corpus = emb.filter("vec_id <> 0")
+    ta = [
+        (r.vec_id, r.cos_sim)
+        for r in ann_topk_lsh_portable(corpus, qvec, k=10, dim=64, impl="arrow").collect()
+    ]
+    th = [
+        (r.vec_id, r.cos_sim)
+        for r in ann_topk_lsh_portable(corpus, qvec, k=10, dim=64, impl="hof").collect()
+    ]
+    assert ta == th and len(ta) == 10
+
+
 def test_weighted_reservoir_matches_python_replay(spark):
     """The E-S top-k is a pure integer function of (id, weight, salt):
     a Python replay of the key formula must select the same winners

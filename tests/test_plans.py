@@ -104,15 +104,19 @@ def test_ann_lsh_portable_probe_plan(spark, sf_dir):
 
 
 def test_rp_index_served_partition_pruned(spark, sf_dir):
-    """The index-served ANN probe must turn the query's (seed, bucket)
-    keys into PARTITION filters on the index scan — pruning
-    directories, not filtering rows (DataFilters stays empty) — and
-    rank via TakeOrderedAndProject."""
+    """The index-served ANN probe must turn the query's probe keys
+    into PARTITION filters on (seed, bucket_pfx) — only probed
+    directories are LISTED; the directory grain is the bounded prefix
+    so dir count never scales with corpus size — plus PUSHED parquet
+    filters on the full bucket (row-group pruning inside a probed
+    directory), and rank via TakeOrderedAndProject."""
     df = _df(spark, sf_dir, "similarity_rp_index_served")
     text = explain_str(df, "formatted")
     assert "PartitionFilters" in text
     scan = [l for l in text.splitlines() if "PartitionFilters" in l][0]
-    assert "seed" in scan and "bucket" in scan, scan
+    assert "seed" in scan and "bucket_pfx" in scan, scan
+    pushed = [l for l in text.splitlines() if "PushedFilters" in l][0]
+    assert "bucket" in pushed, pushed
     assert has_operator(df, "TakeOrderedAndProject")
 
 
