@@ -9,8 +9,8 @@ STDOUT TRANSPORT CONTRACT (round-12 fix): the driver captures only the
 LAST ~2000 bytes of stdout and parses the JSON line from that tail.
 Round 11 added the per-query "spread" dict to the line and pushed it
 past the window — the head (including "value") was truncated away and
-BENCH_r11.json recorded parsed:null. The line therefore (a) carries the
-round-10 key set only (metric/value/unit/queries/tiers/
+BENCH_r11.json recorded parsed:null. The line therefore (a) carries a
+fixed small key set only (metric/value/unit/queries/tiers/tiers_frozen/
 streaming_rows_per_sec/anchor_s/sf), (b) uses compact separators, and
 (c) is budget-tested (tests/test_bench.py asserts <= 1900 bytes at the
 current query count). The full payload INCLUDING the [min, median, max]
@@ -131,6 +131,47 @@ STREAMING = [
     "stream_tumbling_hourly",
     "stream_session_windows",
     "dedup_semantic_stream_ingest",
+]
+
+# FROZEN tier membership (round 13): per-tier walls are ALSO reported
+# over the round-10 query set, pinned forever, so cross-round tier
+# reads compare like against like — the r11->r12 pipeline tier "grew"
+# 35.3 -> 45.3s purely by absorbing new entries, which made tier-level
+# deltas unreadable. The growing tiers above stay the coverage story;
+# ``tiers_frozen`` is the trend line. tools_bench_compare reads the
+# frozen tier for cross-round comparisons.
+FROZEN_PIPELINE = [
+    "dedup_survivors",
+    "dedup_semantic",
+    "dedup_duplicate_spans_winnowed",
+    "similarity_ivf_multiprobe",
+    "similarity_ivf_served",
+    "similarity_ivf_batch_served",
+    "similarity_ivfsq_served",
+    "similarity_ivfpq_adc",
+    "similarity_pq_trained256",
+    "similarity_sq8_topk",
+    "similarity_rp_rerank",
+    "asof_join_purchases",
+    "training_pipeline_e2e",
+    "text_bpe_train",
+    "text_heavy_hitters",
+    "dedup_lines_global",
+    "sketch_count_min_grid",
+    "sketch_hll_distinct",
+    "sketch_quantile_sampled",
+    "join_bloom_runtime_filter",
+    "interval_overlap_incidents",
+    "multimodal_image_neardup_pairs",
+    "drift_chisq_event_types",
+    "drift_ks_purchase_values",
+    "text_bm25_topdocs",
+    "text_search_served",
+    "events_anomaly_mad",
+    "text_token_entropy",
+    "text_cross_entropy_lm",
+    "drift_kl_event_types",
+    "search_hybrid_rrf",
 ]
 
 # rows/s denominator per streaming query (default: events table)
@@ -522,6 +563,15 @@ def main() -> None:
         "pipeline": round(sum(times[n] for n in pipeline), 4),
         "streaming": round(sum(times[n] for n in streaming), 4),
     }
+    # frozen r10-membership walls (core and streaming memberships have
+    # not changed since r10, so only pipeline needs a pinned list)
+    tiers_frozen = {
+        "core": tiers["core"],
+        "pipeline": round(
+            sum(times[n] for n in FROZEN_PIPELINE if n in times), 4
+        ),
+        "streaming": tiers["streaming"],
+    }
 
     # Streaming wall time is dominated by fixed microbatch startup, so
     # also report replay throughput PER QUERY (rows/s over the events
@@ -560,6 +610,7 @@ def main() -> None:
         # tool parses them, so the 3dp contract is safe.
         "queries": {n: round(t, 3) for n, t in times.items()},
         "tiers": tiers,
+        "tiers_frozen": tiers_frozen,
         "streaming_rows_per_sec": streaming_rows_per_sec or None,
         "anchor_s": anchor_s,
         "sf": sf_val,

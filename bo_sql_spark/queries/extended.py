@@ -1764,9 +1764,14 @@ def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_freq_items",
-    oracle=None,  # sketch-based, engine-specific by design
+    oracle=None,  # KEPT ROWS-ONLY BY DESIGN (r13 triage): Spark's
+    # freqItems sketch (lossy counting) has engine-private merge
+    # internals and no DuckDB twin; exact frequency queries
+    # (agg_pricing_summary-family GROUP BYs) are the graded ground
+    # truth for the same columns
     doc="Approximate frequent items (freqItems, lossy-count style "
-    "sketch) over order status+priority — rows-only check.",
+    "sketch) over order status+priority — rows-only check; kept as "
+    "the native-sketch demo (exact GROUP BY twins are oracle-graded).",
     tags=("extended", "approx"),
 )
 def approx_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:

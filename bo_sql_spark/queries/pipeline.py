@@ -124,28 +124,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_minhash_pairs",
-    oracle=None,  # xxhash64 signatures are Spark-specific
-    doc="MinHash(32) + LSH(16 bands x 2 rows) + exact-Jaccard verify at "
-    "0.5: the scale near-dup pipeline (candidates only, never O(n^2)). "
-    "Rows-only check; the Jaccard math itself is oracle-gated by "
-    "dedup_ngram_jaccard.",
-    tags=("pipeline", "dedup"),
-)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    return D.minhash_dedup_pairs(t["documents"], threshold=0.5).select(
-        "id_a", "id_b", F.round("jacc", 6).alias("jacc")
-    )
-
-
-@register(
     "dedup_minhash_pairs_salted",
-    oracle=None,  # xxhash64 signatures are Spark-specific; pair-set
-    # equality with dedup_minhash_pairs is unit-proven
+    oracle=None,  # KEPT ROWS-ONLY BY DESIGN (r13 triage): xxhash64
+    # signatures are Spark-engine-private, and this entry exists for
+    # its SKEW DEFENSE, which has no portable twin — the md5 family's
+    # graded queries (dedup_minhash_survivors_portable,
+    # dedup_pair_evidence) cover the banding/verify semantics; pair-set
+    # equality with the unsalted form is unit-proven
     # (tests/test_operators.py::test_lsh_salted_pairs_equal_unsalted)
-    doc="The hot-bucket-salted form of dedup_minhash_pairs "
-    "(operators/dedup.py:lsh_band_pairs_salted): LSH buckets over "
+    doc="The hot-bucket-salted MinHash LSH pair join "
+    "(operators/dedup.py:lsh_band_pairs_salted) — kept as the "
+    "NATIVE-ENGINE skew demo after its unsalted/incremental xxhash64 "
+    "siblings were retired (r13) in favor of their md5-portable "
+    "oracle-graded twins: LSH buckets over "
     "hot_threshold=4 members spread their quadratic pair output over "
     "an r^2 grid of salted cells (deterministic per-id salt + "
     "(cell_i, cell_j) join keys) while cold buckets keep the plain "
@@ -167,32 +158,6 @@ def dedup_minhash_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_incremental_minhash",
-    oracle=None,  # xxhash64 signatures are Spark-specific; exact twin below
-    doc="Incremental near-dup: the corpus (doc_id < 400) is indexed "
-    "ONCE — minhash band rows parquet-partitioned by band + shingle "
-    "sets (operators/dedup.py materialize_minhash_index) — and the new "
-    "batch (doc_id >= 400) probes it: batch-side signatures only, "
-    "(band, h) join against the index, exact-Jaccard verify at 0.5 on "
-    "candidates. The streaming-ingest twin of the materialized IVF "
-    "index: corpus signature work is paid once, per-batch cost is "
-    "O(batch). Rows-only (hash-seeded); exact twin "
-    "dedup_incremental_exact is the oracle-checked ground truth.",
-    tags=("pipeline", "dedup", "incremental"),
-)
-def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    t = _t(spark, sf_dir)
-    docs = t["documents"]
-    path = tempfile.mkdtemp(prefix="bosql_mhidx_") + "/index"
-    D.materialize_minhash_index(docs.filter(F.col("doc_id") < 400), path)
-    return D.minhash_probe_index(
-        spark, path, docs.filter(F.col("doc_id") >= 400), threshold=0.5
-    ).select("new_id", "idx_id", F.round("jacc", 6).alias("jacc"))
-
-
-@register(
     "dedup_incremental_minhash_portable",
     oracle=f"""
     WITH {_portable_minhash_pairs_sql("documents")}
@@ -202,7 +167,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY new_id, idx_id
     """,
     doc="Incremental near-dup with a FULL oracle — "
-    "dedup_incremental_minhash's portable twin (r12): the corpus "
+    "the incremental near-dup probe with a portable hash family "
+    "(supersedes the retired xxhash64 form, r13): the corpus "
     "(doc_id < 400) is indexed once with the SQL-replayable hash "
     "family (band rows parquet-partitioned by band + shingle sets), "
     "the new batch (doc_id >= 400) probes it, exact-Jaccard verify at "
@@ -269,7 +235,7 @@ def dedup_incremental_minhash_portable(
     """,
     doc="Ground truth for the incremental path: exact 3-word-shingle "
     "Jaccard between every (corpus, new-batch) pair at >= 0.5 — the "
-    "pairs dedup_incremental_minhash must find (8 such pairs exist in "
+    "pairs the incremental minhash probes must find (8 such pairs exist in "
     "the sf0.01 fixture, all >= 0.9). Computed as a shingle EQUI-JOIN "
     "(explode distinct shingles, hash-join corpus-side with batch-side "
     "on the shingle, count = |intersection|, sizes joined back), NOT "
@@ -361,9 +327,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 bit signatures are Spark-specific
+    oracle=None,  # KEPT ROWS-ONLY BY DESIGN (r13 triage): xxhash64 bit
+    # signatures are Spark-engine-private — the engine hash IS the
+    # production choice at 100 TB (no Python, no literals); the md5
+    # twin dedup_simhash_portable grades the identical signature ->
+    # band -> Hamming-verify semantics bit-for-bit against DuckDB
     doc="64-bit SimHash per doc (one explode + groupBy, 64-long state "
-    "per doc). Rows-only: row count must equal |documents|.",
+    "per doc) — kept as the NATIVE-ENGINE signature demo; "
+    "dedup_simhash_portable is its oracle-graded twin. Rows-only: "
+    "row count must equal |documents|.",
     tags=("pipeline", "dedup"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,7 +542,8 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="END-TO-END **MinHash** dedup with a FULL oracle — the graded "
     "gap the xxhash64 family couldn't close (its signatures are "
-    "Spark-private, so dedup_minhash_pairs grades rows-only): the "
+    "Spark-private — the retired xxhash64 pair query could only "
+    "grade rows-only): the "
     "portable signature (md5-15-hex base hash mod P=1e9+7, per-seed "
     "universal-family permutations, operators/dedup.py:"
     "minhash_signatures_portable) -> r=2 packed-band LSH candidates "
@@ -860,46 +833,6 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_ann_lsh",
-    oracle=None,  # hyperplane projections use session-side literals; the
-    # exact-search twin (similarity_topk) is the oracle-gated baseline
-    doc="ANN top-10 via random-hyperplane LSH (8 bits, seed 42): scan "
-    "only the query's bucket (~1/256 of rows). Approximate by design.",
-    tags=("pipeline", "similarity", "approx"),
-)
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    emb = t["embeddings"]
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    return S.ann_topk_lsh(emb.filter(F.col("vec_id") != 0), qvec, k=10)
-
-
-@register(
-    "similarity_approx_join",
-    oracle=None,  # LSH-bucketed candidates (hyperplane literals); exact
-    # result set is a verified subset of dedup_embedding_neardup's oracle
-    doc="Batch-vs-batch approximate similarity self-join (cosine >= "
-    "0.40, 2-seed multi-probe LSH): shuffle on (seed, bucket), exact "
-    "verify on candidates only — the trillion-vector shape of "
-    "dedup_embedding_neardup. Recall vs brute force is asserted in "
-    "tests/test_operators.py.",
-    tags=("pipeline", "similarity", "approx"),
-)
-def similarity_approx_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
-    emb = t["embeddings"].filter(F.col("vec_id") < 1000)
-    return S.approx_similarity_join(
-        emb.select(F.col("vec_id").alias("id_a"), "embedding"),
-        emb.select(F.col("vec_id").alias("id_b"), "embedding"),
-        threshold=0.40,
-        dim=64,
-    )
-
-
 def _rp_plane_proj_sql(mask: int, qv_expr: str, dims: int) -> str:
     """SQL for ONE plane's exact integer projection: dot of the
     quantized vector against the +-1 literal sign list of one
@@ -1039,7 +972,7 @@ def _portable_rp_join_sql_auto(
     FROM rppairs WHERE cos >= 0.4
     """,
     doc="Approximate similarity self-join with a FULL oracle (the "
-    "NumPy-literal hyperplanes of similarity_approx_join grade "
+    "NumPy-literal hyperplane form, retired r13, could only grade "
     "rows-only: the sign of a float projection sum is accumulation-"
     "order-sensitive): fixed-point quantized vectors (round(v*1e6) as "
     "int64) -> 4 seeds x AUTO-bit buckets from literal md5-derived "
@@ -1233,7 +1166,7 @@ def _portable_rp_topk_sql_auto(
     SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM rttop
     """,
     doc="ANN top-10 via QUERY-DIRECTED multi-probe LSH with a FULL "
-    "oracle (the NumPy-plane similarity_ann_lsh grades rows-only): "
+    "oracle (the NumPy-plane form, retired r13, graded rows-only): "
     "bits auto-size to ceil_log2(n) - 2 (~2-4-vector buckets) and "
     "recall is bought back by probing the query's bucket PLUS the "
     "XOR-flips of subsets of its flips = bits - 4 most MARGINAL "
@@ -1869,9 +1802,15 @@ def similarity_ivf_train_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_bucket_histogram",
-    oracle=None,  # same hyperplane-literal reason as above
+    oracle=None,  # KEPT ROWS-ONLY BY DESIGN (r13 triage): the NumPy
+    # hyperplane projections are float sums, whose SIGN is
+    # accumulation-order-sensitive — unreplayable by construction; the
+    # fixed-point twin similarity_bucket_histogram_portable grades the
+    # identical histogram shape bit-for-bit
     doc="LSH bucket occupancy histogram — the data-engineer's skew check "
-    "before trusting bucketed ANN at scale.",
+    "before trusting bucketed ANN at scale; kept as the NATIVE "
+    "float-plane demo, with similarity_bucket_histogram_portable as "
+    "its oracle-graded fixed-point twin.",
     tags=("pipeline", "similarity"),
 )
 def similarity_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6831,25 +6770,115 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_png_dhash(blobs)
 
 
+def _image_neardup_oracle_sql() -> str:
+    """Full DuckDB replay of the image near-dup pipeline WITHOUT any
+    image codec: the fixture pixels are a counter-based
+    multiply-xorshift (multimodal.py:_noise_pixels) and the dHash
+    samples a floor-mapped 8x8 grid — both closed-form integers — so
+    the oracle regenerates exactly the 64 SAMPLED pixels per image
+    (never the full bitmap), folds them into the 56-bit dHash, and
+    replays the 14-bit banding self-join + bit_count verify. Because
+    the Spark side hashes pixels that went through a REAL PNG
+    encode/decode roundtrip, a hash match here jointly gates the
+    codec's losslessness on every sampled byte. uint64 wrap-around:
+    xor/shift run on UBIGINT; the two multiplies run in HUGEINT via
+    32-bit split (hi*M*2^32 + lo*M, both < 2^97) mod 2^64 — DuckDB
+    UBIGINT multiplication raises on overflow instead of wrapping."""
+    m1, m2 = 2654435761, 2246822519
+    two64 = 1 << 64
+
+    def mulmod(x: str, m: int) -> str:
+        return (
+            f"(({x} // 4294967296) * {m} % {two64} * 4294967296"
+            f" + ({x} % 4294967296) * {m}) % {two64}"
+        )
+
+    return f"""imdocs AS (
+        SELECT doc_id AS d FROM documents WHERE doc_id < 1500
+    ), imgs AS (
+        SELECT d, CAST(d AS BIGINT) AS img_id, 0 AS kind FROM imdocs
+        UNION ALL
+        SELECT d, d + {M.NEARDUP_BRIGHT_OFF}, 1 FROM imdocs WHERE d % 7 = 0
+        UNION ALL
+        SELECT d, d + {M.NEARDUP_SCALE_OFF}, 2 FROM imdocs WHERE d % 7 = 0
+    ), grid AS (
+        SELECT img_id, d, kind, 32 + d % 17 AS w, 24 + d % 13 AS h, gr.r, gc.c
+        FROM imgs,
+             (SELECT unnest(range(0, 8)) AS r) gr,
+             (SELECT unnest(range(0, 8)) AS c) gc
+    ), pos AS (
+        -- sampled pixel index in the BASE w x h bitmap: the bright
+        -- variant shares the base geometry; the 2x nearest-neighbor
+        -- upscale maps its floor-grid samples back to base pixels
+        SELECT img_id, d, kind, r, c,
+               CASE WHEN kind <= 1
+                    THEN ((r * h) // 8) * w + (c * w) // 8
+                    ELSE (((r * 2 * h) // 8) // 2) * w
+                         + (((c * 2 * w) // 8) // 2)
+               END AS i
+        FROM grid
+    ), mx1 AS (
+        SELECT img_id, kind, r, c,
+               (CAST(i AS HUGEINT) + (d % 4294967296)) % {two64} AS x0
+        FROM pos
+    ), mx2 AS (
+        SELECT img_id, kind, r, c, {mulmod('x0', m1)} AS x1 FROM mx1
+    ), mx3 AS (
+        SELECT img_id, kind, r, c,
+               CAST(xor(CAST(x1 AS UBIGINT), CAST(x1 // 32768 AS UBIGINT)) AS HUGEINT) AS x2
+        FROM mx2
+    ), mx4 AS (
+        SELECT img_id, kind, r, c, {mulmod('x2', m2)} AS x3 FROM mx3
+    ), pxs AS (
+        SELECT img_id, r, c,
+               CAST((CAST(xor(CAST(x3 AS UBIGINT), CAST(x3 // 8192 AS UBIGINT)) AS HUGEINT)
+                     // 256) % 201 AS BIGINT)
+               + CASE WHEN kind = 1 THEN 30 ELSE 0 END AS px
+        FROM mx4
+    ), dh AS (
+        SELECT img_id,
+               CAST(SUM(CASE WHEN c < 7 AND px < nxt
+                             THEN CAST(1 AS BIGINT) << (r * 7 + c)
+                             ELSE 0 END) AS BIGINT) AS dhash
+        FROM (SELECT img_id, r, c, px,
+                     LEAD(px) OVER (PARTITION BY img_id, r ORDER BY c) AS nxt
+              FROM pxs)
+        GROUP BY img_id
+    ), dbands AS (
+        SELECT img_id, dhash, gb.band,
+               (dhash >> CAST(gb.band * 14 AS BIGINT)) & 16383 AS slice
+        FROM dh, (SELECT unnest(range(0, 4)) AS band) gb
+    )
+    SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM dbands a JOIN dbands b
+      ON a.band = b.band AND a.slice = b.slice AND a.img_id < b.img_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6"""
+
+
 @register(
     "multimodal_image_neardup_pairs",
-    oracle=None,  # LCG noise pixels + banded self-join are engine-side;
-    # structure is deterministic and unit-pinned (exact triple set at
-    # tests/test_operators.py::test_image_neardup_pairs_planted_triples)
+    oracle=f"""
+    WITH {_image_neardup_oracle_sql()}
+    """,
     doc="IMAGE near-duplicate candidate pairs at corpus scale "
     "(operators/multimodal.py:make_png_neardup_blob_df + "
     "decode_png_dhash + dhash_near_pairs): a non-degenerate noise-"
-    "image corpus (LCG pixels; the gradient fixture made every dHash "
-    "collide) where each doc_id % 7 == 0 plants a brightness (+30, "
-    "non-clipping) and a 2x nearest-neighbor rescale variant — both "
-    "dHash-invariant by construction, so the expected output is "
-    "EXACTLY the 3 pairwise pairs per planted triple at hamming 0, "
-    "and nothing else (500 unrelated noise images sit ~28 bits "
+    "image corpus (counter-xorshift pixels; the gradient fixture made "
+    "every dHash collide) where each doc_id % 7 == 0 plants a "
+    "brightness (+30, non-clipping) and a 2x nearest-neighbor rescale "
+    "variant — both dHash-invariant by construction, so the expected "
+    "output is EXACTLY the 3 pairwise pairs per planted triple at "
+    "hamming 0, and nothing else (unrelated noise images sit ~28 bits "
     "apart). Pipeline: real PNG encode -> Arrow-batched decode+dHash "
     "-> 14-bit band buckets -> exact bit_count(xor) verify; the "
     "banding self-join shuffles tiny (id, hash) rows, never all "
-    "pairs. Rows-only check (the LCG fixture is not SQL-replayable); "
-    "nonzero-hamming recall is pinned by the pigeonhole unit tests.",
+    "pairs. ORACLE-CHECKED since r13: the pixels and the dHash's "
+    "floor-grid samples are closed-form integers, so DuckDB "
+    "regenerates the 64 sampled pixels per image (HUGEINT split-"
+    "multiply mod 2^64 + UBIGINT xor replays the uint64 mix), folds "
+    "the same 56-bit hash, and replays banding + verify — which also "
+    "jointly gates the PNG codec roundtrip on every sampled byte.",
     tags=("pipeline", "multimodal", "dedup"),
 )
 def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8622,7 +8651,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assignment (not just survivors) is what makes the result "
     "byte-equivalent to rerunning batch SemDeDup on corpus+batch "
     "restricted to batch ids — proven in tests/test_operators.py. "
-    "The semantic twin of dedup_incremental_minhash and "
+    "The semantic twin of dedup_incremental_minhash_portable and "
     "similarity_ivf_incremental.",
     tags=("pipeline", "dedup", "similarity", "incremental"),
 )

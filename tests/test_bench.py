@@ -60,9 +60,13 @@ def test_bench_emits_single_json_line(tmp_path):
     )
     assert "spread" not in payload
     assert set(payload) == {
-        "metric", "value", "unit", "queries", "tiers",
+        "metric", "value", "unit", "queries", "tiers", "tiers_frozen",
         "streaming_rows_per_sec", "anchor_s", "sf",
     }
+    # the frozen tier is a SUBSET wall: <= the growing tier, same keys
+    assert set(payload["tiers_frozen"]) == set(payload["tiers"])
+    for k in payload["tiers"]:
+        assert payload["tiers_frozen"][k] <= payload["tiers"][k] + 1e-9
     # the full payload incl. spread lands in the side artifact
     with open(spread_out) as fh:
         side = json.load(fh)

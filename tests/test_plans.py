@@ -79,8 +79,9 @@ def test_semi_join_not_row_multiplying(spark, sf_dir):
 
 
 def test_minhash_no_cartesian(spark, sf_dir):
-    """The LSH pipeline must never plan a cartesian product."""
-    df = _df(spark, sf_dir, "dedup_minhash_pairs")
+    """The LSH pipeline must never plan a cartesian product (the
+    salted entry exercises BOTH the hot and cold bucket paths)."""
+    df = _df(spark, sf_dir, "dedup_minhash_pairs_salted")
     text = explain_str(df, "simple")
     assert "CartesianProduct" not in text
 
