@@ -317,6 +317,16 @@ def rp_auto_join_params(n: int) -> tuple[int, int]:
     return min(16, max(4, _ceil_log2(n) - 5)), 4
 
 
+def ivf_auto_cells(n: int) -> int:
+    """Cell count for IVF at corpus size n: 2^(ceil_log2(n) - 5),
+    clamped to [16, 65536] — ~16-32 vectors per cell, the same
+    bounded-occupancy doctrine as rp_auto_join_params (and the knob
+    the semantic-ingest budget in SCALE.md r13 names: within-cell
+    pair work stays linear only while cells track the corpus). Pure
+    integer rule, replayed in SQL as a CASE over COUNT(*)."""
+    return min(65536, max(16, 1 << max(0, _ceil_log2(n) - 5)))
+
+
 def rp_auto_probe_params(n: int) -> tuple[int, int, int, int]:
     """(bits, seeds, flips, radius) for the TOP-K probe grain: fine
     buckets (~2-4 vectors) for selectivity, recall bought back with

@@ -1379,6 +1379,74 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_auto_cells",
+    oracle="""
+    WITH nc AS (
+        SELECT CASE WHEN COUNT(*) <= 512 THEN 16
+                    WHEN COUNT(*) <= 1024 THEN 32
+                    WHEN COUNT(*) <= 2048 THEN 64
+                    ELSE 128 END AS k
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < (SELECT k FROM nc)
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, arg_min(c_id, list_dot_product(v, v) - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv)) AS cell
+        FROM vecs CROSS JOIN cents GROUP BY vec_id
+    ), qcell AS (
+        SELECT cell FROM assigned WHERE vec_id = 0
+    ), q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, ROUND(sim, 6) AS cos_sim
+    FROM (
+        SELECT a.vec_id,
+               list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM assigned a
+        JOIN vecs e USING (vec_id)
+        CROSS JOIN q
+        WHERE a.cell = (SELECT cell FROM qcell) AND a.vec_id <> 0
+    )
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="IVF-Flat ANN with the cell count AUTO-SIZED from the corpus "
+    "(similarity.py:ivf_auto_cells = 2^(ceil_log2(n)-5), ~16-32 "
+    "vectors/cell — 16 cells at the sf0.01 fixture, 64 at sf0.1): "
+    "the graded statement of the doctrine every IVF-family ledger row "
+    "leans on — per-cell work stays bounded only while cells TRACK "
+    "the corpus (fixed cells make within-cell scans quadratic; the "
+    "r13 semantic-ingest budget measured exactly that onset). Same "
+    "broadcast expanded-L2 argmin assignment and in-cell exact-cosine "
+    "top-10 as similarity_ivf_topk; the oracle replays the rule as a "
+    "CASE over COUNT(*), so the auto choice itself is hash-gated at "
+    "every fixture SF.",
+    tags=("pipeline", "similarity", "approx"),
+)
+def similarity_ivf_auto_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    k_cells = S.ivf_auto_cells(emb.count())
+    cents = emb.filter(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = S.ivf_assign(emb, cents)
+    qrow = assigned.filter(F.col("vec_id") == 0).select("cell", "embedding").first()
+    qcell, qvec = qrow["cell"], [float(x) for x in qrow["embedding"]]
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        qvec,
+        query_cell=qcell,
+        k=10,
+        centroids=cents,
+    )
+
+
+@register(
     "similarity_ivf_multiprobe",
     oracle="""
     WITH cents AS (

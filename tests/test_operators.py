@@ -3254,6 +3254,23 @@ def test_rp_auto_params_rule():
         assert rp_auto_probe_params(hi + 1)[0] == b + 1
 
 
+def test_ivf_auto_cells_rule():
+    """Pins the IVF auto-cell rule and its SQL CASE boundaries
+    (similarity_ivf_auto_cells' oracle gates at 512/1024/2048)."""
+    from bo_sql_spark.operators.similarity import ivf_auto_cells
+
+    assert ivf_auto_cells(500) == 16
+    assert ivf_auto_cells(512) == 16
+    assert ivf_auto_cells(513) == 32
+    assert ivf_auto_cells(1024) == 32
+    assert ivf_auto_cells(1025) == 64
+    assert ivf_auto_cells(2000) == 64
+    assert ivf_auto_cells(2048) == 64
+    assert ivf_auto_cells(2049) == 128
+    assert ivf_auto_cells(1) == 16  # low clamp
+    assert ivf_auto_cells(10**10) == 65536  # high clamp
+
+
 def test_rp_query_probes_structure():
     """Probe-set shape: sum_{i<=radius} C(flips, i) probes per seed,
     each within Hamming distance <= radius of the seed's own bucket,
