@@ -6844,8 +6844,10 @@ def _image_neardup_oracle_sql() -> str:
     multiply-xorshift (multimodal.py:_noise_pixels) and the dHash
     samples a floor-mapped 8x8 grid — both closed-form integers — so
     the oracle regenerates exactly the 64 SAMPLED pixels per image
-    (never the full bitmap), folds them into the 56-bit dHash, and
-    replays the 14-bit banding self-join + bit_count verify. Because
+    (never the full bitmap) and folds them into the 56-bit dHash.
+    Returns the CTE chain ending at ``dh (img_id, dhash)`` and
+    ``dbands`` — shared by the pairs query (banding self-join +
+    bit_count verify) and the hash-values query. Because
     the Spark side hashes pixels that went through a REAL PNG
     encode/decode roundtrip, a hash match here jointly gates the
     codec's losslessness on every sampled byte. uint64 wrap-around:
@@ -6916,18 +6918,18 @@ def _image_neardup_oracle_sql() -> str:
         SELECT img_id, dhash, gb.band,
                (dhash >> CAST(gb.band * 14 AS BIGINT)) & 16383 AS slice
         FROM dh, (SELECT unnest(range(0, 4)) AS band) gb
-    )
-    SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
-           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-    FROM dbands a JOIN dbands b
-      ON a.band = b.band AND a.slice = b.slice AND a.img_id < b.img_id
-    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6"""
+    )"""
 
 
 @register(
     "multimodal_image_neardup_pairs",
     oracle=f"""
     WITH {_image_neardup_oracle_sql()}
+    SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM dbands a JOIN dbands b
+      ON a.band = b.band AND a.slice = b.slice AND a.img_id < b.img_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
     """,
     doc="IMAGE near-duplicate candidate pairs at corpus scale "
     "(operators/multimodal.py:make_png_neardup_blob_df + "
@@ -6965,6 +6967,31 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     return M.dhash_near_pairs(hashes, max_hamming=6, bands=4).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "multimodal_image_dhash_noise",
+    oracle=f"""
+    WITH {_image_neardup_oracle_sql()}
+    SELECT img_id AS doc_id, dhash FROM dh
+    """,
+    doc="The 56-bit perceptual dHash VALUES over the NOISE near-dup "
+    "fixture (base noise images + planted brightness/rescale "
+    "variants), hash-gated per image: real PNG encode -> Arrow-"
+    "batched stdlib decode -> floor-grid 8x8 difference hash, against "
+    "the closed-form pixel replay (same CTE chain as "
+    "multimodal_image_neardup_pairs' oracle, cut at the hash stage). "
+    "Grades the signature function DIRECTLY — a banding-join bug and "
+    "a hash bug are separable failures — and pins that every sampled "
+    "byte survives the codec roundtrip for every image, not just the "
+    "ones that surface in a candidate pair.",
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def multimodal_image_dhash_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 1500).repartition(32)
+    blobs = M.make_png_neardup_blob_df(docs)
+    return M.decode_png_dhash(blobs)
 
 
 _VAD_WIN = 8
