@@ -1118,6 +1118,69 @@ def _argmin_code() -> Column:
     return F.min(F.struct(F.col("_d2").alias("d"), F.col("code").alias("c")))["c"]
 
 
+def _seq_dot(prod: "np.ndarray") -> "np.ndarray":
+    """Sequential left-to-right double accumulation along the LAST
+    axis — np.cumsum adds one element at a time, reproducing exactly
+    the rounding order of the Catalyst aggregate(zip_with) fold and
+    DuckDB's list_dot_product (np.sum would use pairwise summation,
+    whose different rounding could flip an argmin on a near-tie)."""
+    return np.cumsum(prod, axis=-1)[..., -1]
+
+
+def _pq_codebook_arrays(
+    codebooks: DataFrame, m: int
+) -> list[tuple["np.ndarray", "np.ndarray"]]:
+    """[(codes, cvecs)] per subspace, sorted by code — driver-side
+    arrays of the (tiny, broadcast-sized) codebook table. Sorting by
+    code makes argmin-first-occurrence reproduce the deterministic
+    struct-min tie rule (smallest code wins an exact distance tie)."""
+    rows = codebooks.select("sub", "code", "c_vec").collect()
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["c_vec"]])
+        )
+    out = []
+    for s in range(m):
+        entries = sorted(by_sub.get(s, []))
+        out.append(
+            (
+                np.array([c for c, _ in entries], dtype=np.int64),
+                np.array([v for _, v in entries], dtype=np.float64),
+            )
+        )
+    return out
+
+
+def _pq_codes_udf(subs, m: int, dsub: int):
+    """Arrow-vectorized PQ assignment: ALL m subspace argmins for a
+    batch of vectors in one NumPy pass, with every float op in the
+    exact sequence of the expression form it replaces —
+    d2 = ((seqdot(sv,sv) - 2*seqdot(sv,cv)) + seqdot(cv,cv)), products
+    and sums in double, sequential accumulation (_seq_dot). Replaces
+    the n x m x ks broadcast-join rows each paying 3 interpreted HOF
+    dots (the r13 PQ-family wall: 38-50s/query at sf0.1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def codes(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        out = np.empty((len(vec), m), dtype=np.int64)
+        for s in range(m):
+            codes_s, cvs = subs[s]
+            sv = mat[:, s * dsub : (s + 1) * dsub]
+            self_ = _seq_dot(sv * sv)
+            cross = _seq_dot(sv[:, None, :] * cvs[None, :, :])
+            cself = _seq_dot(cvs * cvs)
+            d2 = (self_[:, None] - 2 * cross) + cself[None, :]
+            out[:, s] = codes_s[np.argmin(d2, axis=1)]
+        return pd.Series(list(out))
+
+    return codes
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: DataFrame,
@@ -1125,16 +1188,28 @@ def pq_encode(
     dsub: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """PQ encode: each vector -> ``m`` one-byte-ish codes (its nearest
     codeword per subspace). 64 floats become 8 small ints — the 16-32x
     memory compression that lets an ANN index at 100 TB live in RAM.
 
-    Plan: explode each vector into m subspace slices (map-side),
-    broadcast the codebooks, argmin per (vec, sub) with the expanded
-    L2 form (sequential dots — the exact op order the DuckDB oracle
-    runs), then reassemble the code array sorted by subspace. Only
-    (id, sub, code) triples ever shuffle."""
+    impl='arrow' (default): one Arrow-batched NumPy pass computes all
+    m argmins per vector (codebooks collected driver-side — they are
+    broadcast-sized by construction), with sequential-order float
+    arithmetic bit-identical to the expression form (_pq_codes_udf).
+    impl='hof': the r12 shape — explode each vector into m subspace
+    slices, broadcast-join the codebooks (n*m*ks rows), argmin per
+    (vec, sub) with the expanded L2 form (sequential interpreted HOF
+    dots — the exact op order the DuckDB oracle runs), reassemble
+    sorted by subspace. Both produce identical codes (unit-pinned)."""
+    if impl == "arrow":
+        subs = _pq_codebook_arrays(codebooks, m)
+        udf = _pq_codes_udf(subs, m, dsub)
+        return emb.select(
+            F.col(id_col),
+            udf(F.col(vec_col).cast("array<double>")).alias("codes"),
+        )
     from bo_sql_spark.functions import dot
 
     parts = (
@@ -1563,6 +1638,7 @@ def pq_train_step(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    impl: str = "arrow",
 ) -> DataFrame:
     """One Lloyd iteration over ALL PQ subspaces in a single plan.
 
@@ -1579,30 +1655,58 @@ def pq_train_step(
     ks=16, and the ks axis dominates — 0.40 at trained ks=256).
     Returns (sub, code, n_members, c_vec); codewords that attracted no
     members drop out, same as empty IVF cells.
+
+    impl='arrow' (default) runs the assignment through the same
+    Arrow-batched sequential-order NumPy argmin as pq_encode
+    (_pq_codes_udf — bit-identical codes, unit-pinned); impl='hof'
+    keeps the n*m*ks broadcast-join expression form.
     """
     from bo_sql_spark.functions import dot
 
-    parts = (
-        emb.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-            F.col(vec_col).alias("v"),
+    if impl == "arrow":
+        subs = _pq_codebook_arrays(codebooks, m)
+        udf = _pq_codes_udf(subs, m, dsub)
+        best = (
+            emb.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .select(
+                F.col(id_col),
+                "v",
+                F.posexplode(udf(F.col("v"))).alias("sub", "code"),
+            )
+            .select(
+                id_col,
+                "sub",
+                "code",
+                F.slice(
+                    F.col("v"), F.col("sub") * dsub + 1, F.lit(dsub)
+                ).alias("sv"),
+            )
         )
-        .select(
-            id_col,
-            "sub",
-            F.slice(F.col("v").cast("array<double>"), F.col("sub") * dsub + 1,
-                    F.lit(dsub)).alias("sv"),
+    else:
+        parts = (
+            emb.select(
+                F.col(id_col),
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+                F.col(vec_col).alias("v"),
+            )
+            .select(
+                id_col,
+                "sub",
+                F.slice(F.col("v").cast("array<double>"), F.col("sub") * dsub + 1,
+                        F.lit(dsub)).alias("sv"),
+            )
         )
-    )
-    sv, cw = F.col("sv"), F.col("c_vec")
-    d2 = dot(sv, sv) - 2 * dot(sv, cw) + dot(cw, cw)
-    best = (
-        parts.join(F.broadcast(codebooks), "sub")
-        .select(id_col, "sub", F.col("code"), F.col("sv"), d2.alias("_d2"))
-        .groupBy(id_col, "sub")
-        .agg(_argmin_code().alias("code"), F.first("sv").alias("sv"))
-    )
+        sv, cw = F.col("sv"), F.col("c_vec")
+        d2 = dot(sv, sv) - 2 * dot(sv, cw) + dot(cw, cw)
+        best = (
+            parts.join(F.broadcast(codebooks), "sub")
+            .select(id_col, "sub", F.col("code"), F.col("sv"), d2.alias("_d2"))
+            .groupBy(id_col, "sub")
+            .agg(_argmin_code().alias("code"), F.first("sv").alias("sv"))
+        )
     scale = 10 ** round_dp
     by_dim = (
         best.select("sub", "code", F.posexplode("sv"))
@@ -1949,6 +2053,7 @@ def rotate_embeddings(
     rot_micro: list[list[int]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Apply an integer-micro rotation matrix to a vector column with
     EXACT cross-engine arithmetic: v_int = floor(v*1e6 + 0.5) (BIGINT
@@ -1960,10 +2065,32 @@ def rotate_embeddings(
     then feed the UNCHANGED trained-PQ pipeline, whose own fixed-point
     doctrine re-quantizes them identically in both engines.
 
-    One nested higher-order expression per vector — no shuffle, no
-    UDF; the 4096-multiply cost per vector is the inherent dense-
-    rotation cost of OPQ at any scale (it runs inside the scan
-    stage)."""
+    impl='arrow' (default): one NumPy int64 matmul per Arrow batch —
+    and because every partial sum is an integer < 2^53, the matmul is
+    exact in ANY accumulation order, so arrow and the expression form
+    are bit-identical WITHOUT the sequential-order care the float PQ
+    argmin needs. impl='hof': one nested higher-order expression per
+    vector — no shuffle; the 4096-multiply cost per vector is the
+    inherent dense-rotation cost of OPQ at any scale, but interpreted
+    (CodegenFallback) it dominated similarity_opq_adc's wall."""
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        rot_t = np.array(rot_micro, dtype=np.int64).T  # (dims, dims)
+
+        @pandas_udf("array<double>")
+        def rotate(vec: pd.Series) -> pd.Series:
+            if len(vec) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+            vi = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+            y = vi @ rot_t  # exact int64: partials < 2^53
+            return pd.Series(list(y.astype(np.float64) / 1e12))
+
+        return emb.select(
+            F.col(id_col),
+            rotate(F.col(vec_col).cast("array<double>")).alias(vec_col),
+        )
     # ONE nested Literal node (array<array<bigint>>) — building it from
     # 4096 F.lit calls wrapped in F.array would re-evaluate the array
     # constructor per row and ran ~20x slower

@@ -7850,7 +7850,14 @@ def _pq_trained(spark: SparkSession, sf_dir: str, ks: int) -> DataFrame:
     emb = _t(spark, sf_dir)["embeddings"]
     m, dsub = 8, 8
     cb0 = S.pq_codebooks_from_seeds(emb, m=m, dsub=dsub, ks=ks)
-    cb1 = S.pq_train_step(emb, cb0, m=m, dsub=dsub).select("sub", "code", "c_vec")
+    # checkpoint the trained codebook: it is consumed THREE times
+    # (driver arrays for the arrow encode, the ADC lookup table, and
+    # its own derivation) and is broadcast-sized by construction
+    cb1 = (
+        S.pq_train_step(emb, cb0, m=m, dsub=dsub)
+        .select("sub", "code", "c_vec")
+        .localCheckpoint(eager=True)
+    )
     codes = S.pq_encode(emb, cb1, m=m, dsub=dsub)
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
@@ -8098,7 +8105,11 @@ def similarity_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rot = S.rotate_embeddings(emb, S.seeded_rotation_micro())
     m, dsub, ks = 8, 8, 256
     cb0 = S.pq_codebooks_from_seeds(rot, m=m, dsub=dsub, ks=ks)
-    cb1 = S.pq_train_step(rot, cb0, m=m, dsub=dsub).select("sub", "code", "c_vec")
+    cb1 = (
+        S.pq_train_step(rot, cb0, m=m, dsub=dsub)
+        .select("sub", "code", "c_vec")
+        .localCheckpoint(eager=True)
+    )
     codes = S.pq_encode(rot, cb1, m=m, dsub=dsub)
     qrow = rot.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
