@@ -3254,6 +3254,47 @@ def test_rp_auto_params_rule():
         assert rp_auto_probe_params(hi + 1)[0] == b + 1
 
 
+def test_pq_arrow_and_hof_paths_identical(spark, sf_dir):
+    """The Arrow PQ assignment (sequential-order NumPy argmin via
+    cumsum) and the broadcast-join HOF expression form must produce
+    IDENTICAL codes and identical trained codebooks — the sequential
+    float accumulation is replayed exactly, so even distance near-ties
+    resolve the same way. Rotation likewise (its integer sums are
+    order-independent outright)."""
+    from bo_sql_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_encode,
+        pq_train_step,
+        rotate_embeddings,
+        seeded_rotation_micro,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb0 = pq_codebooks_from_seeds(emb, m=8, dsub=8, ks=16)
+    a = {r["vec_id"]: list(r["codes"])
+         for r in pq_encode(emb, cb0, 8, 8, impl="arrow").collect()}
+    h = {r["vec_id"]: list(r["codes"])
+         for r in pq_encode(emb, cb0, 8, 8, impl="hof").collect()}
+    assert a == h and len(a) > 0
+
+    ta = sorted(
+        (r["sub"], r["code"], r["n_members"], tuple(r["c_vec"]))
+        for r in pq_train_step(emb, cb0, 8, 8, impl="arrow").collect()
+    )
+    th = sorted(
+        (r["sub"], r["code"], r["n_members"], tuple(r["c_vec"]))
+        for r in pq_train_step(emb, cb0, 8, 8, impl="hof").collect()
+    )
+    assert ta == th
+
+    rot = seeded_rotation_micro()
+    ra = {r["vec_id"]: tuple(r["embedding"])
+          for r in rotate_embeddings(emb, rot, impl="arrow").collect()}
+    rh = {r["vec_id"]: tuple(r["embedding"])
+          for r in rotate_embeddings(emb, rot, impl="hof").collect()}
+    assert ra == rh
+
+
 def test_ivf_auto_cells_rule():
     """Pins the IVF auto-cell rule and its SQL CASE boundaries
     (similarity_ivf_auto_cells' oracle gates at 512/1024/2048)."""
