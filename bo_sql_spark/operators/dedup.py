@@ -19,6 +19,8 @@ across runs, partitionings, and cluster sizes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -697,12 +699,36 @@ def connected_components(
 QUADRATIC_ROW_CAP = 10_000
 
 
+def _float_pair_cos_udf():
+    """Arrow-vectorized cosine over candidate PAIRS of double vectors,
+    replaying the expression form's float-op sequence exactly:
+    products in double, SEQUENTIAL accumulation (np.cumsum — one
+    addend at a time, the fold order of aggregate(zip_with) and
+    DuckDB's list_dot_product; np.sum's pairwise summation rounds
+    differently), then dot / (sqrt(aa) * sqrt(bb))."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pcos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=float)
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        b = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        dot = np.cumsum(a * b, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+        return pd.Series(dot / (na * nb))
+
+    return pcos
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
     allow_quadratic: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
     """All pairs with cosine similarity >= threshold (brute force).
 
@@ -717,7 +743,11 @@ def embedding_near_dup_pairs(
     this at a real corpus would otherwise launch an n^2 cross join.
     The probe stops scanning after cap+1 rows, so the guard's cost is
     O(cap) regardless of corpus size.
-    """
+
+    impl='arrow' (default) scores the joined pairs with one
+    Arrow-batched sequential-order NumPy cosine per batch
+    (bit-identical to the interpreted HOF column form, which remains
+    behind impl='hof'; unit-pinned)."""
     if not allow_quadratic:
         over = emb.select(id_col).limit(QUADRATIC_ROW_CAP + 1).count()
         if over > QUADRATIC_ROW_CAP:
@@ -727,11 +757,21 @@ def embedding_near_dup_pairs(
                 "approx_similarity_join for the bucketed scale path, or pass "
                 "allow_quadratic=True if you really mean it"
             )
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    if impl == "arrow":
+        cos = _float_pair_cos_udf()(F.col("va"), F.col("vb"))
+    else:
+        cos = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
     )
