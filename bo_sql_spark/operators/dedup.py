@@ -966,6 +966,37 @@ def contamination_ratio(
 
 
 # ------------------------------------------------------------- SemDeDup
+def _pair_dot_udf():
+    """Arrow-vectorized exact dot over candidate PAIRS: products in
+    double, SEQUENTIAL accumulation (np.cumsum — the fold order of the
+    HOF aggregate and DuckDB's list_dot_product). The division by the
+    precomputed norms stays engine-side, so only the dot moves off the
+    interpreted path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pdot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=float)
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        b = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        return pd.Series(np.cumsum(a * b, axis=1)[:, -1])
+
+    return pdot
+
+
+def _pair_dot(a, b, impl: str = "arrow"):
+    """dot(a, b) for pair-join verifies: impl='arrow' (default) is the
+    sequential-order NumPy form; impl='hof' the interpreted column
+    form (kept for A/B; bit-identical, pinned by the semantic-dedup
+    oracles and test_semantic_pair_dot_arrow_hof_identical)."""
+    from bo_sql_spark.functions import dot
+
+    if impl == "arrow":
+        return _pair_dot_udf()(a, b)
+    return dot(a, b)
+
+
 def _with_norms(
     assigned: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -987,8 +1018,6 @@ def _pairwise_dup_ids(
     incremental twin, kept in ONE place so the similarity expression
     and min-id-wins tie rule can never diverge between the batch and
     incremental paths (their byte-equivalence proof depends on it)."""
-    from bo_sql_spark.functions import dot
-
     hi = withn.select(
         "cell",
         F.col(id_col).alias("_ida"),
@@ -1005,7 +1034,7 @@ def _pairwise_dup_ids(
         hi.join(lo, "cell")
         .filter(F.col("_ida") > F.col("_idb"))
         .filter(
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            _pair_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
             >= threshold
         )
         .select(F.col("_ida").alias(id_col))
@@ -1076,7 +1105,6 @@ def semantic_pair_cosines(
     norm-once cosine expression as _pairwise_dup_ids, so a sweep over
     this table IS the dedup's decision boundary moved along the grid.
     Emits (ida, idb, cos) with ida > idb."""
-    from bo_sql_spark.functions import dot
     from bo_sql_spark.operators.similarity import ivf_assign
 
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
@@ -1100,7 +1128,7 @@ def semantic_pair_cosines(
             "ida",
             "idb",
             (
-                dot(F.col("_va"), F.col("_vb"))
+                _pair_dot(F.col("_va"), F.col("_vb"))
                 / (F.col("_na") * F.col("_nb"))
             ).alias("cos"),
         )
@@ -1130,7 +1158,7 @@ def semantic_dedup_incremental(
     (proven in tests, requires corpus ids < batch ids). Corpus members
     always outrank the batch; inside the batch, min-id-wins.
     """
-    from bo_sql_spark.functions import dot, l2_norm
+    from bo_sql_spark.functions import l2_norm
     from bo_sql_spark.operators.similarity import ivf_assign
 
     # callers that already assigned this batch (the streaming ingest
@@ -1152,7 +1180,9 @@ def semantic_dedup_incremental(
         F.col(vec_col).alias("_vc"),
         l2_norm(F.col(vec_col)).alias("_nc"),
     )
-    sim_corpus = dot(F.col(vec_col), F.col("_vc")) / (F.col("_n") * F.col("_nc"))
+    sim_corpus = _pair_dot(F.col(vec_col), F.col("_vc")) / (
+        F.col("_n") * F.col("_nc")
+    )
     cross = (
         bn.join(cn, "cell")
         .filter(sim_corpus >= threshold)

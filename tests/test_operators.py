@@ -3295,6 +3295,35 @@ def test_pq_arrow_and_hof_paths_identical(spark, sf_dir):
     assert ra == rh
 
 
+def test_semantic_pair_dot_arrow_hof_identical(spark, sf_dir):
+    """The semantic-dedup pair verify's _pair_dot must be bit-equal
+    between the Arrow (cumsum-sequential NumPy) and interpreted HOF
+    forms over every same-cell pair of the fixture."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.dedup import _pair_dot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 300"
+    )
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    got_a = {
+        (r.ida, r.idb): r.d
+        for r in pairs.select(
+            "ida", "idb", _pair_dot(F.col("va"), F.col("vb"), "arrow").alias("d")
+        ).collect()
+    }
+    got_h = {
+        (r.ida, r.idb): r.d
+        for r in pairs.select(
+            "ida", "idb", _pair_dot(F.col("va"), F.col("vb"), "hof").alias("d")
+        ).collect()
+    }
+    assert got_a == got_h and len(got_a) > 0
+
+
 def test_ivf_auto_cells_rule():
     """Pins the IVF auto-cell rule and its SQL CASE boundaries
     (similarity_ivf_auto_cells' oracle gates at 512/1024/2048)."""
