@@ -138,8 +138,8 @@ STREAMING = [
 # reads compare like against like — the r11->r12 pipeline tier "grew"
 # 35.3 -> 45.3s purely by absorbing new entries, which made tier-level
 # deltas unreadable. The growing tiers above stay the coverage story;
-# ``tiers_frozen`` is the trend line. tools_bench_compare reads the
-# frozen tier for cross-round comparisons.
+# ``tiers_frozen`` is the trend line; tools_bench_compare prints the
+# frozen-tier deltas when both payloads carry it.
 FROZEN_PIPELINE = [
     "dedup_survivors",
     "dedup_semantic",
@@ -564,7 +564,18 @@ def main() -> None:
         "streaming": round(sum(times[n] for n in streaming), 4),
     }
     # frozen r10-membership walls (core and streaming memberships have
-    # not changed since r10, so only pipeline needs a pinned list)
+    # not changed since r10, so only pipeline needs a pinned list).
+    # A FROZEN name missing from this run would silently shrink the
+    # pinned wall and defeat the like-for-like guarantee — warn on
+    # stderr AND record it in the payload so the artifact self-reports
+    # (test_bench.py also pins FROZEN_PIPELINE ⊆ registry statically).
+    frozen_missing = [n for n in FROZEN_PIPELINE if n not in times]
+    if frozen_missing:
+        print(
+            "WARNING: FROZEN_PIPELINE names missing from this run "
+            f"(tiers_frozen.pipeline is NOT like-for-like): {frozen_missing}",
+            file=sys.stderr,
+        )
     tiers_frozen = {
         "core": tiers["core"],
         "pipeline": round(
@@ -572,6 +583,8 @@ def main() -> None:
         ),
         "streaming": tiers["streaming"],
     }
+    if frozen_missing:
+        tiers_frozen["missing"] = frozen_missing
 
     # Streaming wall time is dominated by fixed microbatch startup, so
     # also report replay throughput PER QUERY (rows/s over the events

@@ -221,6 +221,36 @@ def cas_create_capability(spark: SparkSession, path: str) -> tuple[bool, str]:
     return _cas_capability_for(scheme, conf.get)
 
 
+def write_text(spark: SparkSession, path: str, payload: str) -> None:
+    """Write ``payload`` (UTF-8) to ``path``, overwriting — the
+    sidecar-metadata primitive (e.g. an index store's ``_meta`` file).
+    Goes through the Hadoop FileSystem so it works on any scheme the
+    store itself uses; callers needing create-if-absent semantics use
+    create_atomic instead."""
+    fs, hpath = _fs_and_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Read ``path`` as UTF-8 text; None if it doesn't exist."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return None
+    inp = fs.open(hpath)
+    try:
+        # readAllBytes (Java 11 InputStream) round-trips as Python
+        # bytes through Py4J; a fill-a-buffer loop would NOT — Py4J
+        # passes arrays by value, so JVM-side writes into the buffer
+        # never reach the Python bytearray.
+        return bytes(inp.readAllBytes()).decode("utf-8")
+    finally:
+        inp.close()
+
+
 def mtime_ms(spark: SparkSession, path: str) -> int:
     """Modification time of ``path`` in epoch milliseconds (0 if the
     path is missing) — what stale-orphan retention decisions key on."""

@@ -80,6 +80,8 @@ def _dup_ngram_frac_udf(n: int):
     def frac(toks: pd.Series) -> pd.Series:
         out = np.zeros(len(toks), dtype=np.float64)
         for j, tk in enumerate(toks):
+            if tk is None:
+                continue  # NULL token array => 0.0, same as the hof form
             t = list(tk)
             cnt = len(t)
             if cnt >= n:

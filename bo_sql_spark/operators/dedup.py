@@ -201,20 +201,47 @@ def lsh_band_rows_portable(
     ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
 
 
+def minhash_auto_bands(threshold: float, margin: float = 0.7) -> int:
+    """Band count for the r=2 portable LSH, derived from the VERIFY
+    threshold via the S-curve (the r13 verdict's rp_auto_* pattern
+    applied to banding): collision probability 1-(1-s^2)^b has its
+    knee at s* = (1/b)^(1/2); placing the knee at margin*threshold —
+    safely BELOW the verify threshold, so recall at s >= threshold
+    stays ~1 while sub-knee pairs are never shuffled — gives
+    b = round(1/(margin*t)^2), clamped to [2, 16]. r is pinned at 2
+    by the int64 band packing (mh*P + mh < P^2 ~ 1e18); 16 bands =
+    32 hashes is the practical signature width. Pure rule: threshold
+    0.5 -> 8 bands (the historical default, so existing graded
+    queries are unchanged), 0.7 -> 4, 0.35 -> 16. The SQL oracles
+    call this same function at plan-build time, so both engines share
+    the rule by construction."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return min(16, max(2, round(1.0 / (margin * threshold) ** 2)))
+
+
 def minhash_dedup_pairs_portable(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    n_hashes: int = 16,
-    bands: int = 8,
+    n_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 3,
 ) -> DataFrame:
     """minhash_dedup_pairs with the portable signature — identical
     shape (signature -> LSH candidates -> exact-Jaccard verify at
     O(candidates)), but every step is SQL-replayable, so the verified
     pair set (and everything downstream: components, survivors, the
-    e2e pipeline) grades against a full oracle instead of rows-only."""
+    e2e pipeline) grades against a full oracle instead of rows-only.
+
+    bands defaults to AUTO from the verify threshold
+    (minhash_auto_bands: S-curve knee at 0.7*threshold) and n_hashes
+    to 2*bands; callers can still pin both."""
+    if bands is None:
+        bands = minhash_auto_bands(threshold)
+    if n_hashes is None:
+        n_hashes = 2 * bands
     if n_hashes != 2 * bands:
         raise ValueError("portable LSH is fixed at r=2: n_hashes must be 2*bands")
     with_sig = minhash_signatures_portable(
@@ -618,7 +645,11 @@ def simhash_near_dup_pairs_portable(
 
 # ------------------------------------- duplicate clusters (components)
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    unroll: int = 1,
 ) -> DataFrame:
     """(node, cluster_id=min reachable node) over an undirected pair set.
 
@@ -634,6 +665,19 @@ def connected_components(
 
     Driver loop with a convergence check; ``max_iter`` bounds rounds
     (log2(longest path) + ~3 suffices with doubling).
+
+    ``unroll`` composes that many propagation+shortcut rounds into ONE
+    plan per checkpoint/probe — fewer driver round-trips and global
+    barriers for DEEP graphs (paths: 18 probes -> 9 at unroll=2), at
+    the cost of a proportionally deeper plan per checkpoint. Default 1:
+    dedup graphs are near-cliques converging in ~2 rounds, where the
+    measured r14 A/B showed unroll=2 LOSES (the convergence probe only
+    fires every ``unroll`` rounds, so the final no-op verification
+    pass runs unroll-deep: 2.5s -> 3.8s on the e2e_v2 pair graph).
+    Extra rounds past the fixpoint are no-ops (labels only ever
+    decrease), so results are identical for any unroll; rounds are
+    still COUNTED individually against max_iter and reported via
+    ``last_rounds``.
     """
     # localCheckpoint the edge list: it is consumed EVERY round (plus
     # the label init), and its lineage is the caller's whole
@@ -651,41 +695,58 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     # Convergence probe: labels only ever DECREASE, so any change
-    # strictly lowers sum(label) — one cheap aggregate per round
-    # instead of an old-vs-new join.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # strictly lowers sum(label) — one cheap aggregate per probe
+    # instead of an old-vs-new join. prev_sum starts None: whenever
+    # any edge exists, round 1 strictly lowers the sum (every edge's
+    # larger endpoint adopts a smaller label), and on an empty edge
+    # set sum(empty) is None == None and the loop exits after one
+    # cheap pass — so the initial aggregate job is not needed.
+    prev_sum = None
     rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+    while rounds < max_iter:
+        new_labels = labels
+        for _ in range(min(max(1, unroll), max_iter - rounds)):
+            rounds += 1
+            neighbor_min = (
+                edges.join(new_labels, edges.dst == new_labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-        )
-        # pointer doubling: label(v) <- label(label(v)). Labels are
-        # always node ids and only ever decrease, so the lookup hits.
-        parents = new_labels.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            new_labels.join(parents, new_labels.label == parents.p_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
+            new_labels = (
+                new_labels.join(
+                    neighbor_min, new_labels.node == neighbor_min.src, "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                )
             )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+            # pointer doubling: label(v) <- label(label(v)). Labels are
+            # always node ids and only ever decrease, so the lookup hits.
+            parents = new_labels.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            new_labels = (
+                new_labels.join(
+                    parents, new_labels.label == parents.p_node, "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("p_label"), F.col("label")),
+                    ).alias("label"),
+                )
+            )
+        # lineage cut per round. LAZY: the logical plan is replaced by
+        # the checkpoint RDD immediately, and the RDD materializes
+        # INSIDE the convergence-probe job below — one Spark job per
+        # round instead of two (r14: the e2e_v2 profile showed the
+        # per-job constant, not the shuffles, is the fixture wall)
+        new_labels = new_labels.localCheckpoint(eager=False)
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
         if new_sum == prev_sum:

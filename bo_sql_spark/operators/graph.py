@@ -398,6 +398,13 @@ def local_clustering(
     )
 
 
+def _modularity_edge_count(tagged: DataFrame) -> int:
+    """Undirected edge count m after the assignment joins — a module
+    seam so the int64-bound test can fake a huge m without globally
+    monkeypatching DataFrame.agg (which would hijack unrelated aggs)."""
+    return tagged.agg(F.count(F.lit(1)).cast("long").alias("m")).collect()[0].m
+
+
 def modularity(
     edges: DataFrame,
     assign: DataFrame,
@@ -449,7 +456,7 @@ def modularity(
         .groupBy(F.col("_cu").alias("c"))
         .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
     )
-    m = tagged.agg(F.count(F.lit(1)).cast("long").alias("m")).collect()[0].m
+    m = _modularity_edge_count(tagged)
     if m == 0:
         raise ValueError("no edges after assignment join")
     # deg_c <= 2m, so the squared term deg_c^2 * 1e6 is bounded by

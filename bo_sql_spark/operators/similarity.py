@@ -722,6 +722,102 @@ def ann_topk_lsh_portable(
     return _topk_quantized_cosine(cands, qq, k, id_col, impl)
 
 
+def _batch_query_cos_udf(qqs: dict[int, list[int]]):
+    """Arrow-vectorized exact cosine of (qv, query_id) rows against a
+    LITERAL batch of quantized queries (closure-captured): per row,
+    the int64 dot against ITS query (exact — every partial < 2^53, so
+    accumulation order is free) over the same double expression shape
+    as _query_cos_udf — dot / (sqrt(self) * qnorm) — hence
+    bit-identical to the single-query scorer and the SQL replay."""
+    from pyspark.sql.functions import pandas_udf
+
+    qmat = {q: np.asarray(v, dtype=np.int64) for q, v in qqs.items()}
+    qnorm = {q: float(sum(x * x for x in v)) ** 0.5 for q, v in qqs.items()}
+
+    @pandas_udf("double")
+    def bcos(qv: pd.Series, qid: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=float)
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in qv])
+        qsel = np.stack([qmat[int(q)] for q in qid])
+        dot = (mat * qsel).sum(axis=1)
+        self_ = (mat * mat).sum(axis=1)
+        qn = np.asarray([qnorm[int(q)] for q in qid], dtype=np.float64)
+        return pd.Series(dot.astype(np.float64) / (np.sqrt(self_.astype(np.float64)) * qn))
+
+    return bcos
+
+
+def ann_topk_lsh_batch_portable(
+    emb: DataFrame,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    seeds: int | None = None,
+    flips: int | None = None,
+    radius: int | None = None,
+    impl: str = "arrow",
+) -> DataFrame:
+    """BATCH form of ann_topk_lsh_portable: many queries, ONE plan —
+    the serving-amortization twin of ivf_topk_batch_served for the
+    portable RP-LSH path (r13 verdict #5). Returns (query_id, vec_id,
+    cos_sim): each query's top-k by (cos desc, id), bit-identical per
+    query to the one-shot probe (same masks, quantization, probe rule,
+    scoring — the per-query results ARE ann_topk_lsh_portable's).
+
+    Shape: every query's probe keys are computed DRIVER-SIDE
+    (rp_query_probes — plain ints) and broadcast as ONE literal
+    (query_id, seed, bucket) table; the corpus is quantized + bucketed
+    ONCE (one Arrow matmul pass — the cost the batch amortizes, vs
+    once PER query in a one-shot loop) and inner-joined against it;
+    scoring is one Arrow batch stage against the literal query matrix;
+    per-query top-k is a rank window that plans WindowGroupLimit
+    (~k rows per query survive below the final shuffle) instead of n
+    separate TakeOrdered jobs. At serving scale this is the difference
+    between n corpus scans and one."""
+    from pyspark.sql.window import Window
+
+    if not query_vecs:
+        raise ValueError("query_vecs is empty")
+    if bits is None or seeds is None or flips is None or radius is None:
+        bits, seeds, flips, radius = _resolve_probe_params(
+            emb.count(), bits, seeds, flips, radius
+        )
+    masks = rp_sign_masks(seeds, bits)
+    qqs: dict[int, list[int]] = {}
+    probe_rows: list[tuple[int, int, int]] = []
+    for qid, vec in sorted(query_vecs.items()):
+        qq, qprobes = rp_query_probes(vec, dim, bits, seeds, flips, radius)
+        qqs[int(qid)] = qq
+        probe_rows.extend((int(qid), s, b) for s, b in qprobes)
+    spark = emb.sparkSession
+    probe = F.broadcast(
+        spark.createDataFrame(probe_rows, "query_id long, seed int, bucket long")
+    )
+    q = emb.select(F.col(id_col), quantize_vec(vec_col).alias("qv")).filter(
+        F.exists("qv", lambda x: x != 0)
+    )
+    stacked = _stack_rp_buckets(q, masks, dim, [id_col, "qv"], impl)
+    cands = (
+        stacked.join(probe, ["seed", "bucket"])
+        .select("query_id", id_col, "qv")
+        .distinct()
+    )
+    cos = _batch_query_cos_udf(qqs)(F.col("qv"), F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        cands.withColumn("cos", cos)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .select(
+            "query_id", id_col, F.round("cos", 6).alias("cos_sim")
+        )
+    )
+
+
 def _query_cos_udf(qq: list[int]):
     """Arrow-vectorized exact cosine against a LITERAL quantized query
     (closure-captured): same double expression shape as the HOF form
@@ -900,6 +996,20 @@ def materialize_rp_index(
         .partitionBy("seed", "bucket_pfx")
         .parquet(path)
     )
+    # (bits, seeds) sidecar: the store's layout knobs travel WITH the
+    # store (ADVICE r13 — a reader guessing different knobs reads a
+    # mismatched prefix shift / bucket masks and silently returns
+    # wrong candidates). Underscore name => invisible to the parquet
+    # reader's file listing.
+    import json
+
+    from bo_sql_spark import fsutil
+
+    fsutil.write_text(
+        emb.sparkSession,
+        path.rstrip("/") + "/_rp_meta.json",
+        json.dumps({"bits": bits, "seeds": seeds, "dim": dim}),
+    )
     return bits, seeds
 
 
@@ -910,8 +1020,8 @@ def rp_index_topk(
     k: int = 10,
     dim: int = 64,
     id_col: str = "vec_id",
-    bits: int = 4,
-    seeds: int = 4,
+    bits: int | None = None,
+    seeds: int | None = None,
     flips: int = 0,
     radius: int = 0,
 ) -> DataFrame:
@@ -921,11 +1031,34 @@ def rp_index_topk(
     become PARTITION FILTERS on (seed, bucket_pfx) — only probed
     directories are LISTED — plus parquet-pushed data filters on the
     full bucket (row-group pruning inside a directory). bits/seeds
-    must be the values the store was built with (materialize_rp_index
-    returns them). Produces bit-identical results to
-    ann_topk_lsh_portable over the same corpus (same masks, same
-    quantization, same probe rule, same ranking) — asserted by
-    grading against the same oracle."""
+    default from the store's ``_rp_meta.json`` sidecar (written by
+    materialize_rp_index); passing values that CONTRADICT the sidecar
+    raises — a mismatched prefix shift or bucket mask would silently
+    return wrong candidates (ADVICE r13). Produces bit-identical
+    results to ann_topk_lsh_portable over the same corpus (same
+    masks, same quantization, same probe rule, same ranking) —
+    asserted by grading against the same oracle."""
+    import json
+
+    from bo_sql_spark import fsutil
+
+    meta_raw = fsutil.read_text(spark, path.rstrip("/") + "/_rp_meta.json")
+    if meta_raw is not None:
+        meta = json.loads(meta_raw)
+        for knob, val in (("bits", bits), ("seeds", seeds)):
+            if val is not None and val != meta[knob]:
+                raise ValueError(
+                    f"rp_index_topk {knob}={val} contradicts the store's "
+                    f"_rp_meta.json ({knob}={meta[knob]}) at {path} — the "
+                    "store must be read with the knobs it was built with"
+                )
+        bits = meta["bits"] if bits is None else bits
+        seeds = meta["seeds"] if seeds is None else seeds
+    if bits is None or seeds is None:
+        raise ValueError(
+            f"rp_index_topk: no _rp_meta.json at {path} and bits/seeds "
+            "not given — cannot determine the store's layout knobs"
+        )
     if flips > 0:
         qq, qprobes = rp_query_probes(query_vec, dim, bits, seeds, flips, radius)
     else:
@@ -2117,6 +2250,7 @@ def knn_graph(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Corpus-wide approximate k-NN GRAPH: every vector's top-k cosine
     neighbors within its IVF cell — (id, neighbor_id, rank, cos_sim).
@@ -2139,6 +2273,15 @@ def knn_graph(
 
     Determinism: ranking orders by (cos DESC, neighbor id); cosine is
     the bitwise-portable dot/sqrt chain every similarity oracle uses.
+
+    impl='arrow' (default) scores the in-cell pairs with the shared
+    Arrow sequential-order pair cosine (dedup._float_pair_cos_udf —
+    np.cumsum replays the fold order of aggregate(zip_with), so it is
+    bit-identical to the interpreted HOF form, which stays behind
+    impl='hof'; unit-pinned). This was the last interpreted pair-
+    cosine site after the r13 de-interpretation campaign (r13 verdict
+    #2) — the HOF dot was CodegenFallback, evaluated once per in-cell
+    candidate pair.
     """
     from pyspark.sql.window import Window
 
@@ -2147,16 +2290,32 @@ def knn_graph(
     assigned = ivf_assign(
         emb, centroids, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
-    an = assigned.select(
-        "cell", F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
-    )
-    other = an.select(
-        "cell",
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_v2"),
-        F.col("_n").alias("_n2"),
-    )
-    sim = dot(F.col(vec_col), F.col("_v2")) / (F.col("_n") * F.col("_n2"))
+    if impl == "arrow":
+        from bo_sql_spark.operators.dedup import _float_pair_cos_udf
+
+        an = assigned.select(
+            "cell", F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        other = an.select(
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_v").alias("_v2"),
+        )
+        sim = _float_pair_cos_udf()(F.col("_v"), F.col("_v2"))
+    else:
+        an = assigned.select(
+            "cell",
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("_n"),
+        )
+        other = an.select(
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v2"),
+            F.col("_n").alias("_n2"),
+        )
+        sim = dot(F.col(vec_col), F.col("_v2")) / (F.col("_n") * F.col("_n2"))
     pairs = (
         an.join(other, "cell")
         .filter(F.col(id_col) != F.col("neighbor_id"))

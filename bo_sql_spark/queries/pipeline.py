@@ -158,6 +158,39 @@ def dedup_minhash_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_pairs_auto",
+    oracle=f"""
+    WITH {_portable_minhash_pairs_sql(
+        "documents",
+        n_hashes=2 * D.minhash_auto_bands(0.7),
+        bands=D.minhash_auto_bands(0.7),
+        threshold=0.7,
+        prefix="am",
+    )}
+    SELECT id_a, id_b, ROUND(jacc_raw, 6) AS jacc FROM ampairs
+    """,
+    doc="Portable MinHash near-dup pairs with the banding AUTO-SIZED "
+    "from the verify threshold (r13 verdict #4): bands = "
+    "round(1/(0.7*t)^2) places the S-curve knee 1/sqrt(b) at 0.7x the "
+    "threshold (dedup.py:minhash_auto_bands — threshold 0.7 here -> "
+    "4 bands / 8 hashes, vs the 0.5-threshold family's 8/16), so the "
+    "LSH shuffles HALF the band rows of the fixed default while "
+    "recall at s >= t stays ~1 (knee at 0.5, collision prob "
+    "1-(1-0.49)^4 = 0.93 at the threshold and ~1 above it; the exact "
+    "verify then drops sub-threshold survivors). The oracle builds "
+    "its SQL with the SAME rule call, so the knob choice itself is "
+    "hash-gated. Pure threshold->integer rule — no corpus statistics "
+    "— hence no COUNT(*) tier gates needed.",
+    tags=("pipeline", "dedup", "approx"),
+)
+def dedup_minhash_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir)["documents"]
+    return D.minhash_dedup_pairs_portable(docs, threshold=0.7).select(
+        "id_a", "id_b", F.round("jacc", 6).alias("jacc")
+    )
+
+
+@register(
     "dedup_incremental_minhash_portable",
     oracle=f"""
     WITH {_portable_minhash_pairs_sql("documents")}
@@ -925,12 +958,36 @@ def _rp_join_tier_bounds(bits: int) -> tuple[int, int]:
     return lo, hi
 
 
+# bits tiers the auto-sized SQL oracles replay. A corpus size OUTSIDE
+# the union of the tier ranges would make every COUNT(*) gate empty
+# and the oracle silently return zero rows (ADVICE r13) — so the
+# query functions assert coverage via _assert_tier_covered before
+# running, and tests/test_oracle_parity.py pins every fixture's
+# corpus count inside the ranges AND the rule<->bounds consistency.
+_RP_JOIN_TIERS = (4, 5, 6, 7)  # n in [1, 4096]
+_RP_PROBE_TIERS = (5, 6, 7, 8, 9, 10)  # n in [1, 4096]
+_IVF_AUTO_MAX_N = 16384  # the CASE in similarity_ivf_auto_cells' oracle
+
+
+def _assert_tier_covered(n, tiers, bounds_fn, label: str) -> None:
+    """Raise LOUDLY when a corpus count falls outside the n-ranges the
+    auto-tier oracle replays — a silent zero-row oracle is a confusing
+    grading failure; this makes it a one-line fix (extend ``tiers``)."""
+    if not any(lo <= n <= hi for b in tiers for lo, hi in (bounds_fn(b),)):
+        spans = ", ".join(f"bits={b}:{bounds_fn(b)}" for b in tiers)
+        raise AssertionError(
+            f"{label}: corpus count {n} is outside the oracle's replayed "
+            f"tier ranges ({spans}) — extend the tier tuple so the SQL "
+            "oracle covers this fixture size"
+        )
+
+
 def _portable_rp_join_sql_auto(
     src: str = "embeddings",
     threshold: float = 0.40,
     dims: int = 64,
     prefix: str = "rp",
-    tiers: tuple[int, ...] = (4, 5, 6),
+    tiers: tuple[int, ...] = _RP_JOIN_TIERS,
 ) -> str:
     """AUTO-SIZED twin of _portable_rp_join_sql: one gated CTE chain
     per candidate ``bits`` tier (the n-ranges where
@@ -939,8 +996,8 @@ def _portable_rp_join_sql_auto(
     CTE survives its gate at any corpus size; the others quantize
     zero rows, so their bucket/join/verify stages are all no-ops.
     Ends in ``{prefix}pairs (id_a, id_b, cos)`` = the union of tier
-    pair tables. Tiers cover n <= 2^11 — the graded fixtures (500 and
-    2000 vectors); extend ``tiers`` if larger fixtures appear."""
+    pair tables. Tiers cover n <= 2^12 (fixtures are 500 and 2000
+    vectors); the query functions assert coverage at run time."""
     chains, pair_sels = [], []
     for b in tiers:
         tp = f"{prefix}t{b}"
@@ -990,8 +1047,15 @@ def _portable_rp_join_sql_auto(
 )
 def similarity_approx_join_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    n = emb.count()
+    _assert_tier_covered(
+        n, _RP_JOIN_TIERS, _rp_join_tier_bounds,
+        "similarity_approx_join_portable",
+    )
+    bits, seeds = S.rp_auto_join_params(n)
     return S.approx_similarity_join_portable(
-        t["embeddings"], threshold=0.40, dim=64
+        emb, threshold=0.40, dim=64, bits=bits, seeds=seeds
     )
 
 
@@ -1015,6 +1079,7 @@ def _portable_rp_topk_sql(
     dims: int = 64,
     prefix: str = "rt",
     n_gate: tuple[int, int] | None = None,
+    corpus_pred: str | None = None,
 ) -> str:
     """CTE chain replaying ann_topk_lsh_portable in DuckDB at FIXED
     knobs: quantize corpus AND query with the same half-away-from-zero
@@ -1062,12 +1127,13 @@ def _portable_rp_topk_sql(
                 f" FROM {p}qm m JOIN {p}qb b USING (seed)"
             )
     probes = "\n        UNION ALL ".join(probe_sels)
+    pred = corpus_pred or f"vec_id <> {query_id}"
     gate = ""
     if n_gate is not None:
         lo, hi = n_gate
         gate = (
             f"\n          AND (SELECT COUNT(*) FROM {src}"
-            f" WHERE vec_id <> {query_id}) BETWEEN {lo} AND {hi}"
+            f" WHERE {pred}) BETWEEN {lo} AND {hi}"
         )
     return f"""{p}q0 AS (
         SELECT CAST(embedding AS DOUBLE[]) AS v FROM {src} WHERE vec_id = {query_id}
@@ -1079,7 +1145,7 @@ def _portable_rp_topk_sql(
             SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qv
-            FROM {src} WHERE vec_id <> {query_id})
+            FROM {src} WHERE {pred})
         WHERE len(list_filter(qv, x -> x <> 0)) > 0{gate}
     ), {p}cb AS (
         {corpus_rows}
@@ -1119,7 +1185,8 @@ def _portable_rp_topk_sql_auto(
     k: int = 10,
     dims: int = 64,
     prefix: str = "rt",
-    tiers: tuple[int, ...] = (7, 8, 9),
+    tiers: tuple[int, ...] = _RP_PROBE_TIERS,
+    corpus_pred: str | None = None,
 ) -> str:
     """AUTO-SIZED twin of _portable_rp_topk_sql: one gated chain per
     ``bits`` tier (n-ranges where rp_auto_probe_params picks that
@@ -1128,8 +1195,8 @@ def _portable_rp_topk_sql_auto(
     Exactly one tier's corpus CTE survives its gate; ends in
     ``{prefix}top (vec_id, cos)`` (ordered, LIMIT k) and
     ``{prefix}cand`` (union of tier candidate sets, for the canary's
-    scan-fraction columns). Tiers cover n <= 2^11 — the graded
-    fixtures; extend ``tiers`` if larger fixtures appear."""
+    scan-fraction columns). Tiers cover n <= 2^12; the query
+    functions assert coverage at run time."""
     chains, top_sels, cand_sels = [], [], []
     for b in tiers:
         tp = f"{prefix}t{b}"
@@ -1145,6 +1212,7 @@ def _portable_rp_topk_sql_auto(
                 dims=dims,
                 prefix=tp,
                 n_gate=_rp_probe_tier_bounds(b),
+                corpus_pred=corpus_pred,
             )
         )
         top_sels.append(f"SELECT vec_id, cos FROM {tp}top")
@@ -1188,8 +1256,80 @@ def similarity_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    n = corpus.count()
+    _assert_tier_covered(
+        n, _RP_PROBE_TIERS, _rp_probe_tier_bounds, "similarity_ann_lsh_portable"
+    )
+    bits, seeds, flips, radius = S.rp_auto_probe_params(n)
     return S.ann_topk_lsh_portable(
-        emb.filter(F.col("vec_id") != 0), qvec, k=10, dim=64
+        corpus, qvec, k=10, dim=64,
+        bits=bits, seeds=seeds, flips=flips, radius=radius,
+    )
+
+
+def _batch_ann_oracle(n_q: int = 4, k: int = 10) -> str:
+    """Oracle for the batch portable-ANN probe: one auto-tier chain
+    per query id (0..n_q-1), all over the SHARED corpus vec_id >= n_q
+    (corpus_pred — so every chain's COUNT(*) gates and knobs resolve
+    from the same corpus the Spark batch uses), unioned with a
+    query_id column. Each chain is verbatim the single-probe oracle,
+    so the batch result being its union IS the served-equals-oneshot
+    statement."""
+    chains, sels = [], []
+    for i in range(n_q):
+        chains.append(
+            _portable_rp_topk_sql_auto(
+                query_id=i,
+                k=k,
+                prefix=f"bq{i}x",
+                corpus_pred=f"vec_id >= {n_q}",
+            )
+        )
+        sels.append(
+            f"SELECT CAST({i} AS BIGINT) AS query_id, vec_id,"
+            f" ROUND(cos, 6) AS cos_sim FROM bq{i}xtop"
+        )
+    return "WITH " + ",\n    ".join(chains) + "\n    " + "\n    UNION ALL ".join(sels)
+
+
+@register(
+    "similarity_ann_batch_portable",
+    oracle=_batch_ann_oracle(),
+    doc="BATCH portable ANN (r13 verdict #5): 4 queries, ONE plan — "
+    "the serving-amortization twin of similarity_ivf_batch_served for "
+    "the RP-LSH path. All queries' probe keys (rp_query_probes, "
+    "driver-side ints) broadcast as ONE (query_id, seed, bucket) "
+    "literal table; the corpus is quantized + bucketed ONCE (the "
+    "Arrow matmul the batch amortizes — a one-shot loop pays it per "
+    "query) and joined against it; one Arrow scoring stage against "
+    "the literal query matrix; per-query top-10 via a rank window "
+    "that plans WindowGroupLimit (~k rows per query below the final "
+    "shuffle) instead of 4 TakeOrdered jobs. Per query the result is "
+    "BIT-identical to similarity_ann_lsh_portable over the same "
+    "corpus; the oracle is literally 4 copies of the single-probe "
+    "auto-tier chain over the shared corpus, unioned — "
+    "served-equals-oneshot, hash-gated. Measured sf0.1 (warm, 3-run "
+    "median): batch 1.13s vs 3.68s for 4 sequential one-shots = "
+    "0.31x; per-query amortized 0.28s vs 0.92s (SCALE.md r14).",
+    tags=("pipeline", "similarity", "approx", "served"),
+)
+def similarity_ann_batch_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    n = corpus.count()
+    _assert_tier_covered(
+        n, _RP_PROBE_TIERS, _rp_probe_tier_bounds, "similarity_ann_batch_portable"
+    )
+    bits, seeds, flips, radius = S.rp_auto_probe_params(n)
+    return S.ann_topk_lsh_batch_portable(
+        corpus, qvecs, k=10, dim=64,
+        bits=bits, seeds=seeds, flips=flips, radius=radius,
     )
 
 
@@ -1228,7 +1368,11 @@ def similarity_rp_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     corpus = emb.filter(F.col("vec_id") != 0)
-    bits, seeds, flips, radius = rp_auto_probe_params(corpus.count())
+    n = corpus.count()
+    _assert_tier_covered(
+        n, _RP_PROBE_TIERS, _rp_probe_tier_bounds, "similarity_rp_index_served"
+    )
+    bits, seeds, flips, radius = rp_auto_probe_params(n)
     path = tempfile.mkdtemp(prefix="bosql_rp_index_") + "/index"
     materialize_rp_index(corpus, path, dim=64, bits=bits, seeds=seeds)
     return rp_index_topk(
@@ -1290,6 +1434,10 @@ def similarity_ann_recall_portable(spark: SparkSession, sf_dir: str) -> DataFram
     ]
     corpus = emb.filter(F.col("vec_id") != 0)
     n_corpus = corpus.count()
+    _assert_tier_covered(
+        n_corpus, _RP_PROBE_TIERS, _rp_probe_tier_bounds,
+        "similarity_ann_recall_portable",
+    )
     qq, cands = S.ann_lsh_candidates(corpus, qvec, dim=64)
     cands = cands.cache()
     probe = S._topk_quantized_cosine(cands, qq, 10, "vec_id").select("vec_id")
@@ -1385,7 +1533,9 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CASE WHEN COUNT(*) <= 512 THEN 16
                     WHEN COUNT(*) <= 1024 THEN 32
                     WHEN COUNT(*) <= 2048 THEN 64
-                    ELSE 128 END AS k
+                    WHEN COUNT(*) <= 4096 THEN 128
+                    WHEN COUNT(*) <= 8192 THEN 256
+                    ELSE 512 END AS k
         FROM embeddings
     ), cents AS (
         SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
@@ -1430,7 +1580,14 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivf_auto_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    k_cells = S.ivf_auto_cells(emb.count())
+    n = emb.count()
+    # the oracle's CASE replays ivf_auto_cells only through 512 cells
+    # (n <= 16384) — fail loudly past it instead of hash-mismatching
+    assert n <= _IVF_AUTO_MAX_N, (
+        f"similarity_ivf_auto_cells: corpus {n} exceeds the oracle's "
+        f"replayed CASE range (n <= {_IVF_AUTO_MAX_N}) — extend the CASE"
+    )
+    k_cells = S.ivf_auto_cells(n)
     cents = emb.filter(F.col("vec_id") < k_cells).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
@@ -11127,7 +11284,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = S.knn_graph(emb, cents, k=5).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    ).localCheckpoint(eager=True)  # materialize the k*n edge list ONCE: the operator self-joins it, which would re-run the knn scoring (now an Arrow stage) per branch
     return triangle_stats(edges)
 
 
@@ -11397,7 +11554,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = S.knn_graph(emb, cents, k=5).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    ).localCheckpoint(eager=True)  # materialize the k*n edge list ONCE: the operator self-joins it, which would re-run the knn scoring (now an Arrow stage) per branch
     return local_clustering(edges)
 
 
@@ -11843,7 +12000,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = S.knn_graph(emb, cents, k=5).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    ).localCheckpoint(eager=True)  # materialize the k*n edge list ONCE: the operator self-joins it, which would re-run the knn scoring (now an Arrow stage) per branch
     return assortativity(edges)
 
 

@@ -76,3 +76,20 @@ def test_bench_emits_single_json_line(tmp_path):
         # stdout reports min at 3dp (line-budget headroom); the side
         # artifact keeps 4dp — equal within the rounding step
         assert abs(lo - payload["queries"][q]) <= 0.0005 + 1e-9
+
+
+def test_frozen_pipeline_names_all_registered():
+    """FROZEN_PIPELINE is the like-for-like cross-round wall: a name
+    missing from the registry (retired/renamed) would silently shrink
+    the pinned tier (ADVICE r13) — bench.py warns at run time, and
+    this pins it statically."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    from bo_sql_spark.queries import load_all
+
+    reg = load_all()
+    missing = [n for n in bench.FROZEN_PIPELINE if n not in reg]
+    assert not missing, f"FROZEN_PIPELINE names not in the registry: {missing}"

@@ -3536,32 +3536,16 @@ def test_modularity_int64_bound_raises(spark):
     assign = spark.createDataFrame(
         [(1, 0), (2, 0), (3, 1)], "node long, community long"
     )
-    # Patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
-    # abstract base in Spark 4; instances override agg in a subclass).
-    cls = type(edges)
-    real_agg = cls.agg
-
-    class _FakeRow:
-        m = bound_m + 1
-
-    class _FakeAgg:
-        def collect(self):
-            return [_FakeRow()]
-
-    def fake_agg(self, *a, **kw):
-        # modularity's only single-argument DataFrame.agg is the edge
-        # count m (groupBy aggs go through GroupedData.agg, and the
-        # final output agg passes 3 columns).
-        if len(a) == 1:
-            return _FakeAgg()
-        return real_agg(self, *a, **kw)
-
-    cls.agg = fake_agg
+    # Patch the module seam, not DataFrame.agg globally (ADVICE r13:
+    # the class-level patch dispatched on len(args)==1 and would have
+    # hijacked any future single-argument agg inside modularity).
+    real_count = graph_mod._modularity_edge_count
+    graph_mod._modularity_edge_count = lambda tagged: bound_m + 1
     try:
         with pytest.raises(ValueError, match="int64 bound"):
             graph_mod.modularity(edges, assign)
     finally:
-        cls.agg = real_agg
+        graph_mod._modularity_edge_count = real_count
 
 
 def test_triangle_stats_hand_graph_and_random_bruteforce(spark):
@@ -3741,3 +3725,146 @@ def test_assortativity_hand_graphs(spark):
     )
     r = assortativity(cycle).collect()[0]
     assert r.assortativity_permille is None
+
+
+def test_rp_index_meta_sidecar(spark, sf_dir, tmp_path):
+    """materialize_rp_index persists (bits, seeds) in _rp_meta.json and
+    rp_index_topk defaults from it (ADVICE r13: default-knob reads of
+    an auto-sized store silently returned wrong candidates); explicit
+    knobs that CONTRADICT the sidecar raise, knob-less reads of a
+    store with no sidecar raise."""
+    import json
+
+    import pytest
+
+    from bo_sql_spark import fsutil
+    from bo_sql_spark.operators.similarity import (
+        materialize_rp_index,
+        rp_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    corpus = emb.filter("vec_id <> 0")
+    path = str(tmp_path / "idx")
+    bits, seeds = materialize_rp_index(corpus, path, dim=64)  # auto knobs
+    meta = json.loads(fsutil.read_text(spark, path + "/_rp_meta.json"))
+    assert (meta["bits"], meta["seeds"]) == (bits, seeds)
+
+    from_meta = rp_index_topk(spark, path, qvec, k=10, dim=64).collect()
+    explicit = rp_index_topk(
+        spark, path, qvec, k=10, dim=64, bits=bits, seeds=seeds
+    ).collect()
+    assert from_meta == explicit and len(from_meta) > 0
+
+    with pytest.raises(ValueError, match="contradicts"):
+        rp_index_topk(spark, path, qvec, k=10, dim=64, bits=bits + 1)
+
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(path).write.parquet(bare)  # store without sidecar
+    with pytest.raises(ValueError, match="_rp_meta"):
+        rp_index_topk(spark, bare, qvec, k=10, dim=64)
+
+
+def test_knn_graph_arrow_hof_bit_equal(spark, sf_dir):
+    """The Arrow pair-cosine default (r13 verdict #2: the last
+    interpreted HOF pair-cosine site) is BIT-identical to the hof
+    form — same sequential fold order, same IEEE op sequence — so the
+    graph (ids, ranks, AND unrounded-then-rounded scores) is equal
+    row-for-row."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    key = lambda rows: sorted(
+        (r["vec_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in rows
+    )
+    arrow = key(S.knn_graph(emb, cents, k=5, impl="arrow").collect())
+    hof = key(S.knn_graph(emb, cents, k=5, impl="hof").collect())
+    assert arrow == hof and len(arrow) > 0
+
+
+def test_connected_components_unroll_invariant(spark):
+    """unroll composes k propagation rounds per checkpoint/probe; the
+    fixpoint (labels only decrease, extra rounds are no-ops) makes the
+    result identical for any unroll — pinned on a chain + islands
+    (diameter > 1, so unroll=3 crosses the convergence point mid-plan)."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    want = sorted(
+        (r["node"], r["cluster_id"])
+        for r in D.connected_components(pairs, unroll=1).collect()
+    )
+    assert want == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0),
+                    (10, 10), (11, 10), (20, 20), (21, 20)]
+    for unroll in (2, 3):
+        got = sorted(
+            (r["node"], r["cluster_id"])
+            for r in D.connected_components(pairs, unroll=unroll).collect()
+        )
+        assert got == want, unroll
+
+
+def test_minhash_auto_bands_rule():
+    """Pins the S-curve banding rule the auto oracle replays: knee
+    1/sqrt(b) at 0.7*t; t=0.5 must reproduce the historical 8-band
+    default (so pre-auto graded queries are unchanged), with the
+    [2, 16] clamp at the extremes."""
+    import pytest
+
+    assert D.minhash_auto_bands(0.5) == 8
+    assert D.minhash_auto_bands(0.7) == 4
+    assert D.minhash_auto_bands(0.35) == 16
+    assert D.minhash_auto_bands(1.0) == 2
+    assert D.minhash_auto_bands(0.05) == 16  # clamp high
+    for b in (D.minhash_auto_bands(t / 100) for t in range(1, 101)):
+        assert 2 <= b <= 16
+    with pytest.raises(ValueError):
+        D.minhash_auto_bands(0.0)
+    # knee really sits below the threshold for every in-range t
+    for t100 in range(20, 101):
+        t = t100 / 100
+        b = D.minhash_auto_bands(t)
+        if b < 16:  # clamp region exempt
+            assert (1.0 / b) ** 0.5 <= t + 1e-9, (t, b)
+
+
+def test_ann_batch_portable_equals_oneshot_per_query(spark, sf_dir):
+    """The batch probe's per-query slices must be BIT-identical to
+    ann_topk_lsh_portable over the same corpus at the same knobs
+    (same masks, quantization, probe rule, scoring) — the
+    served-equals-oneshot statement its oracle makes."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.similarity import (
+        ann_topk_lsh_batch_portable,
+        ann_topk_lsh_portable,
+        rp_auto_probe_params,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    kn = dict(zip(("bits", "seeds", "flips", "radius"),
+                  rp_auto_probe_params(corpus.count())))
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    got = {}
+    batch = ann_topk_lsh_batch_portable(corpus, qvecs, k=10, dim=64, **kn)
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    assert set(got) == set(qvecs)
+    for qid, vec in qvecs.items():
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ann_topk_lsh_portable(
+                corpus, vec, k=10, dim=64, **kn
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
+        assert len(single) == 10

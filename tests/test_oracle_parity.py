@@ -100,3 +100,66 @@ def test_doc_surface_counts_match_registry():
     m = re.search(r"(\d+) queries, (\d+) DuckDB-oracle-checked", readme)
     assert m and (int(m[1]), int(m[2])) == (n_total, n_oracle), (
         m and m.groups(), n_total, n_oracle)
+    # the rows-only prose count (r13 verdict #1: drifted as a WORD;
+    # now a digit the generator rewrites and this pins)
+    m = re.search(r"the (\d+) marked `rows-only`", cov)
+    assert m and int(m[1]) == n_total - n_oracle, (
+        m and m.groups(), n_total - n_oracle)
+    assert "ten marked" not in cov  # the exact r13 drift string
+
+
+def test_auto_tier_oracles_cover_rules_and_fixtures():
+    """The auto-sized SQL oracles replay the pure-integer knob rules
+    only over explicit COUNT(*)-gated tier ranges (ADVICE r13: a
+    fixture outside them would make every gate empty and the oracle
+    silently return zero rows). Pin (a) rule<->bounds consistency at
+    both endpoints of every tier, (b) contiguity from n=1, (c) every
+    on-disk fixture's corpus count inside the covered ranges, and
+    (d) the ivf oracle CASE equal to ivf_auto_cells at each boundary.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bo_sql_spark.operators.similarity import (
+        ivf_auto_cells,
+        rp_auto_join_params,
+        rp_auto_probe_params,
+    )
+    from bo_sql_spark.queries.pipeline import (
+        _IVF_AUTO_MAX_N,
+        _RP_JOIN_TIERS,
+        _RP_PROBE_TIERS,
+        _rp_join_tier_bounds,
+        _rp_probe_tier_bounds,
+    )
+
+    for tiers, bounds_fn, rule in (
+        (_RP_JOIN_TIERS, _rp_join_tier_bounds, lambda n: rp_auto_join_params(n)[0]),
+        (_RP_PROBE_TIERS, _rp_probe_tier_bounds, lambda n: rp_auto_probe_params(n)[0]),
+    ):
+        prev_hi = 0
+        for b in tiers:
+            lo, hi = bounds_fn(b)
+            assert lo == prev_hi + 1, (b, lo, prev_hi)  # contiguous from 1
+            assert rule(lo) == b and rule(hi) == b, (b, lo, hi)
+            prev_hi = hi
+
+    # ivf CASE boundaries (the SQL literal in similarity_ivf_auto_cells)
+    case = lambda n: (16 if n <= 512 else 32 if n <= 1024 else 64 if n <= 2048
+                      else 128 if n <= 4096 else 256 if n <= 8192 else 512)
+    for n in (1, 16, 512, 513, 1024, 1025, 2048, 2049,
+              4096, 4097, 8192, 8193, _IVF_AUTO_MAX_N):
+        assert case(n) == ivf_auto_cells(n), n
+
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    fixtures = sorted(glob.glob(os.path.join(root, "sf*", "embeddings.parquet")))
+    assert fixtures, f"no fixtures under {root}"
+    join_max = max(_rp_join_tier_bounds(b)[1] for b in _RP_JOIN_TIERS)
+    probe_max = max(_rp_probe_tier_bounds(b)[1] for b in _RP_PROBE_TIERS)
+    for f in fixtures:
+        n = pq.read_metadata(f).num_rows
+        assert 1 <= n <= join_max, (f, n, "extend _RP_JOIN_TIERS")
+        # the probe queries gate on the corpus EXCLUDING the query row
+        assert 1 <= n - 1 <= probe_max, (f, n, "extend _RP_PROBE_TIERS")
+        assert n <= _IVF_AUTO_MAX_N, (f, n, "extend the ivf oracle CASE")

@@ -77,10 +77,19 @@ def load_side(spec: str) -> dict:
         queries[q] = statistics.median(ts)
         spread[q] = [ts[0], statistics.median(ts), ts[-1]]
     anchors = [r["anchor_s"] for r in runs if r.get("anchor_s")]
+    frozen_runs = [r["tiers_frozen"] for r in runs if r.get("tiers_frozen")]
+    tiers_frozen = None
+    if frozen_runs:
+        tiers_frozen = {
+            t: statistics.median(fr[t] for fr in frozen_runs if t in fr)
+            for t in frozen_runs[0]
+            if t != "missing"
+        }
     return {
         "queries": queries,
         "spread": spread,
         "anchor_s": statistics.median(anchors) if anchors else None,
+        "tiers_frozen": tiers_frozen,
         "n_runs": len(runs),
     }
 
@@ -115,6 +124,20 @@ def main() -> None:
         f"fleet shift (median raw ratio over {len(shared)} shared queries):"
         f" x{fleet:.3f} — deltas below are RELATIVE to it"
     )
+    # frozen-membership tier walls: the like-for-like cross-round read
+    # (raw, NOT fleet-normalized — the tier IS the aggregate signal;
+    # anchor-abstain still applies).
+    tf_old, tf_new = old.get("tiers_frozen"), new.get("tiers_frozen")
+    if tf_old and tf_new:
+        for t in sorted(set(tf_old) & set(tf_new)):
+            if t == "missing":
+                continue  # single-run payloads may carry the marker list
+            if tf_old[t]:
+                tag = "abstain (anchor-gated)" if abstain else ""
+                print(
+                    f"tiers_frozen.{t}: {tf_old[t]:.3f}s ->"
+                    f" {tf_new[t]:.3f}s (x{tf_new[t] / tf_old[t]:.2f}) {tag}"
+                )
     so, sn = old.get("spread") or {}, new.get("spread") or {}
     rows = []
     for q, t_new in sorted(new["queries"].items()):
