@@ -1084,6 +1084,94 @@ def rp_index_topk(
     return _topk_quantized_cosine(cands, qq, k, id_col)
 
 
+def rp_index_topk_batch(
+    spark,
+    path: str,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    bits: int | None = None,
+    seeds: int | None = None,
+    flips: int = 0,
+    radius: int = 0,
+) -> DataFrame:
+    """BATCH top-k from a materialize_rp_index store: the union of
+    ALL queries' probe (seed, bucket) keys becomes ONE set of
+    partition filters (probed directories listed once, shared across
+    queries), then the broadcast (query_id, seed, bucket) probe table
+    attributes surviving rows to their queries and the batch Arrow
+    scorer + a WindowGroupLimit rank window cut per-query top-k — the
+    index-served composition of ann_topk_lsh_batch_portable, and the
+    RP twin of similarity_ivf_batch_served's economics: q queries pay
+    ONE store read. bits/seeds default from the store's _rp_meta.json
+    sidecar exactly as rp_index_topk; per-query results are
+    bit-identical to rp_index_topk over the same store."""
+    from pyspark.sql.window import Window
+
+    if not query_vecs:
+        raise ValueError("query_vecs is empty")
+    import json
+
+    from bo_sql_spark import fsutil
+
+    meta_raw = fsutil.read_text(spark, path.rstrip("/") + "/_rp_meta.json")
+    if meta_raw is not None:
+        meta = json.loads(meta_raw)
+        for knob, val in (("bits", bits), ("seeds", seeds)):
+            if val is not None and val != meta[knob]:
+                raise ValueError(
+                    f"rp_index_topk_batch {knob}={val} contradicts the "
+                    f"store's _rp_meta.json ({knob}={meta[knob]}) at {path}"
+                )
+        bits = meta["bits"] if bits is None else bits
+        seeds = meta["seeds"] if seeds is None else seeds
+    if bits is None or seeds is None:
+        raise ValueError(
+            f"rp_index_topk_batch: no _rp_meta.json at {path} and "
+            "bits/seeds not given"
+        )
+    qqs: dict[int, list[int]] = {}
+    probe_rows: list[tuple[int, int, int]] = []
+    for qid, vec in sorted(query_vecs.items()):
+        if flips > 0:
+            qq, qprobes = rp_query_probes(vec, dim, bits, seeds, flips, radius)
+        else:
+            qq, qprobes = rp_query_buckets(vec, dim, bits, seeds)
+        qqs[int(qid)] = qq
+        probe_rows.extend((int(qid), s, b) for s, b in qprobes)
+    shift = _rp_prefix_shift(bits)
+    idx = spark.read.parquet(path)
+    by_seed: dict[int, set[int]] = {}
+    for _, s, b in probe_rows:
+        by_seed.setdefault(s, set()).add(b)
+    cond = None
+    for s, bs in by_seed.items():
+        leg = (
+            (F.col("seed") == s)
+            & F.col("bucket_pfx").isin(sorted({b >> shift for b in bs}))
+            & F.col("bucket").isin(sorted(bs))
+        )
+        cond = leg if cond is None else (cond | leg)
+    probe = F.broadcast(
+        spark.createDataFrame(probe_rows, "query_id long, seed int, bucket long")
+    )
+    cands = (
+        idx.filter(cond)
+        .join(probe, ["seed", "bucket"])
+        .select("query_id", id_col, "qv")
+        .distinct()
+    )
+    cos = _batch_query_cos_udf(qqs)(F.col("qv"), F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        cands.withColumn("cos", cos)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .select("query_id", id_col, F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_vec: list[float],

@@ -1334,6 +1334,53 @@ def similarity_ann_batch_portable(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "similarity_rp_index_batch_served",
+    oracle=_batch_ann_oracle(),
+    doc="INDEX-SERVED batch portable ANN: the corpus quantize+bucket "
+    "pass is materialized ONCE (materialize_rp_index, auto-sized, "
+    "knobs persisted in the _rp_meta.json sidecar and re-read by the "
+    "probe — ADVICE r13) and 4 queries probe it in ONE plan: the "
+    "UNION of their driver-computed probe keys becomes one set of "
+    "(seed, bucket_pfx) PARTITION filters — probed directories are "
+    "listed once and SHARED across queries — then the broadcast "
+    "(query_id, seed, bucket) table attributes rows per query, one "
+    "Arrow scoring stage, WindowGroupLimit per-query top-10. "
+    "Composes the r14 batch probe with the r13 bounded index layout; "
+    "per query bit-identical to rp_index_topk AND to the one-shot "
+    "probe, so it grades against the batch oracle VERBATIM — "
+    "served-equals-oneshot at batch grain. The q-queries-one-store-"
+    "read economics of similarity_ivf_batch_served, on the RP path.",
+    tags=("pipeline", "similarity", "approx", "served"),
+)
+def similarity_rp_index_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bo_sql_spark.operators.similarity import (
+        materialize_rp_index,
+        rp_auto_probe_params,
+        rp_index_topk_batch,
+    )
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    n = corpus.count()
+    _assert_tier_covered(
+        n, _RP_PROBE_TIERS, _rp_probe_tier_bounds,
+        "similarity_rp_index_batch_served",
+    )
+    bits, seeds, flips, radius = rp_auto_probe_params(n)
+    path = tempfile.mkdtemp(prefix="bosql_rp_bidx_") + "/index"
+    materialize_rp_index(corpus, path, dim=64, bits=bits, seeds=seeds)
+    return rp_index_topk_batch(
+        spark, path, qvecs, k=10, dim=64, flips=flips, radius=radius
+    )
+
+
+@register(
     "similarity_rp_index_served",
     oracle=f"""
     WITH {_portable_rp_topk_sql_auto()}

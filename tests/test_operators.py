@@ -3868,3 +3868,43 @@ def test_ann_batch_portable_equals_oneshot_per_query(spark, sf_dir):
         ]
         assert sorted(got[qid]) == sorted(single), qid
         assert len(single) == 10
+
+
+def test_rp_index_batch_served_equals_single_served(spark, sf_dir, tmp_path):
+    """rp_index_topk_batch's per-query slices must equal rp_index_topk
+    over the same store at the same knobs (union-of-probes partition
+    filters + per-query attribution lose nothing), and the store's
+    meta sidecar must drive the knobs."""
+    import pyspark.sql.functions as F
+
+    from bo_sql_spark.operators.similarity import (
+        materialize_rp_index,
+        rp_auto_probe_params,
+        rp_index_topk,
+        rp_index_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    bits, seeds, flips, radius = rp_auto_probe_params(corpus.count())
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    path = str(tmp_path / "idx")
+    materialize_rp_index(corpus, path, dim=64, bits=bits, seeds=seeds)
+    got = {}
+    batch = rp_index_topk_batch(
+        spark, path, qvecs, k=10, dim=64, flips=flips, radius=radius
+    )
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    assert set(got) == set(qvecs)
+    for qid, vec in qvecs.items():
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in rp_index_topk(
+                spark, path, vec, k=10, dim=64, flips=flips, radius=radius
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
