@@ -1080,6 +1080,7 @@ def _portable_rp_topk_sql(
     prefix: str = "rt",
     n_gate: tuple[int, int] | None = None,
     corpus_pred: str | None = None,
+    corpus_cte: str | None = None,
 ) -> str:
     """CTE chain replaying ann_topk_lsh_portable in DuckDB at FIXED
     knobs: quantize corpus AND query with the same half-away-from-zero
@@ -1135,19 +1136,30 @@ def _portable_rp_topk_sql(
             f"\n          AND (SELECT COUNT(*) FROM {src}"
             f" WHERE {pred}) BETWEEN {lo} AND {hi}"
         )
-    return f"""{p}q0 AS (
-        SELECT CAST(embedding AS DOUBLE[]) AS v FROM {src} WHERE vec_id = {query_id}
-    ), {p}qv AS MATERIALIZED (
-        SELECT list_transform(v, x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qq
-        FROM {p}q0
-    ), {p}c AS MATERIALIZED (
+    if corpus_cte is not None:
+        # the caller defined a shared MATERIALIZED quantized-corpus CTE
+        # (one quantization pass for ALL chains — the batch oracles'
+        # 4x-duplicate-work trim); the COUNT(*) gate still counts the
+        # RAW corpus via src+pred so it matches the Spark-side count
+        corpus_c = f"""{p}c AS (
+        SELECT vec_id, qv FROM {corpus_cte}
+        WHERE true{gate}
+    )"""
+    else:
+        corpus_c = f"""{p}c AS MATERIALIZED (
         SELECT vec_id, qv FROM (
             SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qv
             FROM {src} WHERE {pred})
         WHERE len(list_filter(qv, x -> x <> 0)) > 0{gate}
-    ), {p}cb AS (
+    )"""
+    return f"""{p}q0 AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM {src} WHERE vec_id = {query_id}
+    ), {p}qv AS MATERIALIZED (
+        SELECT list_transform(v, x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qq
+        FROM {p}q0
+    ), {corpus_c}, {p}cb AS (
         {corpus_rows}
     ), {p}qp AS MATERIALIZED (
         {plane_rows}
@@ -1187,6 +1199,7 @@ def _portable_rp_topk_sql_auto(
     prefix: str = "rt",
     tiers: tuple[int, ...] = _RP_PROBE_TIERS,
     corpus_pred: str | None = None,
+    corpus_cte: str | None = None,
 ) -> str:
     """AUTO-SIZED twin of _portable_rp_topk_sql: one gated chain per
     ``bits`` tier (n-ranges where rp_auto_probe_params picks that
@@ -1213,6 +1226,7 @@ def _portable_rp_topk_sql_auto(
                 prefix=tp,
                 n_gate=_rp_probe_tier_bounds(b),
                 corpus_pred=corpus_pred,
+                corpus_cte=corpus_cte,
             )
         )
         top_sels.append(f"SELECT vec_id, cos FROM {tp}top")
@@ -1276,7 +1290,17 @@ def _batch_ann_oracle(n_q: int = 4, k: int = 10) -> str:
     query_id column. Each chain is verbatim the single-probe oracle,
     so the batch result being its union IS the served-equals-oneshot
     statement."""
-    chains, sels = [], []
+    from bo_sql_spark.operators.similarity import _RP_SCALE
+
+    shared = f"""bqsrc AS MATERIALIZED (
+        SELECT vec_id, qv FROM (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qv
+            FROM embeddings WHERE vec_id >= {n_q})
+        WHERE len(list_filter(qv, x -> x <> 0)) > 0
+    )"""
+    chains, sels = [shared], []
     for i in range(n_q):
         chains.append(
             _portable_rp_topk_sql_auto(
@@ -1284,6 +1308,7 @@ def _batch_ann_oracle(n_q: int = 4, k: int = 10) -> str:
                 k=k,
                 prefix=f"bq{i}x",
                 corpus_pred=f"vec_id >= {n_q}",
+                corpus_cte="bqsrc",
             )
         )
         sels.append(
