@@ -1911,10 +1911,16 @@ def test_portable_minhash_pairs_cross_engine(ctx, docs, threshold):
     routinely) must produce the IDENTICAL verified pair set in Spark
     (operators/dedup.py:minhash_dedup_pairs_portable) and the DuckDB
     replay (_portable_minhash_pairs_sql) — signatures, band packing,
-    candidate join, and Jaccard verify all cross-engine exact."""
+    candidate join, and Jaccard verify all cross-engine exact. Since
+    r14 the Spark side AUTO-sizes bands from the threshold
+    (minhash_auto_bands), so the oracle is built with the same rule —
+    which makes this family fuzz the rule at 16/8/4 bands too."""
     import pyarrow as pa
 
-    from bo_sql_spark.operators.dedup import minhash_dedup_pairs_portable
+    from bo_sql_spark.operators.dedup import (
+        minhash_auto_bands,
+        minhash_dedup_pairs_portable,
+    )
     from bo_sql_spark.queries.pipeline import _portable_minhash_pairs_sql
 
     spark, con = ctx
@@ -1930,8 +1936,11 @@ def test_portable_minhash_pairs_cross_engine(ctx, docs, threshold):
             {"doc_id": [i for i, _ in texts], "text": [t for _, t in texts]}
         ),
     )
+    b = minhash_auto_bands(threshold)
     sql = f"""
-    WITH {_portable_minhash_pairs_sql("fz_pm", threshold=threshold)}
+    WITH {_portable_minhash_pairs_sql(
+        "fz_pm", n_hashes=2 * b, bands=b, threshold=threshold
+    )}
     SELECT id_a, id_b, ROUND(jacc_raw, 6) AS jacc FROM pmpairs
     """
     want = sorted(
