@@ -1013,6 +1013,78 @@ def materialize_rp_index(
     return bits, seeds
 
 
+def rp_index_append(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    seeds: int | None = None,
+) -> tuple[int, int]:
+    """APPEND a batch of vectors to a materialize_rp_index store — the
+    incremental-ingest leg of the RP index (the postings/bloom-store
+    append pattern applied to the ANN store): the batch is quantized +
+    bucketed with the STORE'S masks and its (seed, bucket_pfx, sorted
+    bucket) rows land as new files in the same partition directories,
+    so rp_index_topk serves the union without change (bucketing is a
+    pure per-row function — the union of per-batch indexes IS the
+    full-corpus index, which is what lets the streaming ingest grade
+    against the one-shot oracle verbatim).
+
+    Knobs resolve from the store's ``_rp_meta.json`` when it exists
+    (passing contradicting values raises — appending rows bucketed
+    under different masks would silently corrupt the store); on a
+    FRESH path the caller must pass bits/seeds (auto-sizing needs the
+    expected FINAL corpus size, not the first batch's) and the meta
+    sidecar is written so later appends and probes self-configure.
+    Per-directory file count grows by <= 1 per append — compaction is
+    compact_table's job, same as the postings store."""
+    import json
+
+    from bo_sql_spark import fsutil
+
+    spark = emb.sparkSession
+    meta_path = path.rstrip("/") + "/_rp_meta.json"
+    meta_raw = fsutil.read_text(spark, meta_path)
+    if meta_raw is not None:
+        meta = json.loads(meta_raw)
+        for knob, val in (("bits", bits), ("seeds", seeds)):
+            if val is not None and val != meta[knob]:
+                raise ValueError(
+                    f"rp_index_append {knob}={val} contradicts the store's "
+                    f"_rp_meta.json ({knob}={meta[knob]}) at {path} — "
+                    "appending under different masks would corrupt the index"
+                )
+        bits = meta["bits"] if bits is None else bits
+        seeds = meta["seeds"] if seeds is None else seeds
+    if bits is None or seeds is None:
+        raise ValueError(
+            f"rp_index_append: fresh store at {path} — pass bits/seeds "
+            "(auto-sizing needs the expected final corpus size, not the "
+            "first batch's)"
+        )
+    masks = rp_sign_masks(seeds, bits)
+    q = emb.select(F.col(id_col), quantize_vec(vec_col).alias("qv")).filter(
+        F.exists("qv", lambda x: x != 0)
+    )
+    stacked = _stack_rp_buckets(q, masks, dim, [id_col, "qv"], impl="arrow")
+    shift = _rp_prefix_shift(bits)
+    (
+        stacked.withColumn("bucket_pfx", F.shiftright("bucket", shift))
+        .repartition("seed", "bucket_pfx")
+        .sortWithinPartitions("seed", "bucket_pfx", "bucket")
+        .write.mode("append")
+        .partitionBy("seed", "bucket_pfx")
+        .parquet(path)
+    )
+    if meta_raw is None:
+        fsutil.write_text(
+            spark, meta_path, json.dumps({"bits": bits, "seeds": seeds, "dim": dim})
+        )
+    return bits, seeds
+
+
 def rp_index_topk(
     spark,
     path: str,

@@ -1359,6 +1359,82 @@ def similarity_ann_batch_portable(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_rp_index_ingest",
+    oracle=f"""
+    WITH {_portable_rp_topk_sql_auto()}
+    SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM rttop
+    """,
+    doc="STREAMING ANN-index ingest: the RP store is built by "
+    "INDEPENDENT APPENDS (a readStream microbatch whose foreachBatch "
+    "splits the corpus into 4 chunks and rp_index_append's each — "
+    "band rows land as new files in the same (seed, bucket_pfx) "
+    "directories, knobs self-configure from the _rp_meta.json sidecar "
+    "after the first append), then rp_index_topk serves the union. "
+    "Bucketing is a pure per-row function, so union-of-appended-"
+    "indexes == full-corpus index and the served top-10 replays "
+    "similarity_ann_lsh_portable's oracle VERBATIM regardless of "
+    "batching — the ingest-equals-batch statement stream_bloom_ingest "
+    "makes for Bloom (OR) and stream_kmv_ingest for KMV, made for the "
+    "ANN store. The knobs are auto-sized from the EXPECTED corpus "
+    "count (not the first batch's — the one decision an incremental "
+    "index must make up front; re-sizing = rebuild, same as bits in "
+    "any LSH store). Per-append file count <= 1 per directory; "
+    "compaction is compact_table's job (stream_search_index_compacted "
+    "pattern).",
+    tags=("pipeline", "similarity", "approx", "streaming", "store"),
+)
+def stream_rp_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from bo_sql_spark.operators.similarity import (
+        rp_auto_probe_params,
+        rp_index_append,
+        rp_index_topk,
+    )
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    n = emb.filter(F.col("vec_id") != 0).count()
+    _assert_tier_covered(
+        n, _RP_PROBE_TIERS, _rp_probe_tier_bounds, "stream_rp_index_ingest"
+    )
+    bits, seeds, flips, radius = rp_auto_probe_params(n)
+    root = tempfile.mkdtemp(prefix="bosql_rp_stream_")
+    store = os.path.join(root, "index")
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        corpus = batch_df.filter(F.col("vec_id") != 0)
+        for chunk in range(4):
+            rp_index_append(
+                corpus.filter(F.col("vec_id") % 4 == chunk),
+                store, dim=64, bits=bits, seeds=seeds,
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rp_index_topk(
+        spark, store, qvec, k=10, dim=64, flips=flips, radius=radius
+    )
+
+
+@register(
     "similarity_rp_index_batch_served",
     oracle=_batch_ann_oracle(),
     doc="INDEX-SERVED batch portable ANN: the corpus quantize+bucket "

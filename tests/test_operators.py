@@ -3908,3 +3908,48 @@ def test_rp_index_batch_served_equals_single_served(spark, sf_dir, tmp_path):
             ).collect()
         ]
         assert sorted(got[qid]) == sorted(single), qid
+
+
+def test_rp_index_append_union_equals_oneshot(spark, sf_dir, tmp_path):
+    """Appending the corpus in chunks must serve BIT-identically to
+    the one-shot materialize (bucketing is per-row, so the union of
+    appended indexes IS the full index); fresh-store appends without
+    knobs raise (auto-sizing needs the final corpus size), and
+    knob-contradicting appends raise instead of corrupting the store."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from bo_sql_spark.operators.similarity import (
+        materialize_rp_index,
+        rp_auto_probe_params,
+        rp_index_append,
+        rp_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    corpus = emb.filter("vec_id <> 0")
+    bits, seeds, flips, radius = rp_auto_probe_params(corpus.count())
+
+    oneshot = str(tmp_path / "oneshot")
+    materialize_rp_index(corpus, oneshot, dim=64, bits=bits, seeds=seeds)
+    appended = str(tmp_path / "appended")
+    with pytest.raises(ValueError, match="fresh store"):
+        rp_index_append(corpus, appended, dim=64)  # no knobs, no meta
+    for chunk in range(3):
+        got_knobs = rp_index_append(
+            corpus.filter(F.col("vec_id") % 3 == chunk),
+            appended, dim=64,
+            # only the first append passes knobs; the rest self-configure
+            **({"bits": bits, "seeds": seeds} if chunk == 0 else {}),
+        )
+        assert got_knobs == (bits, seeds)
+    with pytest.raises(ValueError, match="contradicts"):
+        rp_index_append(corpus.limit(1), appended, dim=64, bits=bits + 1)
+
+    kw = dict(k=10, dim=64, flips=flips, radius=radius)
+    a = [(r["vec_id"], r["cos_sim"])
+         for r in rp_index_topk(spark, oneshot, qvec, **kw).collect()]
+    b = [(r["vec_id"], r["cos_sim"])
+         for r in rp_index_topk(spark, appended, qvec, **kw).collect()]
+    assert sorted(a) == sorted(b) and len(a) == 10
