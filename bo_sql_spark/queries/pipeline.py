@@ -1081,6 +1081,7 @@ def _portable_rp_topk_sql(
     n_gate: tuple[int, int] | None = None,
     corpus_pred: str | None = None,
     corpus_cte: str | None = None,
+    corpus_bucket_cte: str | None = None,
 ) -> str:
     """CTE chain replaying ann_topk_lsh_portable in DuckDB at FIXED
     knobs: quantize corpus AND query with the same half-away-from-zero
@@ -1136,32 +1137,43 @@ def _portable_rp_topk_sql(
             f"\n          AND (SELECT COUNT(*) FROM {src}"
             f" WHERE {pred}) BETWEEN {lo} AND {hi}"
         )
-    if corpus_cte is not None:
+    if corpus_bucket_cte is not None:
+        # the caller defined a SHARED gated+bucketed corpus CTE for
+        # this tier (one quantize AND one bucketing pass for ALL of a
+        # batch's query chains — the per-tier continuation of the
+        # shared-quantized-corpus trim); skip {p}c/{p}cb entirely
+        corpus_part = ""
+        cb_name = corpus_bucket_cte
+    elif corpus_cte is not None:
         # the caller defined a shared MATERIALIZED quantized-corpus CTE
         # (one quantization pass for ALL chains — the batch oracles'
         # 4x-duplicate-work trim); the COUNT(*) gate still counts the
         # RAW corpus via src+pred so it matches the Spark-side count
-        corpus_c = f"""{p}c AS (
+        corpus_part = f"""{p}c AS (
         SELECT vec_id, qv FROM {corpus_cte}
         WHERE true{gate}
-    )"""
+    ), {p}cb AS (
+        {corpus_rows}
+    ), """
+        cb_name = f"{p}cb"
     else:
-        corpus_c = f"""{p}c AS MATERIALIZED (
+        corpus_part = f"""{p}c AS MATERIALIZED (
         SELECT vec_id, qv FROM (
             SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qv
             FROM {src} WHERE {pred})
         WHERE len(list_filter(qv, x -> x <> 0)) > 0{gate}
-    )"""
+    ), {p}cb AS (
+        {corpus_rows}
+    ), """
+        cb_name = f"{p}cb"
     return f"""{p}q0 AS (
         SELECT CAST(embedding AS DOUBLE[]) AS v FROM {src} WHERE vec_id = {query_id}
     ), {p}qv AS MATERIALIZED (
         SELECT list_transform(v, x -> CAST(round(x * {_RP_SCALE}) AS BIGINT)) AS qq
         FROM {p}q0
-    ), {corpus_c}, {p}cb AS (
-        {corpus_rows}
-    ), {p}qp AS MATERIALIZED (
+    ), {corpus_part}{p}qp AS MATERIALIZED (
         {plane_rows}
     ), {p}qb AS (
         SELECT seed,
@@ -1180,7 +1192,7 @@ def _portable_rp_topk_sql(
         {probes}
     ), {p}cand AS (
         SELECT DISTINCT c.vec_id, c.qv
-        FROM {p}cb c JOIN {p}qpr q ON c.seed = q.seed AND c.bucket = q.bucket
+        FROM {cb_name} c JOIN {p}qpr q ON c.seed = q.seed AND c.bucket = q.bucket
     ), {p}top AS (
         SELECT vec_id,
                list_dot_product(CAST(qv AS DOUBLE[]), CAST(qq AS DOUBLE[]))
@@ -1200,6 +1212,7 @@ def _portable_rp_topk_sql_auto(
     tiers: tuple[int, ...] = _RP_PROBE_TIERS,
     corpus_pred: str | None = None,
     corpus_cte: str | None = None,
+    shared_bucket_fmt: str | None = None,
 ) -> str:
     """AUTO-SIZED twin of _portable_rp_topk_sql: one gated chain per
     ``bits`` tier (n-ranges where rp_auto_probe_params picks that
@@ -1227,6 +1240,9 @@ def _portable_rp_topk_sql_auto(
                 n_gate=_rp_probe_tier_bounds(b),
                 corpus_pred=corpus_pred,
                 corpus_cte=corpus_cte,
+                corpus_bucket_cte=(
+                    shared_bucket_fmt.format(b=b) if shared_bucket_fmt else None
+                ),
             )
         )
         top_sels.append(f"SELECT vec_id, cos FROM {tp}top")
@@ -1290,9 +1306,10 @@ def _batch_ann_oracle(n_q: int = 4, k: int = 10) -> str:
     query_id column. Each chain is verbatim the single-probe oracle,
     so the batch result being its union IS the served-equals-oneshot
     statement."""
-    from bo_sql_spark.operators.similarity import _RP_SCALE
+    from bo_sql_spark.operators.similarity import _RP_SCALE, rp_sign_masks
 
-    shared = f"""bqsrc AS MATERIALIZED (
+    chains = [
+        f"""bqsrc AS MATERIALIZED (
         SELECT vec_id, qv FROM (
             SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
@@ -1300,7 +1317,31 @@ def _batch_ann_oracle(n_q: int = 4, k: int = 10) -> str:
             FROM embeddings WHERE vec_id >= {n_q})
         WHERE len(list_filter(qv, x -> x <> 0)) > 0
     )"""
-    chains, sels = [shared], []
+    ]
+    # one gated + BUCKETED corpus CTE per tier, shared by every query
+    # chain (quantize AND bucketing paid once per tier instead of once
+    # per (query, tier) — the r15-candidate continuation of the shared
+    # quantized corpus; the COUNT(*) gate still counts the raw corpus
+    # so it matches the Spark-side auto-knob count)
+    for b in _RP_PROBE_TIERS:
+        lo, hi = _rp_probe_tier_bounds(b)
+        masks = rp_sign_masks(4, b)
+        bucket_rows = "\n        UNION ALL ".join(
+            f"SELECT vec_id, qv, {s} AS seed, "
+            + _rp_bucket_expr_sql(masks[s], "qv", 64)
+            + f" AS bucket FROM sbt{b}c"
+            for s in range(4)
+        )
+        chains.append(
+            f"""sbt{b}c AS (
+        SELECT vec_id, qv FROM bqsrc
+        WHERE (SELECT COUNT(*) FROM embeddings WHERE vec_id >= {n_q})
+              BETWEEN {lo} AND {hi}
+    ), sbt{b}cb AS MATERIALIZED (
+        {bucket_rows}
+    )"""
+        )
+    sels = []
     for i in range(n_q):
         chains.append(
             _portable_rp_topk_sql_auto(
@@ -1308,7 +1349,7 @@ def _batch_ann_oracle(n_q: int = 4, k: int = 10) -> str:
                 k=k,
                 prefix=f"bq{i}x",
                 corpus_pred=f"vec_id >= {n_q}",
-                corpus_cte="bqsrc",
+                shared_bucket_fmt="sbt{b}cb",
             )
         )
         sels.append(
