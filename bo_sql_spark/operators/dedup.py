@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from bo_sql_spark.functions import cosine_similarity, word_shingles
+from bo_sql_spark.parallel import spread_scan
 
 
 # ------------------------------------------------------------- exact
@@ -151,6 +152,10 @@ def minhash_signatures_portable(
     explode, one md5 per shingle string, n_hashes min-aggregates in
     whole-stage codegen; NULL/empty docs surface with NULL minhash
     via the same left join."""
+    # r14-opt: the shingle build + per-shingle md5 is the expensive map
+    # of this pipeline; guarantee it runs on every core when the input
+    # is a single unsplittable file (guide §2.5; no-op at scale).
+    docs = spread_scan(docs, id_col)
     sh = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
     )
@@ -410,6 +415,9 @@ def minhash_signatures(
     back is a LEFT join: they surface with a NULL ``minhash`` (callers
     can see what was skipped) instead of vanishing from the output.
     """
+    # r14-opt: parallelize the shingle+hash map on tiny single-split
+    # inputs (guide §2.5; no-op at scale)
+    docs = spread_scan(docs, id_col)
     sh = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("shingles")
     )
@@ -496,6 +504,7 @@ def simhash64(
     sum over tokens of (+1 if bit j set else -1). One explode + one
     groupBy(doc): state is 64 longs per doc regardless of doc length.
     """
+    docs = spread_scan(docs, id_col)  # r14-opt: parallel token map (§2.5)
     tok = F.explode(
         F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "))
     ).alias("tok")
@@ -542,6 +551,7 @@ def simhash_portable(
     (split of an empty string yields [''] whose hash would otherwise
     shift every empty doc to the same non-zero signature).
     """
+    docs = spread_scan(docs, id_col)  # r14-opt: parallel token map (§2.5)
     tok = F.explode(
         F.array_distinct(
             F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
@@ -965,6 +975,7 @@ def decontaminate(
     corpus text; the only wide row is (doc_id, shingle), and at 100 TB
     the shingle explode stays inside one codegen stage above the scan.
     """
+    train = spread_scan(train, id_col)  # r14-opt: parallel shingle map (§2.5)
     tr_sh = train.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
@@ -999,6 +1010,7 @@ def contamination_ratio(
     """
     from bo_sql_spark.functions import word_shingles
 
+    train = spread_scan(train, id_col)  # r14-opt: parallel shingle map (§2.5)
     tr_sh = train.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
@@ -1466,6 +1478,10 @@ def winnow_fingerprints(
     from bo_sql_spark.functions import normalize_text
 
     L, W = int(span_len), int(winnow_w)
+    # r14-opt: the per-doc winnow chain is the expensive map here —
+    # spread a single-split input across cores first (guide §2.5;
+    # no-op at scale, where the scan already has >= cores splits)
+    docs = spread_scan(docs, id_col)
     d = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, normalize_text(F.col(text_col)).alias("_norm")
     )
@@ -1629,7 +1645,9 @@ def dedup_lines_global(
     from bo_sql_spark.functions import tokens
 
     K = int(chunk_tokens)
-    d0 = docs.filter(F.col(text_col).isNotNull()).select(
+    # r14-opt: tokenize+chunk+fingerprint is the heavy map; spread
+    # single-split inputs (guide §2.5; no-op at scale)
+    d0 = spread_scan(docs, id_col).filter(F.col(text_col).isNotNull()).select(
         id_col, F.col(text_col).alias("_text")
     )
     chunks = (

@@ -583,6 +583,7 @@ def embedding_centroid_drift(
     group_col: str,
     vec_col: str = "embedding",
     dims: int = 64,
+    impl: str = "narrow",
 ) -> DataFrame:
     """Embedding-SPACE drift: per-group centroid direction vs the
     global centroid — (group, n_vectors, cos_to_global). The
@@ -603,14 +604,72 @@ def embedding_centroid_drift(
     replays in HUGEINT; CAST(exact int AS DOUBLE) rounds identically
     in both engines.
 
-    100 TB shape: one groupBy(group) with 64 map-side-combinable
-    decimal sums; the global row is an aggregate OF the group rows
-    (never a second corpus pass) broadcast back — per-group state is
-    64 numbers, like every mergeable monitor in this family.
+    100 TB shape: one groupBy with map-side-combinable decimal sums;
+    the global row is an aggregate OF the group rows (never a second
+    corpus pass) broadcast back — per-group state is dims numbers,
+    like every mergeable monitor in this family.
+
+    impl='narrow' (r14-opt default) keys the component sums LONG-GRAIN
+    on (grp, d) via posexplode instead of dims wide sum columns: the
+    values are the identical exact decimals (commutative integer
+    sums), but every expression stays a handful of terms, where the
+    wide form's 64 decimal aggregates + 192-term dot projection made
+    whole-stage-codegen COMPILE the fixture wall (the plan constant is
+    invariant in rows — the r13 'fold constant' — because it is paid
+    at plan build, guide §7.3). impl='wide' keeps the r13 shape for
+    the measured A/B; bit-equality pinned in tests.
     """
-    per_group = embedding_group_sums(emb, group_col, vec_col, dims)
-    return centroid_cosines_from_sums(per_group, dims).withColumnRenamed(
-        "grp", group_col
+    if impl == "wide":
+        per_group = embedding_group_sums(emb, group_col, vec_col, dims)
+        return centroid_cosines_from_sums(per_group, dims).withColumnRenamed(
+            "grp", group_col
+        )
+    from bo_sql_spark.operators.similarity import quantize_vec
+
+    dec = "decimal(38,0)"
+    longg = emb.select(
+        F.col(group_col).alias("grp"), quantize_vec(vec_col).alias("qv")
+    ).select("grp", F.posexplode_outer("qv").alias("d", "x")).filter(
+        F.col("d").isNull() | (F.col("d") < dims)
+    )
+    sums = longg.groupBy("grp", "d").agg(
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    glob = (
+        sums.filter(F.col("d").isNotNull())
+        .groupBy("d")
+        .agg(F.sum("s").cast(dec).alias("g"))
+    )
+    j = sums.join(F.broadcast(glob), "d", "left")
+    dots = j.groupBy("grp").agg(
+        # every non-empty vector contributes exactly one d=0 row; empty
+        # vectors surface as the posexplode_outer NULL-d row
+        F.sum(
+            F.when(F.col("d").isNull() | (F.col("d") == 0), F.col("_cnt")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_vectors"),
+        F.sum(F.col("s") * F.col("g")).alias("_lg"),
+        F.sum(F.col("s") * F.col("s")).alias("_ll"),
+    )
+    # global self-dot: one scalar off the dims-row table, broadcast —
+    # identical for every group by construction
+    dots = dots.crossJoin(
+        F.broadcast(glob.agg(F.sum(F.col("g") * F.col("g")).alias("_gg")))
+    )
+    cos = F.col("_lg").cast("double") / (
+        F.sqrt(F.col("_ll").cast("double")) * F.sqrt(F.col("_gg").cast("double"))
+    )
+    cos = F.when(
+        (F.col("_ll") == 0) | (F.col("_gg") == 0), F.lit(None)
+    ).otherwise(cos)
+    return dots.select(
+        F.col("grp").alias(group_col),
+        "n_vectors",
+        F.round(cos, 6).alias("cos_to_global"),
     )
 
 
@@ -627,6 +686,10 @@ def embedding_group_sums(
     columns — the property the streaming twin appends on."""
     from bo_sql_spark.operators.similarity import quantize_vec
 
+    # r14-opt note: spread_scan was A/B'd here and LOST (1.11x) — the
+    # fixture wall of this operator is not the map stage (see
+    # OPTIMIZATION_r14.md, drift_embedding_centroid), so the input is
+    # deliberately left un-spread.
     qv = quantize_vec(vec_col)
     dec = "decimal(38,0)"
     return emb.select(F.col(group_col).alias("grp"), qv.alias("qv")).groupBy(
@@ -645,23 +708,40 @@ def centroid_cosines_from_sums(per_group: DataFrame, dims: int = 64) -> DataFram
     table (or any column-wise merge of several): the global sum
     vector is an aggregate OF the group rows (broadcast back, never a
     second corpus pass); cosine of sum vectors == cosine of centroids
-    by scale invariance; no division until the final double."""
+    by scale invariance; no division until the final double.
+
+    r14-opt: the fold is UNPIVOTED to (grp, d, s) rows first — the
+    wide form (dims sum aggregates + 3*dims-term dot projection) paid
+    a multi-second whole-stage-codegen compile per plan regardless of
+    row count (guide §7.3; measured 3.8s -> 0.85s on the batch twin).
+    Same exact decimal arithmetic, identical output values
+    (commutative integer sums; bit-equality pinned in tests)."""
     dec = "decimal(38,0)"
-    glob = per_group.agg(
-        *[F.sum(F.col(f"s{d}")).cast(dec).alias(f"g{d}") for d in range(dims)]
+    stack_expr = ", ".join(f"{d}, s{d}" for d in range(dims))
+    longg = per_group.select(
+        "grp",
+        F.col("n_vectors"),
+        F.expr(f"stack({dims}, {stack_expr})").alias("d", "s"),
     )
-    joined = per_group.crossJoin(F.broadcast(glob))
-    dot_lg = sum(F.col(f"s{d}") * F.col(f"g{d}") for d in range(dims))
-    dot_ll = sum(F.col(f"s{d}") * F.col(f"s{d}") for d in range(dims))
-    dot_gg = sum(F.col(f"g{d}") * F.col(f"g{d}") for d in range(dims))
-    cos = dot_lg.cast("double") / (
-        F.sqrt(dot_ll.cast("double")) * F.sqrt(dot_gg.cast("double"))
+    glob = longg.groupBy("d").agg(F.sum("s").cast(dec).alias("g"))
+    j = longg.join(F.broadcast(glob), "d")
+    dots = j.groupBy("grp").agg(
+        F.first("n_vectors").alias("n_vectors"),
+        F.sum(F.col("s") * F.col("g")).alias("_lg"),
+        F.sum(F.col("s") * F.col("s")).alias("_ll"),
+    ).crossJoin(
+        F.broadcast(glob.agg(F.sum(F.col("g") * F.col("g")).alias("_gg")))
+    )
+    cos = F.col("_lg").cast("double") / (
+        F.sqrt(F.col("_ll").cast("double")) * F.sqrt(F.col("_gg").cast("double"))
     )
     # a sum vector can cancel to exactly zero (v and -v in one group,
     # or all members quantizing to zero) — 0/0 is NaN whose ordering/
     # hashing is an engine quirk; emit NULL deterministically instead
-    cos = F.when((dot_ll == 0) | (dot_gg == 0), F.lit(None)).otherwise(cos)
-    return joined.select(
+    cos = F.when(
+        (F.col("_ll") == 0) | (F.col("_gg") == 0), F.lit(None)
+    ).otherwise(cos)
+    return dots.select(
         "grp",
         F.col("n_vectors").cast("long").alias("n_vectors"),
         F.round(cos, 6).alias("cos_to_global"),

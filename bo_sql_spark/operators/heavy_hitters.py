@@ -166,9 +166,14 @@ def count_min_table(
     so the DuckDB oracle replays the ENTIRE grid, not a rows-only
     check. (Estimates from the grid are approximate; the grid itself
     is exact.)"""
+    from bo_sql_spark.parallel import spread_scan
+
     rows = F.array(*[F.lit(r) for r in range(int(depth))])
-    keyed = df.select(F.col(key_col).cast("string").alias("_k")).filter(
-        F.col("_k").isNotNull()
+    # r14-opt: parallel depth-x-md5 map on single-split inputs (§2.5;
+    # composes with caller-side spreads — already-parallel inputs no-op)
+    keyed = (
+        spread_scan(df.select(F.col(key_col).cast("string").alias("_k")))
+        .filter(F.col("_k").isNotNull())
     )
     return (
         keyed.select(
@@ -290,12 +295,17 @@ def hll_registers_by(
     carries <= m rows per (task, group)."""
     if not (7 <= int(p) <= 28):
         raise ValueError("p must be in [7, 28]")
+    from bo_sql_spark.parallel import spread_scan
+
     m = 1 << int(p)
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    keyed = df.filter(F.col(key_col).isNotNull()).select(
-        *group_cols, h.alias("_h")
+    # r14-opt: parallel per-row md5 map on single-split inputs (§2.5)
+    keyed = (
+        spread_scan(df.select(*dict.fromkeys((key_col, *group_cols))))
+        .filter(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
     )
     rho = F.lit(33) - F.length(
         F.expr(f"ltrim('0', conv((_h DIV {m}) % 4294967296, 10, 2))")
@@ -416,13 +426,22 @@ def sampled_quantiles(
         raise ValueError("d must be positive and qs non-empty")
     from pyspark.sql import Window
 
+    from bo_sql_spark.parallel import spread_scan
+
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
+    # r14-opt: spread the single-split scan so the per-row md5 sample
+    # predicate runs on every core (guide §2.5; no-op at scale), and
+    # cut the sample's lineage — BOTH the scalar-stats pass and the
+    # shard/rank plan consume it, which re-ran the full md5 scan twice
+    # per build (the one-consumer rule; guide §5 localCheckpoint).
     samp = (
-        df.filter(F.col(value_col).isNotNull())
+        spread_scan(df.select(*dict.fromkeys((key_col, value_col))))
+        .filter(F.col(value_col).isNotNull())
         .filter(F.pmod(h, F.lit(int(d))) == 0)
         .select(F.col(value_col).cast("double").alias("_x"))
+        .localCheckpoint(eager=False)
     )
     stats = samp.agg(
         F.count(F.lit(1)).alias("n"), F.min("_x").alias("mn"), F.max("_x").alias("mx")
@@ -507,11 +526,15 @@ def sampled_quantiles_by(
         raise ValueError("d must be positive and qs non-empty")
     from pyspark.sql import Window
 
+    from bo_sql_spark.parallel import spread_scan
+
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
+    # r14-opt: parallel per-row md5 sampling on single-split inputs (§2.5)
     samp = (
-        df.filter(F.col(value_col).isNotNull())
+        spread_scan(df.select(*dict.fromkeys((key_col, value_col, *group_cols))))
+        .filter(F.col(value_col).isNotNull())
         .filter(F.pmod(h, F.lit(int(d))) == 0)
         .select(*group_cols, F.col(value_col).cast("double").alias("_x"))
     )

@@ -84,9 +84,12 @@ def kmv_sketch(
     subset of the union of per-shard k smallest, so the two-phase
     result equals the oracle's direct ORDER BY h LIMIT k (asserted in
     tests)."""
+    from bo_sql_spark.parallel import spread_scan
+
     gcols = list(group_cols or [])
+    # r14-opt: parallel per-key md5 map on single-split inputs (§2.5)
     hashes = (
-        df.select(*gcols, kmv_hash(key_col).alias("h"))
+        spread_scan(df).select(*gcols, kmv_hash(key_col).alias("h"))
         .filter(F.col("h").isNotNull())
         .distinct()
     )

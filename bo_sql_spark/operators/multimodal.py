@@ -335,7 +335,11 @@ def make_wav_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(wav_encode_pcm16(rate, samples))
             yield pd.DataFrame({"doc_id": list(pdf[id_col]), "media": blobs})
 
-    return docs.select(id_col, "n_chars").mapInPandas(
+    from bo_sql_spark.parallel import spread_scan
+
+    # r14-opt: the Python encode is the expensive map; spread
+    # single-split inputs across cores (guide §2.5; no-op at scale)
+    return spread_scan(docs.select(id_col, "n_chars"), id_col).mapInPandas(
         gen, schema="doc_id long, media binary"
     )
 
@@ -544,7 +548,11 @@ def make_png_blob_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(png_encode_gray(w, h, px))
             yield pd.DataFrame({"doc_id": list(pdf[id_col]), "media": blobs})
 
-    return docs.select(id_col, "n_chars").mapInPandas(
+    from bo_sql_spark.parallel import spread_scan
+
+    # r14-opt: the Python encode is the expensive map; spread
+    # single-split inputs across cores (guide §2.5; no-op at scale)
+    return spread_scan(docs.select(id_col, "n_chars"), id_col).mapInPandas(
         gen, schema="doc_id long, media binary"
     )
 
@@ -619,7 +627,15 @@ def make_png_neardup_blob_df(
                     blobs.append(png_encode_gray(2 * w, 2 * h, up))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
-    return docs.select(id_col).mapInPandas(gen, schema="doc_id long, media binary")
+    from bo_sql_spark.parallel import spread_scan
+
+    # r14-opt: PNG encode (x3 for planted triples) is the expensive
+    # map; spread single-split inputs (guide §2.5; no-op at scale).
+    # Replaces the callers' hard-coded .repartition(32) — that constant
+    # was the local core count, not a scale rule.
+    return spread_scan(docs.select(id_col), id_col).mapInPandas(
+        gen, schema="doc_id long, media binary"
+    )
 
 
 PNG_STATS_SCHEMA = StructType(

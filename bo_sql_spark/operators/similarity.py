@@ -74,7 +74,12 @@ def ivf_assign(
     — PQ codebooks, which can contain duplicate codewords — the
     deterministic struct-min ``_argmin_code`` is used instead."""
     from bo_sql_spark.functions import dot
+    from bo_sql_spark.parallel import spread_scan
 
+    # r14-opt: the per-(vector, centroid) distance map is the expensive
+    # stage; spread single-split inputs across cores (guide §2.5;
+    # no-op at scale)
+    emb = spread_scan(emb, id_col)
     v = F.col(vec_col)
     c = F.col(cent_vec)
     dist2 = dot(v, v) - 2 * dot(v, c) + dot(c, c)
@@ -546,9 +551,13 @@ def approx_similarity_join_portable(
     # and both Spark and DuckDB order NaN ABOVE every threshold — without
     # this filter a zero vector would "match" everything it shares a
     # bucket with (same predicate in _portable_rp_join_sql's oracle).
-    q = emb.select(F.col(id_col), quantize_vec(vec_col).alias("qv")).filter(
-        F.exists("qv", lambda x: x != 0)
-    )
+    # r14-opt: quantize + Arrow bucket matmul is the expensive map;
+    # spread single-split inputs across cores (guide §2.5; no-op at scale)
+    from bo_sql_spark.parallel import spread_scan
+
+    q = spread_scan(emb, id_col).select(
+        F.col(id_col), quantize_vec(vec_col).alias("qv")
+    ).filter(F.exists("qv", lambda x: x != 0))
     stacked = _stack_rp_buckets(q, masks, dim, [id_col, "qv"], impl)
     a = stacked.alias("a")
     b = stacked.alias("b")
@@ -670,9 +679,13 @@ def ann_lsh_candidates(
     probe = F.broadcast(
         spark.createDataFrame(qprobes, "seed int, bucket long")
     )
-    q = emb.select(F.col(id_col), quantize_vec(vec_col).alias("qv")).filter(
-        F.exists("qv", lambda x: x != 0)
-    )
+    # r14-opt: spread single-split inputs before the quantize+bucket
+    # matmul (guide §2.5; no-op at scale)
+    from bo_sql_spark.parallel import spread_scan
+
+    q = spread_scan(emb, id_col).select(
+        F.col(id_col), quantize_vec(vec_col).alias("qv")
+    ).filter(F.exists("qv", lambda x: x != 0))
     stacked = _stack_rp_buckets(q, masks, dim, [id_col, "qv"], impl)
     cands = (
         stacked.join(probe, ["seed", "bucket"], "left_semi")

@@ -122,6 +122,9 @@ def doc_term_freq(
     this once (localCheckpoint it for multi-consumer plans — the
     one-consumer rule at DOC grain: two folds re-deriving this table
     is two full corpus tokenizations at 100 TB)."""
+    from bo_sql_spark.parallel import spread_scan
+
+    docs = spread_scan(docs, id_col)  # r14-opt: parallel tokenize (§2.5)
     tk = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
@@ -446,11 +449,13 @@ def bpe_init_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
     corpus-sized).
     """
     from bo_sql_spark.functions.textfn import tokens
+    from bo_sql_spark.parallel import spread_scan
 
     s2 = BPE_SEP + BPE_SEP
     w = F.concat(F.col("w"), F.lit("_"))
     return (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        spread_scan(docs)  # r14-opt: parallel tokenize map (§2.5)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))

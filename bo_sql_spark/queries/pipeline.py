@@ -7304,10 +7304,11 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     # all-five-filters PNG codec is deliberately exercised per blob
     # and is the known Python-leaf cost; at sf0.1 an uncapped corpus
     # made the row codec-bound at ~9s)
-    # repartition ahead of the Python codec stages: the fixture table
-    # is one small parquet file = one input split, which would put the
-    # whole encode+decode on a single core
-    docs = t["documents"].filter(F.col("doc_id") < 1500).repartition(32)
+    # (r14-opt) scan spreading for the Python codec stages now lives in
+    # make_png_neardup_blob_df itself (parallel.spread_scan — scale-
+    # adaptive, replacing the hard-coded .repartition(32) local-core
+    # constant that used to sit here)
+    docs = t["documents"].filter(F.col("doc_id") < 1500)
     blobs = M.make_png_neardup_blob_df(docs)
     hashes = M.decode_png_dhash(blobs)
     return M.dhash_near_pairs(hashes, max_hamming=6, bands=4).orderBy(
@@ -7335,7 +7336,8 @@ def multimodal_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def multimodal_image_dhash_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    docs = t["documents"].filter(F.col("doc_id") < 1500).repartition(32)
+    # (r14-opt) spreading moved into make_png_neardup_blob_df
+    docs = t["documents"].filter(F.col("doc_id") < 1500)
     blobs = M.make_png_neardup_blob_df(docs)
     return M.decode_png_dhash(blobs)
 
@@ -9042,10 +9044,16 @@ def similarity_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bo_sql_spark.functions.textfn import tokens
     from bo_sql_spark.operators.heavy_hitters import heavy_hitters
+    from bo_sql_spark.parallel import spread_scan
 
     docs = _t(spark, sf_dir)["documents"]
+    # r14-opt: spread the single-split scan so tokenize + the MG map
+    # run on every core (guide §2.5; output is exact under ANY
+    # partitioning — the recount phase fixes counts and the per-
+    # partition MG summaries stay a candidate superset)
     tk = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        spread_scan(docs, "doc_id")
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
     )
     return heavy_hitters(tk, "term", ratio_denom=200)
@@ -9757,9 +9765,13 @@ def stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_count_min_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bo_sql_spark.functions import tokens
     from bo_sql_spark.operators import heavy_hitters as HH
+    from bo_sql_spark.parallel import spread_scan
 
     docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
-    toks = docs.select(F.explode(tokens(F.col("text"))).alias("k"))
+    # r14-opt: parallel tokenize + per-token d-row md5 map (§2.5)
+    toks = spread_scan(docs, "doc_id").select(
+        F.explode(tokens(F.col("text"))).alias("k")
+    )
     return HH.count_min_table(toks, "k", depth=_CM_D, width=_CM_W)
 
 
@@ -11177,11 +11189,15 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bo_sql_spark.functions import word_shingles
     from bo_sql_spark.operators import kmv as K
 
+    from bo_sql_spark.parallel import spread_scan
+
     docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
 
     def hashes(pred):
+        # r14-opt: spread the single-split scan so the shingle+md5 map
+        # runs on every core (guide §2.5; no-op at scale)
         return (
-            docs.filter(pred)
+            spread_scan(docs.filter(pred), "doc_id")
             .select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
             .filter(F.col("shingle") != "")
             .select(K.kmv_hash("shingle").alias("h"))

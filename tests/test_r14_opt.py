@@ -1,0 +1,120 @@
+"""Round-14 optimization tests: spread_scan semantics and the
+narrow (long-grain) embedding-centroid fold's bit-equality with the
+wide r13 form."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from bo_sql_spark.parallel import spread_scan
+
+
+def test_spread_scan_spreads_single_partition(spark):
+    df = spark.range(1000).coalesce(1)
+    out = spread_scan(df, "id", target=8)
+    assert out.rdd.getNumPartitions() == 8
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+
+def test_spread_scan_noop_when_already_parallel(spark):
+    df = spark.range(1000).repartition(8)
+    out = spread_scan(df, "id", target=8)
+    # no new exchange: the plan is returned unchanged
+    assert out is df
+
+
+def test_spread_scan_keyless_round_robin(spark):
+    df = spark.range(100).coalesce(1)
+    out = spread_scan(df, target=4)
+    assert out.rdd.getNumPartitions() == 4
+    assert sorted(r.id for r in out.collect()) == list(range(100))
+
+
+def test_spread_scan_disable_env(spark, monkeypatch):
+    monkeypatch.setenv("BOSQL_SPREAD_DISABLE", "1")
+    df = spark.range(10).coalesce(1)
+    assert spread_scan(df, "id", target=8) is df
+
+
+def _toy_emb(spark):
+    rows = [
+        (0, 0, [0.5, -0.25, 0.125]),
+        (1, 0, [0.5, 0.25, -0.125]),
+        (2, 1, [-0.5, 0.75, 0.0]),
+        (3, 1, [0.25, 0.25, 0.25]),
+        (4, 2, [1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+
+
+def test_centroid_drift_narrow_equals_wide(spark):
+    from bo_sql_spark.operators.drift import embedding_centroid_drift
+
+    emb = _toy_emb(spark)
+    wide = sorted(
+        tuple(r)
+        for r in embedding_centroid_drift(
+            emb, "label", dims=3, impl="wide"
+        ).collect()
+    )
+    narrow = sorted(
+        tuple(r)
+        for r in embedding_centroid_drift(
+            emb, "label", dims=3, impl="narrow"
+        ).collect()
+    )
+    assert wide == narrow
+    assert len(narrow) == 3
+
+
+def test_centroid_drift_narrow_counts_empty_vectors(spark):
+    # an all-zero vector still counts toward n_vectors (it contributes
+    # a d=0 row); the posexplode_outer NULL-d guard covers truly empty
+    # arrays
+    from bo_sql_spark.operators.drift import embedding_centroid_drift
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.0, 0.0]),
+        (2, 1, []),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    out = {
+        r["label"]: r["n_vectors"]
+        for r in embedding_centroid_drift(
+            emb, "label", dims=2, impl="narrow"
+        ).collect()
+    }
+    assert out == {0: 2, 1: 1}
+
+
+def test_centroid_from_sums_narrow_matches_operator(spark):
+    # centroid_cosines_from_sums (the streaming serve fold) over
+    # embedding_group_sums must agree with the one-shot operator
+    from bo_sql_spark.operators.drift import (
+        centroid_cosines_from_sums,
+        embedding_centroid_drift,
+        embedding_group_sums,
+    )
+
+    emb = _toy_emb(spark)
+    via_sums = sorted(
+        tuple(r)
+        for r in centroid_cosines_from_sums(
+            embedding_group_sums(emb, "label", dims=3), dims=3
+        )
+        .withColumnRenamed("grp", "label")
+        .collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in embedding_centroid_drift(
+            emb, "label", dims=3, impl="narrow"
+        ).collect()
+    )
+    assert via_sums == direct
