@@ -123,6 +123,11 @@ def gopher_keep(
     ``rules`` overrides the GOPHER_RULES thresholds (same keys) —
     production pipelines tune these per corpus (Rae et al. tune per
     source); the defaults stay the published MassiveText values."""
+    from bo_sql_spark.parallel import spread_scan
+
+    # r14-opt: the per-doc signal map (incl. the Arrow dup-ngram stage)
+    # is the expensive part; spread single-split inputs (guide §2.5)
+    docs = spread_scan(docs)
     r = dict(GOPHER_RULES, **(rules or {}))
     toks = _toks(text_col)
     norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
@@ -191,6 +196,9 @@ def repetition_signals(
     ordering in Spark and the DuckDB oracle's ORDER BY cnt DESC,
     tok DESC).
     """
+    from bo_sql_spark.parallel import spread_scan
+
+    docs = spread_scan(docs, id_col)  # r14-opt: parallel signal map (§2.5)
     toks = _toks(text_col)
     norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from bo_sql_spark.functions import cosine_similarity, word_shingles
-from bo_sql_spark.parallel import spread_scan
+from bo_sql_spark.parallel import lineage_cut, spread_scan
 
 
 # ------------------------------------------------------------- exact
@@ -249,9 +249,17 @@ def minhash_dedup_pairs_portable(
         n_hashes = 2 * bands
     if n_hashes != 2 * bands:
         raise ValueError("portable LSH is fixed at r=2: n_hashes must be 2*bands")
-    with_sig = minhash_signatures_portable(
-        docs, id_col, text_col, n_hashes, shingle_k
-    ).filter(F.col("minhash").isNotNull())
+    # r14-opt: (id, shingles, minhash) feeds FOUR consumers (both sides
+    # of the band self-join + both verify sides) and the plan showed 16
+    # parquet scans / 30 exchanges with zero reuse — cut the lineage so
+    # the corpus is tokenized+hashed ONCE per run (the one-consumer
+    # rule at doc grain; the index path materializes exactly this table
+    # to parquet for the same reason).
+    with_sig = lineage_cut(
+        minhash_signatures_portable(
+            docs, id_col, text_col, n_hashes, shingle_k
+        ).filter(F.col("minhash").isNotNull())
+    )
     stacked = lsh_band_rows_portable(with_sig, id_col, "minhash", bands)
     a = stacked.alias("a")
     b_ = stacked.alias("b")
@@ -464,8 +472,11 @@ def minhash_dedup_pairs(
     salt_r^2 tasks instead of one straggler — the skew AQE's
     input-byte-based split cannot see.
     """
-    with_sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k).filter(
-        F.col("minhash").isNotNull()
+    # r14-opt: same four-consumer lineage cut as the portable twin
+    with_sig = lineage_cut(
+        minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k).filter(
+            F.col("minhash").isNotNull()
+        )
     )
     if salt_r > 0:
         cands = lsh_band_pairs_salted(
@@ -615,7 +626,10 @@ def simhash_near_dup_pairs_portable(
         raise ValueError("bands must divide 60")
     chunk_bits = _SIMHASH_P_BITS // bands
     chunk_mask = (1 << chunk_bits) - 1
-    sig = simhash_portable(docs, id_col, text_col)
+    # r14-opt: the (id, simhash) table is tiny (one long per doc) but
+    # its lineage is the whole tokenize+60-bit-sum corpus pass, and the
+    # banding self-join consumes it twice — cut once, reuse both sides
+    sig = lineage_cut(simhash_portable(docs, id_col, text_col))
     rows = [
         F.struct(
             F.lit(b).cast("long").alias("band"),

@@ -490,6 +490,13 @@ def dhash_near_pairs(
     tiny (id, hash) rows; never an all-pairs join."""
     nbits = 56
     per = nbits // int(bands)
+    # r14-opt: (id, dhash) is one long per image, but its lineage is
+    # the full Python PNG encode+decode chain, and the banding
+    # self-join consumes it twice — without the cut every image was
+    # encoded AND decoded twice per run
+    from bo_sql_spark.parallel import lineage_cut
+
+    hashes = lineage_cut(hashes)
     b = F.explode(
         F.array(
             *[

@@ -51,7 +51,11 @@ _M = 1_000_000
 
 def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, term) token stream — one row per token occurrence."""
-    return docs.select(
+    from bo_sql_spark.parallel import spread_scan
+
+    # r14-opt: parallel tokenize on single-split inputs (guide §2.5;
+    # no-op at scale) — this is the scan edge of every search build
+    return spread_scan(docs, id_col).select(
         F.col(id_col),
         F.explode(
             F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
@@ -251,7 +255,9 @@ def doc_positions(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, pos, term) positional token stream (0-based positions)."""
-    return docs.select(
+    from bo_sql_spark.parallel import spread_scan
+
+    return spread_scan(docs, id_col).select(
         F.col(id_col),
         F.posexplode(
             F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")

@@ -553,12 +553,14 @@ def approx_similarity_join_portable(
     # bucket with (same predicate in _portable_rp_join_sql's oracle).
     # r14-opt: quantize + Arrow bucket matmul is the expensive map;
     # spread single-split inputs across cores (guide §2.5; no-op at scale)
-    from bo_sql_spark.parallel import spread_scan
+    from bo_sql_spark.parallel import lineage_cut, spread_scan
 
     q = spread_scan(emb, id_col).select(
         F.col(id_col), quantize_vec(vec_col).alias("qv")
     ).filter(F.exists("qv", lambda x: x != 0))
-    stacked = _stack_rp_buckets(q, masks, dim, [id_col, "qv"], impl)
+    # r14-opt: the bucketed table feeds both sides of the self-join —
+    # cut the lineage so quantize + the Arrow bucket matmul run once
+    stacked = lineage_cut(_stack_rp_buckets(q, masks, dim, [id_col, "qv"], impl))
     a = stacked.alias("a")
     b = stacked.alias("b")
     cands = (

@@ -50,3 +50,17 @@ def spread_scan(df: DataFrame, *key_cols: str, target: int | None = None) -> Dat
     if nparts >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
+def lineage_cut(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=False)`` behind a measurement kill
+    switch (BOSQL_CKPT_DISABLE=1 returns ``df`` unchanged) — the
+    multi-consumer lineage cut the operators apply when one expensive
+    subtree feeds several joins/aggregates (the "one-consumer rule":
+    without the cut Spark re-executes the subtree once per consumer;
+    the round-14 minhash plan showed 16 parquet scans for one query).
+    Lazy: the checkpoint RDD materializes inside the first consuming
+    job, adding no extra action."""
+    if os.environ.get("BOSQL_CKPT_DISABLE") == "1":
+        return df
+    return df.localCheckpoint(eager=False)

@@ -37,6 +37,16 @@ def test_spread_scan_disable_env(spark, monkeypatch):
     assert spread_scan(df, "id", target=8) is df
 
 
+def test_lineage_cut_identity_and_disable(spark, monkeypatch):
+    from bo_sql_spark.parallel import lineage_cut
+
+    df = spark.range(100)
+    cut = lineage_cut(df)
+    assert sorted(r.id for r in cut.collect()) == list(range(100))
+    monkeypatch.setenv("BOSQL_CKPT_DISABLE", "1")
+    assert lineage_cut(df) is df
+
+
 def _toy_emb(spark):
     rows = [
         (0, 0, [0.5, -0.25, 0.125]),
