@@ -92,7 +92,11 @@ def test_gopher_filter_plan_has_no_shuffle(spark, sf_dir):
     reg = load_all()
     for name in ("text_gopher_filter", "text_chunk_documents"):
         text = explain_str(reg[name].builder(spark, sf_dir), "simple")
-        assert "Exchange" not in text, f"{name} shuffles:\n{text}"
+        # The deliberate round-robin spread of the single-split scan
+        # (parallel.spread_scan) is a REPARTITION_BY_NUM exchange, not a
+        # data shuffle — only hash/range shuffles count as regressions here.
+        assert "Exchange hashpartitioning" not in text, f"{name} shuffles:\n{text}"
+        assert "Exchange rangepartitioning" not in text, f"{name} shuffles:\n{text}"
         assert "BatchEvalPython" not in text, f"{name} uses Python UDFs"
 
 

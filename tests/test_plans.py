@@ -661,8 +661,16 @@ def test_e2e_v2_filters_before_dedup_shuffle(spark, sf_dir):
     # the decision values): any second semi join at doc grain
     lm_kept = train.select("doc_id").filter(F.col("doc_id") % 2 == 0)
     kept2 = gkeep.join(lm_kept, "doc_id", "left_semi")
-    pairs = D.minhash_dedup_pairs_portable(kept2, threshold=0.5)
-    opt2 = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # the operator's own lineage_cut would hide the semi joins behind a
+    # LogicalRDD leaf; disable it so the logical ORDERING stays visible
+    import os
+
+    os.environ["BOSQL_CKPT_DISABLE"] = "1"
+    try:
+        pairs = D.minhash_dedup_pairs_portable(kept2, threshold=0.5)
+        opt2 = pairs._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        os.environ.pop("BOSQL_CKPT_DISABLE", None)
     lines2 = opt2.splitlines()
     gen_idx = [i for i, ln in enumerate(lines2) if "Generate explode" in ln]
     assert gen_idx, opt2
