@@ -364,22 +364,31 @@ def materialize_inverted_index(
     lets phrase and proximity queries serve partition-pruned too
     (phrase_served / proximity_served) — positions explode AFTER the
     pruned scan, so the cost is per-hit, never per-corpus."""
+    from bo_sql_spark.parallel import lineage_cut
+
     toks = doc_positions(docs, id_col, text_col)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    post = (
-        toks.groupBy("term", id_col)
-        .agg(
+    # r14-opt: tokenize ONCE — dl is derivable from the postings
+    # (dl = sum of tf per doc, bit-identical to counting token rows),
+    # so the corpus scan+explode no longer runs twice (one-consumer
+    # rule), and the cut serves both the dl fold and the final join.
+    post0 = lineage_cut(
+        toks.groupBy("term", id_col).agg(
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
                 "positions"
             ),
         )
-        .join(dl, id_col)
-        .withColumn(
-            "tb", F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets)))
-        )
     )
-    post.write.mode("overwrite").partitionBy("tb").parquet(path)
+    dl = post0.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    post = post0.join(dl, id_col).withColumn(
+        "tb", F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets)))
+    )
+    # r14-opt: cluster by the partition column before the partitioned
+    # write (guide §6.2) — files per bucket stay ONE regardless of the
+    # upstream map parallelism (the spread repartition otherwise fans
+    # the write into tasks x buckets small files); n_term_buckets is
+    # the write-parallelism/file-size knob at production scale.
+    post.repartition("tb").write.mode("overwrite").partitionBy("tb").parquet(path)
     dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
@@ -402,7 +411,7 @@ def materialize_inverted_index(
     corpus = spark.read.parquet(path.rstrip("/") + "_stats")
     bm25_term_idf(df_, corpus, idf_mode="log").join(df_, "term").withColumn(
         "tb", F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets)))
-    ).write.mode("overwrite").partitionBy("tb").parquet(
+    ).repartition("tb").write.mode("overwrite").partitionBy("tb").parquet(
         path.rstrip("/") + "_terms"
     )
 
@@ -438,18 +447,25 @@ def append_postings(
     terms_path = path.rstrip("/") + "_terms"
     if fsutil.exists(spark, terms_path):
         fsutil.delete(spark, terms_path)
+    from bo_sql_spark.parallel import lineage_cut
+
+    # r14-opt: same one-tokenize + clustered-write shape as the full
+    # rebuild (dl = sum(tf) per doc, bit-identical; repartition("tb")
+    # bounds appended files to one per touched bucket)
     toks = doc_positions(batch_docs, id_col, text_col)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    (
-        toks.groupBy("term", id_col)
-        .agg(
+    post0 = lineage_cut(
+        toks.groupBy("term", id_col).agg(
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
                 "positions"
             ),
         )
-        .join(dl, id_col)
+    )
+    dl = post0.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    (
+        post0.join(dl, id_col)
         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(int(n_term_buckets))))
+        .repartition("tb")
         .write.mode("append")
         .partitionBy("tb")
         .parquet(path)

@@ -128,3 +128,39 @@ def test_centroid_from_sums_narrow_matches_operator(spark):
         ).collect()
     )
     assert via_sums == direct
+
+
+def test_inverted_index_build_single_tokenize_shape(spark, tmp_path):
+    """The r14-opt index-build rewrite: dl derived as sum(tf) from the
+    checkpointed postings (one corpus tokenize) must equal the old
+    per-doc token count, and the clustered write keeps files-per-bucket
+    at ONE regardless of upstream map parallelism (the spread_scan +
+    partitionBy fan-out regression this round caught)."""
+    import os
+
+    from bo_sql_spark.operators.search import materialize_inverted_index
+
+    rows = [
+        (1, "the quick brown fox  jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the five boxing wizards jump quickly"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    path = str(tmp_path / "idx")
+    materialize_inverted_index(docs, path, n_term_buckets=4)
+    post = spark.read.parquet(path)
+    # dl == total token count per doc (the old definition)
+    got = {
+        (r["doc_id"], r["dl"]) for r in post.select("doc_id", "dl").distinct().collect()
+    }
+    want = {
+        (i, len(t.split())) for i, t in rows if t
+    }
+    assert got == want
+    # one data file per bucket directory
+    for d in os.listdir(path):
+        if not d.startswith("tb="):
+            continue
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
