@@ -1323,10 +1323,18 @@ def semantic_dedup_stream_ingest(
     non-local URI silently sees nothing — every batch would treat
     itself as the first and emit wrong survivors with no error."""
     from bo_sql_spark.operators.similarity import ivf_assign
+    from bo_sql_spark.parallel import no_spread
 
-    b_assigned = ivf_assign(
-        batch, centroids, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=True)
+    # r14-opt: spread OFF for the whole ingest — the microbatch path
+    # runs MANY small actions (eager checkpoint, store write, survivor
+    # write, incremental view) and the spread repartition multiplied
+    # their per-action constants: fresh-session bench pairs measured
+    # the ingest 2.3-2.5x SLOWER with spread on (the one family where
+    # the single-split fix consistently lost).
+    with no_spread():
+        b_assigned = ivf_assign(
+            batch, centroids, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
     entries = _hadoop_ls(spark, store_path)
     if batch_id is None:
         prior_dirs = (
@@ -1354,17 +1362,19 @@ def semantic_dedup_stream_ingest(
             .parquet(*prior_dirs)
             .drop("ingest_batch")
         )
-        surv = semantic_dedup_incremental(
-            corpus_assigned,
-            batch,
-            centroids,
-            threshold,
-            id_col,
-            vec_col,
-            batch_assigned=b_assigned,
-        )
+        with no_spread():
+            surv = semantic_dedup_incremental(
+                corpus_assigned,
+                batch,
+                centroids,
+                threshold,
+                id_col,
+                vec_col,
+                batch_assigned=b_assigned,
+            )
     else:
-        surv = semantic_dedup(batch, centroids, threshold, id_col, vec_col)
+        with no_spread():
+            surv = semantic_dedup(batch, centroids, threshold, id_col, vec_col)
     # survivors first: the store append must not race into this batch's
     # own incremental view (computed lazily from the pre-append store
     # read; b_assigned is checkpointed eagerly above so the assignment

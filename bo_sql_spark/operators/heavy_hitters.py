@@ -295,15 +295,17 @@ def hll_registers_by(
     carries <= m rows per (task, group)."""
     if not (7 <= int(p) <= 28):
         raise ValueError("p must be in [7, 28]")
-    from bo_sql_spark.parallel import spread_scan
-
     m = 1 << int(p)
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    # r14-opt: parallel per-row md5 map on single-split inputs (§2.5)
+    # r14-opt: spread_scan was tried here and LOST in every instrument
+    # (bench pairs 1.47x/1.06x, interleaved A/Bs 1.5-2.2x): one md5 of
+    # a short key per row is too cheap to amortize the added exchange,
+    # and the map-side register combine already bounds the shuffle at
+    # <= m rows per task — the "cheap map" exclusion of parallel.py.
     keyed = (
-        spread_scan(df.select(*dict.fromkeys((key_col, *group_cols))))
+        df.select(*dict.fromkeys((key_col, *group_cols)))
         .filter(F.col(key_col).isNotNull())
         .select(*group_cols, h.alias("_h"))
     )
@@ -426,18 +428,17 @@ def sampled_quantiles(
         raise ValueError("d must be positive and qs non-empty")
     from pyspark.sql import Window
 
-    from bo_sql_spark.parallel import spread_scan
-
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    # r14-opt: spread the single-split scan so the per-row md5 sample
-    # predicate runs on every core (guide §2.5; no-op at scale), and
-    # cut the sample's lineage — BOTH the scalar-stats pass and the
-    # shard/rank plan consume it, which re-ran the full md5 scan twice
-    # per build (the one-consumer rule; guide §5 localCheckpoint).
+    # r14-opt: cut the sample's lineage — BOTH the scalar-stats pass
+    # and the shard/rank plan consume it, which re-ran the full md5
+    # scan twice per build (the one-consumer rule; guide §5
+    # localCheckpoint). spread_scan was tried on the scan and LOST in
+    # every instrument (bench pairs 1.44x/1.77x): one md5 per row is
+    # below the exchange's cost — the "cheap map" exclusion.
     samp = (
-        spread_scan(df.select(*dict.fromkeys((key_col, value_col))))
+        df.select(*dict.fromkeys((key_col, value_col)))
         .filter(F.col(value_col).isNotNull())
         .filter(F.pmod(h, F.lit(int(d))) == 0)
         .select(F.col(value_col).cast("double").alias("_x"))
@@ -526,14 +527,13 @@ def sampled_quantiles_by(
         raise ValueError("d must be positive and qs non-empty")
     from pyspark.sql import Window
 
-    from bo_sql_spark.parallel import spread_scan
-
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    # r14-opt: parallel per-row md5 sampling on single-split inputs (§2.5)
+    # r14-opt: no spread — same cheap-md5-map measurement as the
+    # global variant (the exchange costs more than the map buys)
     samp = (
-        spread_scan(df.select(*dict.fromkeys((key_col, value_col, *group_cols))))
+        df.select(*dict.fromkeys((key_col, value_col, *group_cols)))
         .filter(F.col(value_col).isNotNull())
         .filter(F.pmod(h, F.lit(int(d))) == 0)
         .select(*group_cols, F.col(value_col).cast("double").alias("_x"))

@@ -24,9 +24,29 @@ evaluation, wide decimal aggregation) dominates the stage.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 
 from pyspark.sql import DataFrame
+
+_tls = threading.local()
+
+
+@contextlib.contextmanager
+def no_spread():
+    """Disable ``spread_scan`` for plans built inside this block (driver
+    -side, thread-local). Used by paths where the per-row map is cheap
+    relative to the added exchange — measured per-site this round: the
+    streaming semantic ingest (many small per-microbatch actions; the
+    repartition multiplied per-action constants, bench pairs 2.3-2.5x
+    slower with spread)."""
+    prev = getattr(_tls, "off", False)
+    _tls.off = True
+    try:
+        yield
+    finally:
+        _tls.off = prev
 
 
 def spread_scan(df: DataFrame, *key_cols: str, target: int | None = None) -> DataFrame:
@@ -39,6 +59,8 @@ def spread_scan(df: DataFrame, *key_cols: str, target: int | None = None) -> Dat
     """
     # measurement kill switch (A/B tooling) and cluster escape hatch
     if os.environ.get("BOSQL_SPREAD_DISABLE") == "1":
+        return df
+    if getattr(_tls, "off", False):  # no_spread() scope
         return df
     sess = df.sparkSession
     if target is None:

@@ -9044,16 +9044,15 @@ def similarity_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bo_sql_spark.functions.textfn import tokens
     from bo_sql_spark.operators.heavy_hitters import heavy_hitters
-    from bo_sql_spark.parallel import spread_scan
 
     docs = _t(spark, sf_dir)["documents"]
-    # r14-opt: spread the single-split scan so tokenize + the MG map
-    # run on every core (guide §2.5; output is exact under ANY
-    # partitioning — the recount phase fixes counts and the per-
-    # partition MG summaries stay a candidate superset)
+    # r14-opt: spread_scan was tried here and LOST in every instrument
+    # (bench pairs 1.24x/1.54x, interleaved A/Bs 1.7-2.1x): each extra
+    # partition emits its own MG candidate superset, so the recount
+    # join grows with the spread width while the tokenize map is too
+    # cheap to amortize the exchange.
     tk = (
-        spread_scan(docs, "doc_id")
-        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
     )
     return heavy_hitters(tk, "term", ratio_denom=200)

@@ -164,3 +164,13 @@ def test_inverted_index_build_single_tokenize_shape(spark, tmp_path):
             continue
         files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
         assert len(files) == 1, (d, files)
+
+
+def test_no_spread_context(spark):
+    from bo_sql_spark.parallel import no_spread
+
+    df = spark.range(1000).coalesce(1)
+    with no_spread():
+        assert spread_scan(df, "id", target=8).rdd.getNumPartitions() == 1
+    # restored outside the block
+    assert spread_scan(df, "id", target=8).rdd.getNumPartitions() == 8
