@@ -261,6 +261,13 @@ def minhash_dedup_pairs_portable(
         ).filter(F.col("minhash").isNotNull())
     )
     stacked = lsh_band_rows_portable(with_sig, id_col, "minhash", bands)
+    # r15-opt RETRACTED: a groupBy(band, h) + within-bucket pair emit
+    # (one exchange, no join) was built and measured against this
+    # self-join — fresh-session interleaved pairs read 0.80x/0.85x/0.76x
+    # (sf0.1, noop): at bench scale the planner BROADCASTS one side of
+    # this join (zero shuffles), which the grouped form can't beat with
+    # its real exchange + ObjectHashAggregate. The join form is kept as
+    # the measured winner; see OPTIMIZATION_r15.md "banding collapse".
     a = stacked.alias("a")
     b_ = stacked.alias("b")
     cands = (
@@ -679,6 +686,13 @@ def simhash_near_dup_pairs_portable(
     stacked = sig.select(
         id_col, "simhash", F.explode(F.array(*rows)).alias("bc")
     ).select(id_col, "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    # r15-opt RETRACTED: the grouped within-bucket pair emit (one
+    # exchange on (band, chunk), signature carried through the bucket)
+    # was measured 0.66x/0.69x/0.71x vs this self-join in fresh-session
+    # interleaved pairs — the planner BROADCASTS one join side here
+    # (r14 plan: 2 BroadcastHashJoin, zero pair-stage shuffles), so the
+    # grouped form's real exchange is pure added cost. Join form kept;
+    # see OPTIMIZATION_r15.md "banding collapse".
     a = stacked.alias("a")
     b_ = stacked.alias("b")
     return (
@@ -1260,7 +1274,7 @@ def semantic_pair_cosines(
 
 
 def semantic_dedup_incremental(
-    corpus_assigned: DataFrame,
+    corpus_assigned: DataFrame | None,
     batch: DataFrame,
     centroids: DataFrame,
     threshold: float = 0.95,
@@ -1281,6 +1295,13 @@ def semantic_dedup_incremental(
     semantic_dedup over corpus+batch and restricting to batch ids
     (proven in tests, requires corpus ids < batch ids). Corpus members
     always outrank the batch; inside the batch, min-id-wins.
+
+    ``corpus_assigned=None`` (r15) means "no prior corpus": the corpus
+    cross-check is skipped and the result is exactly ``semantic_dedup``
+    of the batch — the first-microbatch case of the streaming ingest,
+    which previously re-ran the |batch| x |centroids| argmin inside
+    semantic_dedup even though the ingest had already materialized the
+    identical assignment for its store append.
     """
     from bo_sql_spark.functions import l2_norm
     from bo_sql_spark.operators.similarity import ivf_assign
@@ -1299,22 +1320,25 @@ def semantic_dedup_incremental(
         ).localCheckpoint(eager=True)
     )
     bn = _with_norms(b, id_col, vec_col)
-    cn = corpus_assigned.select(
-        "cell",
-        F.col(vec_col).alias("_vc"),
-        l2_norm(F.col(vec_col)).alias("_nc"),
-    )
-    sim_corpus = _pair_dot(F.col(vec_col), F.col("_vc")) / (
-        F.col("_n") * F.col("_nc")
-    )
-    cross = (
-        bn.join(cn, "cell")
-        .filter(sim_corpus >= threshold)
-        .select(F.col(id_col))
-        .distinct()
-    )
     internal = _pairwise_dup_ids(bn, threshold, id_col, vec_col)
-    dups = cross.unionAll(internal).distinct()
+    if corpus_assigned is None:
+        dups = internal
+    else:
+        cn = corpus_assigned.select(
+            "cell",
+            F.col(vec_col).alias("_vc"),
+            l2_norm(F.col(vec_col)).alias("_nc"),
+        )
+        sim_corpus = _pair_dot(F.col(vec_col), F.col("_vc")) / (
+            F.col("_n") * F.col("_nc")
+        )
+        cross = (
+            bn.join(cn, "cell")
+            .filter(sim_corpus >= threshold)
+            .select(F.col(id_col))
+            .distinct()
+        )
+        dups = cross.unionAll(internal).distinct()
     return b.join(dups, id_col, "left_anti").select(
         id_col, F.col("cell").cast("long").alias("cell")
     )
@@ -1363,15 +1387,10 @@ def semantic_dedup_stream_ingest(
     from bo_sql_spark.parallel import no_spread
 
     # r14-opt: spread OFF for the whole ingest — the microbatch path
-    # runs MANY small actions (eager checkpoint, store write, survivor
-    # write, incremental view) and the spread repartition multiplied
+    # runs MANY small actions and the spread repartition multiplied
     # their per-action constants: fresh-session bench pairs measured
     # the ingest 2.3-2.5x SLOWER with spread on (the one family where
     # the single-split fix consistently lost).
-    with no_spread():
-        b_assigned = ivf_assign(
-            batch, centroids, id_col=id_col, vec_col=vec_col
-        ).localCheckpoint(eager=True)
     entries = _hadoop_ls(spark, store_path)
     if batch_id is None:
         prior_dirs = (
@@ -1386,7 +1405,8 @@ def semantic_dedup_stream_ingest(
             if name.startswith("ingest_batch=")
             and int(name.split("=", 1)[1]) < batch_id
         ]
-    if prior_dirs:
+
+    def _read_prior():
         # basePath is REQUIRED once two+ batch-scoped dirs exist: each
         # holds its own cell=... partition tree and without a declared
         # common root Spark's partition discovery raises
@@ -1394,14 +1414,65 @@ def semantic_dedup_stream_ingest(
         # — a >= 3-batch drain is unit-pinned). With basePath, both
         # ingest_batch and cell come back as partition columns; the
         # batch scoping is bookkeeping, not data, so drop it.
-        corpus_assigned = (
+        return (
             spark.read.option("basePath", store_path)
             .parquet(*prior_dirs)
             .drop("ingest_batch")
         )
+
+    if batch_id is not None:
+        # r15-opt (guide §5, one action per batch): the STORE WRITE IS
+        # the materialization of the batch assignment — write it first,
+        # read it back, and compute the survivors from the read-back, so
+        # the whole microbatch runs TWO actions (store write + survivor
+        # write) instead of the r14 four (eager assign checkpoint, surv
+        # checkpoint, two writes). Safe only on the batch-scoped path:
+        # the incremental view reads an EXPLICIT prior-dir list computed
+        # above, so appending this batch's dir cannot race into it, and
+        # a retry after a crash between the writes overwrites both dirs
+        # (same idempotence as before). Batch 0 also stops paying the
+        # argmin twice: semantic_dedup_incremental(corpus=None) reuses
+        # the stored assignment instead of re-running semantic_dedup
+        # from scratch.
+        scoped = f"ingest_batch={int(batch_id)}"
+        store_dir = f"{store_path.rstrip('/')}/{scoped}"
+        with no_spread():
+            b_assigned = ivf_assign(
+                batch, centroids, id_col=id_col, vec_col=vec_col
+            )
+            b_assigned.write.mode("overwrite").partitionBy("cell").parquet(
+                store_dir
+            )
+        b_stored = (
+            spark.read.option("basePath", store_path)
+            .parquet(store_dir)
+            .drop("ingest_batch")
+        )
         with no_spread():
             surv = semantic_dedup_incremental(
-                corpus_assigned,
+                _read_prior() if prior_dirs else None,
+                batch,
+                centroids,
+                threshold,
+                id_col,
+                vec_col,
+                batch_assigned=b_stored,
+            )
+            surv.write.mode("overwrite").parquet(
+                f"{survivors_path.rstrip('/')}/{scoped}"
+            )
+        return
+
+    # batch_id=None (one-shot batch callers, NOT retry-safe): the store
+    # read is the whole unscoped dir, so the survivors MUST be computed
+    # and materialized before the store append — keep the r14 ordering.
+    with no_spread():
+        b_assigned = ivf_assign(
+            batch, centroids, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+        if prior_dirs:
+            surv = semantic_dedup_incremental(
+                _read_prior(),
                 batch,
                 centroids,
                 threshold,
@@ -1409,25 +1480,11 @@ def semantic_dedup_stream_ingest(
                 vec_col,
                 batch_assigned=b_assigned,
             )
-    else:
-        with no_spread():
+        else:
             surv = semantic_dedup(batch, centroids, threshold, id_col, vec_col)
-    # survivors first: the store append must not race into this batch's
-    # own incremental view (computed lazily from the pre-append store
-    # read; b_assigned is checkpointed eagerly above so the assignment
-    # runs ONCE and both its consumers read the materialized copy)
     surv = surv.localCheckpoint(eager=True)
-    if batch_id is None:
-        surv.write.mode("append").parquet(survivors_path)
-        b_assigned.write.mode("append").partitionBy("cell").parquet(store_path)
-    else:
-        scoped = f"ingest_batch={int(batch_id)}"
-        surv.write.mode("overwrite").parquet(
-            f"{survivors_path.rstrip('/')}/{scoped}"
-        )
-        b_assigned.write.mode("overwrite").partitionBy("cell").parquet(
-            f"{store_path.rstrip('/')}/{scoped}"
-        )
+    surv.write.mode("append").parquet(survivors_path)
+    b_assigned.write.mode("append").partitionBy("cell").parquet(store_path)
 
 
 def _hadoop_ls(spark, path: str) -> list[tuple[str, str]]:

@@ -435,12 +435,19 @@ def robust_outliers_from_counts(counts: DataFrame) -> DataFrame:
     chisq_from_counts."""
     from pyspark.sql import Window
 
-    # counts is consumed three times (totals, median cum, deviation
-    # grain) and devs twice — checkpoint both so the upstream scan and
-    # the value-grain aggregation run ONCE, not once per consumer
-    # (the graph/SemDeDup lineage-cut discipline). Both tables are
-    # value-cardinality-sized, tiny next to the data.
-    counts = counts.localCheckpoint(eager=False)
+    # r15-opt (guide §2.4): establish ONE grp-keyed partitioning that
+    # every downstream consumer reuses, instead of the r14 lineage cuts
+    # (localCheckpoint erases the SQL output-partitioning info, so each
+    # of the 3 counts-consumers and 2 devs-consumers re-exchanged the
+    # value-grain table — ~7 exchanges for one 6-row answer). After
+    # repartition("grp"): totals/med/devs/mad/flagged all need only
+    # clustering on grp (or a superset), which HashPartitioning(grp)
+    # satisfies, so NO further exchange is planned, and the identical
+    # repartition subtree across consumers collapses to one computed
+    # exchange via ReuseExchange. The exchange is at VALUE grain (after
+    # the map-side-combined groupBy), so #groups bounds parallelism only
+    # for the tiny cardinality-sized tables, never the row-grain scan.
+    counts = counts.repartition("grp")
     totals = counts.groupBy("grp").agg(F.sum("_c").cast("long").alias("n"))
     w = (
         Window.partitionBy("grp")
@@ -460,7 +467,6 @@ def robust_outliers_from_counts(counts: DataFrame) -> DataFrame:
         .select("grp", F.abs(F.col("_x") - F.col("med")).alias("_d"), "_c")
         .groupBy("grp", "_d")
         .agg(F.sum("_c").cast("long").alias("_c"))
-        .localCheckpoint(eager=False)
     )
     wd = (
         Window.partitionBy("grp")

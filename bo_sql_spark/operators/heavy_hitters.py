@@ -417,13 +417,19 @@ def sampled_quantiles(
     memory/accuracy knob the way p does for HLL.
 
     Execution has NO global window/sort: the sample is binned into
-    ``n_shards`` value ranges (one min/max scalar pass), per-shard
-    row_numbers are offset by a broadcast n_shards-row cumulative
-    table (the contiguous-shard trick, sampling.py), and only the
-    target ranks survive. Two scalar driver stats (count, min/max)
-    per build — the documented scalar-stat edge. Emits one row per
-    quantile: (q double, sample_n long, est double); raises on an
-    empty sample (d too large for the corpus)."""
+    ``n_shards`` value ranges, per-shard row_numbers are offset by a
+    broadcast n_shards-row cumulative table (the contiguous-shard
+    trick, sampling.py), and only the target ranks survive. r15-opt
+    (guide §5, driver round-trips): the count/min/max stats that sized
+    the shards and ranks used to be a SEPARATE scalar ``.first()``
+    action per build; they are now a one-row aggregate CROSS-JOINED
+    (broadcast) into the plan, with the rank arithmetic moved into SQL
+    — the whole build is ONE job. Same exact integer-micros rank math
+    (q_micros * n in int64, both engines). Emits one row per quantile:
+    (q double, sample_n long, est double); an empty sample (d too
+    large for the corpus) now yields an EMPTY result — the same answer
+    the DuckDB replay gives — instead of the former eager ValueError
+    (no scalar action is left to raise from)."""
     if int(d) <= 0 or not qs:
         raise ValueError("d must be positive and qs non-empty")
     from pyspark.sql import Window
@@ -431,9 +437,9 @@ def sampled_quantiles(
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    # r14-opt: cut the sample's lineage — BOTH the scalar-stats pass
-    # and the shard/rank plan consume it, which re-ran the full md5
-    # scan twice per build (the one-consumer rule; guide §5
+    # r14-opt: cut the sample's lineage — the one-row stats aggregate
+    # and the shard/rank plan both consume it; the cut makes the full
+    # md5 scan run ONCE per build (the one-consumer rule; guide §5
     # localCheckpoint). spread_scan was tried on the scan and LOST in
     # every instrument (bench pairs 1.44x/1.77x): one md5 per row is
     # below the exchange's cost — the "cheap map" exclusion.
@@ -445,18 +451,19 @@ def sampled_quantiles(
         .localCheckpoint(eager=False)
     )
     stats = samp.agg(
-        F.count(F.lit(1)).alias("n"), F.min("_x").alias("mn"), F.max("_x").alias("mx")
-    ).first()
-    n, mn, mx = stats["n"], stats["mn"], stats["mx"]
-    if n == 0:
-        raise ValueError("empty sample: lower d or provide more rows")
-    span = (mx - mn) or 1.0
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min("_x").alias("_mn"),
+        F.max("_x").alias("_mx"),
+    )
     ns = int(n_shards)
-    staged = samp.withColumn(
+    span = F.when(F.col("_mx") - F.col("_mn") == 0.0, F.lit(1.0)).otherwise(
+        F.col("_mx") - F.col("_mn")
+    )
+    staged = samp.crossJoin(F.broadcast(stats)).withColumn(
         "_shard",
         F.least(
             F.lit(ns - 1),
-            F.floor((F.col("_x") - F.lit(mn)) / F.lit(span) * F.lit(ns)),
+            F.floor((F.col("_x") - F.col("_mn")) / span * F.lit(ns)),
         ).cast("long"),
     )
     totals = staged.groupBy("_shard").agg(
@@ -469,21 +476,28 @@ def sampled_quantiles(
     )
     # ceil(q*n) in exact integer arithmetic: q as micros (q_micros*n is
     # exact for q with <= 6 decimals) — float ceil can land one rank
-    # off when q*n is integral (e.g. 0.5 * 4096)
-    ranks = {
-        float(q): max(1, (round(q * 1_000_000) * n + 999_999) // 1_000_000)
-        for q in qs
-    }
+    # off when q*n is integral (e.g. 0.5 * 4096). n is a COLUMN now;
+    # the per-q rank expressions replay the former Python ints exactly.
+    def _rank(q: float):
+        qm = round(float(q) * 1_000_000)
+        # integer DIV, not Column `/` (which is IEEE double division):
+        # qm * n stays in int64 exactly, as the Python ints did
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(CAST({qm} AS BIGINT) * _n + 999999) DIV 1000000"),
+        )
+
     w = Window.partitionBy("_shard").orderBy("_x")
     ranked = (
         staged.withColumn("_local", F.row_number().over(w).cast("long"))
         .join(F.broadcast(offsets), "_shard")
         .withColumn("_rank", F.col("_off") + F.col("_local"))
     )
-    rank_lits = F.array(*[F.lit(r) for r in sorted(set(ranks.values()))])
-    hits = ranked.filter(F.array_contains(rank_lits, F.col("_rank")))
-    qmap = F.create_map(
-        *[x for q, r in sorted(ranks.items()) for x in (F.lit(r), F.lit(q))]
+    qs_sorted = sorted(float(q) for q in qs)
+    hits = ranked.filter(
+        F.array_contains(
+            F.array(*[_rank(q) for q in qs_sorted]), F.col("_rank")
+        )
     )
     # one output row per REQUESTED q (two qs may share a rank at tiny n:
     # explode the q list per hit rank)
@@ -491,13 +505,13 @@ def sampled_quantiles(
         F.explode(
             F.filter(
                 F.array(*[
-                    F.when(F.col("_rank") == F.lit(r), F.lit(q))
-                    for q, r in sorted(ranks.items())
+                    F.when(F.col("_rank") == _rank(q), F.lit(q))
+                    for q in qs_sorted
                 ]),
                 lambda v: v.isNotNull(),
             )
         ).alias("q"),
-        F.lit(int(n)).cast("long").alias("sample_n"),
+        F.col("_n").alias("sample_n"),
         F.col("_x").alias("est"),
     )
     return out.orderBy("q")

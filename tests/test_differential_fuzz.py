@@ -1164,8 +1164,9 @@ def test_sampled_quantiles_cross_engine(ctx, rows, qs, d):
     the md5 1/d sample, the exact integer-micros rank arithmetic, and
     the rank-pick value must agree with a DuckDB replay. d=1 also
     exercises the everything-sampled path the streaming ingest query
-    reuses. Empty samples are expected to raise on the Spark side and
-    are skipped (DuckDB would return NULL picks)."""
+    reuses. Empty samples yield an empty result on BOTH engines (r15:
+    the Spark stats pass is folded into the plan, so there is no eager
+    ValueError anymore; the except-branch below is kept for safety)."""
     import pyarrow as pa
 
     from bo_sql_spark.operators import heavy_hitters as HH

@@ -1821,7 +1821,9 @@ def test_sampled_quantiles_invariants(spark):
     partitions — the rank pick must not depend on physical order),
     (b) estimates within 4x the sampling rank bound of the true
     quantiles, (c) two qs sharing a rank at tiny n both emit rows,
-    (d) empty sample raises."""
+    (d) empty sample yields an empty result (r15: the stats pass is
+    folded into the plan — no scalar action left to raise from;
+    empty-out matches the DuckDB replay, which also returns no rows)."""
     import math
     import random
 
@@ -1860,10 +1862,12 @@ def test_sampled_quantiles_invariants(spark):
     out = HH.sampled_quantiles(tiny, "x", "k", qs=(0.4, 0.5), d=1).collect()
     assert [r["q"] for r in out] == [0.4, 0.5]  # shared rank, both rows
 
-    with pytest.raises(ValueError):
+    assert (
         HH.sampled_quantiles(
             spark.createDataFrame([], "k long, x double"), "x", "k"
-        )
+        ).collect()
+        == []
+    )
 
 
 def test_hll_summary_high_p_no_overflow(spark):
