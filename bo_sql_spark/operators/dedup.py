@@ -522,7 +522,10 @@ def simhash64(
     sum over tokens of (+1 if bit j set else -1). One explode + one
     groupBy(doc): state is 64 longs per doc regardless of doc length.
     """
-    docs = spread_scan(docs, id_col)  # r14-opt: parallel token map (§2.5)
+    # r15: spread_scan removed — the measured-loser retraction on the
+    # portable twin (0.81x median) applies a fortiori here: xxhash64
+    # per token is cheaper than its md5, so the map is even further
+    # below the exchange's cost.
     tok = F.explode(
         F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "))
     ).alias("tok")
@@ -585,7 +588,11 @@ def simhash_portable(
     blowup); 'narrow' is kept for the A/B record, bit-equality pinned
     in tests/test_r14_opt.py.
     """
-    docs = spread_scan(docs, id_col)  # r14-opt: parallel token map (§2.5)
+    # r15: the r14 spread_scan here was RETRACTED — fresh-session
+    # interleaved pairs on dedup_simhash_portable read spread/no-spread
+    # = 0.81x/0.77x/0.96x (sf0.1, noop): one md5 per distinct token is
+    # a cheap map, below the added exchange's cost (the same exclusion
+    # sampled_quantiles documented in r14).
     tok = F.explode(
         F.array_distinct(
             F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
@@ -1763,9 +1770,12 @@ def dedup_lines_global(
     from bo_sql_spark.functions import tokens
 
     K = int(chunk_tokens)
-    # r14-opt: tokenize+chunk+fingerprint is the heavy map; spread
-    # single-split inputs (guide §2.5; no-op at scale)
-    d0 = spread_scan(docs, id_col).filter(F.col(text_col).isNotNull()).select(
+    # r15: the r14 spread_scan here was RETRACTED — fresh-session
+    # interleaved pairs on dedup_lines_global read spread/no-spread =
+    # 0.67x/0.54x/0.58x (sf0.1, noop): the tokenize+chunk map is cheap
+    # relative to the added exchange at fixture scale (and the spread
+    # is a no-op at production scale, so removal costs nothing there).
+    d0 = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.col(text_col).alias("_text")
     )
     chunks = (

@@ -84,12 +84,14 @@ def kmv_sketch(
     subset of the union of per-shard k smallest, so the two-phase
     result equals the oracle's direct ORDER BY h LIMIT k (asserted in
     tests)."""
-    from bo_sql_spark.parallel import spread_scan
-
     gcols = list(group_cols or [])
-    # r14-opt: parallel per-key md5 map on single-split inputs (§2.5)
+    # r15: the r14 spread_scan here was RETRACTED — fresh-session
+    # interleaved pairs on sketch_kmv_overlap read spread/no-spread =
+    # 0.67x/0.62x/0.72x (sf0.1, noop): one md5 per key is a cheap map,
+    # below the added exchange's cost at fixture scale (no-op at
+    # production scale either way).
     hashes = (
-        spread_scan(df).select(*gcols, kmv_hash(key_col).alias("h"))
+        df.select(*gcols, kmv_hash(key_col).alias("h"))
         .filter(F.col("h").isNotNull())
         .distinct()
     )

@@ -449,12 +449,17 @@ def bpe_init_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
     corpus-sized).
     """
     from bo_sql_spark.functions.textfn import tokens
-    from bo_sql_spark.parallel import spread_scan
 
     s2 = BPE_SEP + BPE_SEP
     w = F.concat(F.col("w"), F.lit("_"))
     return (
-        spread_scan(docs)  # r14-opt: parallel tokenize map (§2.5)
+        # r15: the r14 spread_scan here was RETRACTED — fresh-session
+        # interleaved pairs on text_bpe_train read spread/no-spread =
+        # 1.21x/0.91x/0.84x (sf0.1, noop): contradictory instruments
+        # with a sub-1.0 median, and the VERDICT r14 tie-break for
+        # cheap-map sites favors removal (the driver's own r14 read —
+        # bpe 0.44x, 8-core beating 32-core — leaned the same way).
+        docs
         .select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")

@@ -11188,15 +11188,14 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bo_sql_spark.functions import word_shingles
     from bo_sql_spark.operators import kmv as K
 
-    from bo_sql_spark.parallel import spread_scan
-
     docs = _t(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
 
     def hashes(pred):
-        # r14-opt: spread the single-split scan so the shingle+md5 map
-        # runs on every core (guide §2.5; no-op at scale)
+        # r15: the r14 spread_scan was RETRACTED with the kmv.py one —
+        # the sketch_kmv_overlap spread/no-spread pairs (0.67x median)
+        # cover this site too (it was part of the disabled set).
         return (
-            spread_scan(docs.filter(pred), "doc_id")
+            docs.filter(pred)
             .select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
             .filter(F.col("shingle") != "")
             .select(K.kmv_hash("shingle").alias("h"))
