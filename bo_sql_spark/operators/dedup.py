@@ -588,6 +588,9 @@ def simhash_portable(
     blowup); 'narrow' is kept for the A/B record, bit-equality pinned
     in tests/test_r14_opt.py.
     """
+    if impl not in ("wide", "narrow"):  # r15 (ADVICE): a typo must not
+        # silently fall through to the measured-slower narrow path
+        raise ValueError(f"impl must be 'wide' or 'narrow', got {impl!r}")
     # r15: the r14 spread_scan here was RETRACTED — fresh-session
     # interleaved pairs on dedup_simhash_portable read spread/no-spread
     # = 0.81x/0.77x/0.96x (sf0.1, noop): one md5 per distinct token is
@@ -738,11 +741,28 @@ def connected_components(
     GraphFrames-free min-label propagation with pointer doubling: each
     round (a) takes the min over neighbors' labels (one join + groupBy
     on the edge list) and (b) shortcuts label(v) <- label(label(v))
-    (one self-join on the label table, Shiloach-Vishkin style). The
+    (one join on the label table, Shiloach-Vishkin style). The
     shortcut makes convergence O(log diameter) on ANY graph — measured:
     a 2^17-node path graph converges in 18 rounds where plain
     propagation needs 2^17 (SCALE.md "Connected components: pointer
-    doubling"). At 100 TB the edge list is the candidate pair set (small),
+    doubling").
+
+    r15-opt: the doubling join consumed the propagation result on
+    BOTH sides, so the whole propagation subtree was planned (and
+    executed) twice per round — the r15 plan dump showed 5
+    SortMergeJoin / 9 Exchange per round, the right half a verbatim
+    recompute of the left. Fix: from round 2 on, the shortcut's
+    parent table is the ROUND-START label table (a checkpointed RDD
+    scan — free to reference twice). Round 1 keeps the fresh
+    propagation result as parents: its round-start table is the
+    identity labeling, so a stale shortcut there is a semantic no-op
+    and diameter-2 graphs pay one extra full round (measured: pure
+    stale = 0.83x on dedup_survivors; a mid-round lazy localCheckpoint
+    of prop = 0.90-0.94x on both pair queries because it serializes
+    two join subtrees that otherwise run in parallel). Stale parents
+    keep O(log diameter): reach per round is 2r+1 vs fresh 2r+2.
+    Fixpoint unchanged in all variants: labels only ever decrease and
+    the loop exits on propagation stability == component minima. At 100 TB the edge list is the candidate pair set (small),
     not the corpus; both joins shuffle on node id.
 
     Driver loop with a convergence check; ``max_iter`` bounds rounds
@@ -769,6 +789,11 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # eager: a LAZY cut here was A/B'd (r15) and read 0.95x on
+        # minhash_survivors / 1.05x on dedup_survivors — with a lazy
+        # cut the first probe job's THREE edge consumers can race-
+        # recompute the caller's whole pair pipeline before the
+        # checkpoint lands; eager pays one job but materializes once.
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -789,14 +814,15 @@ def connected_components(
         new_labels = labels
         for _ in range(min(max(1, unroll), max_iter - rounds)):
             rounds += 1
+            prev = new_labels
             neighbor_min = (
-                edges.join(new_labels, edges.dst == new_labels.node)
+                edges.join(prev, edges.dst == prev.node)
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
-                new_labels.join(
-                    neighbor_min, new_labels.node == neighbor_min.src, "left"
+            prop = (
+                prev.join(
+                    neighbor_min, prev.node == neighbor_min.src, "left"
                 )
                 .select(
                     "node",
@@ -807,13 +833,22 @@ def connected_components(
                 )
             )
             # pointer doubling: label(v) <- label(label(v)). Labels are
-            # always node ids and only ever decrease, so the lookup hits.
-            parents = new_labels.select(
+            # always node ids and only ever decrease, so the lookup
+            # hits. Round 1 shortcuts against the FRESH propagation
+            # result (required: the round-start table is the identity
+            # there, a stale shortcut would be a no-op and diameter-2
+            # graphs would pay a whole extra round — measured 0.83x on
+            # dedup_survivors); later rounds shortcut against the
+            # ROUND-START checkpointed table, which plans as a cheap
+            # RDD scan instead of duplicating the propagation subtree
+            # on the second join side (see docstring).
+            p_src = prop if rounds == 1 else prev
+            parents = p_src.select(
                 F.col("node").alias("p_node"), F.col("label").alias("p_label")
             )
             new_labels = (
-                new_labels.join(
-                    parents, new_labels.label == parents.p_node, "left"
+                prop.join(
+                    parents, prop.label == parents.p_node, "left",
                 )
                 .select(
                     "node",

@@ -3813,6 +3813,23 @@ def test_connected_components_unroll_invariant(spark):
         assert got == want, unroll
 
 
+def test_connected_components_stale_doubling_path_graph(spark):
+    """r15: rounds >= 2 shortcut against the ROUND-START table (stale
+    parents) instead of the in-flight propagation result. Pins (a)
+    exactness on the adversarial deep-graph case (a 64-node path, where
+    plain propagation needs 63 rounds) and (b) that the stale shortcut
+    still converges in O(log diameter): reach grows >= 2r+1 per round,
+    so 64 nodes must finish well under the 20-round default cap."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101), (101, 102)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert out == {**{i: 0 for i in range(n)}, 100: 100, 101: 100, 102: 100}
+    assert D.connected_components.last_rounds <= 12  # log-ish, not linear
+
+
 def test_minhash_auto_bands_rule():
     """Pins the S-curve banding rule the auto oracle replays: knee
     1/sqrt(b) at 0.7*t; t=0.5 must reproduce the historical 8-band
