@@ -435,19 +435,30 @@ def robust_outliers_from_counts(counts: DataFrame) -> DataFrame:
     chisq_from_counts."""
     from pyspark.sql import Window
 
-    # r15-opt (guide §2.4): establish ONE grp-keyed partitioning that
-    # every downstream consumer reuses, instead of the r14 lineage cuts
-    # (localCheckpoint erases the SQL output-partitioning info, so each
-    # of the 3 counts-consumers and 2 devs-consumers re-exchanged the
-    # value-grain table — ~7 exchanges for one 6-row answer). After
-    # repartition("grp"): totals/med/devs/mad/flagged all need only
-    # clustering on grp (or a superset), which HashPartitioning(grp)
-    # satisfies, so NO further exchange is planned, and the identical
-    # repartition subtree across consumers collapses to one computed
-    # exchange via ReuseExchange. The exchange is at VALUE grain (after
-    # the map-side-combined groupBy), so #groups bounds parallelism only
-    # for the tiny cardinality-sized tables, never the row-grain scan.
-    counts = counts.repartition("grp")
+    # r15-opt RETRACTED (was: one repartition("grp") exchange shared by
+    # every consumer instead of the r14 lineage cuts). The shared
+    # exchange NEVER materializes as shared: per-consumer column
+    # pruning pushes different Projects under each branch's copy of the
+    # repartition subtree, the canonical forms differ, and ReuseExchange
+    # does not fire — the AQE FINAL plan for events_anomaly_mad showed
+    # 0 ReusedExchange and the events table scanned 14 times in one run
+    # (plans/r15/events_anomaly_mad_after_final_repart.txt) vs ONE
+    # materialized pass under the cuts. 14 corpus-grain scans is a
+    # 100 TB scale-killer that a wall-neutral fixture A/B
+    # (0.96x/1.03x/1.12x) cannot justify; the cuts' ~7 re-exchanges are
+    # of VALUE-grain (cardinality-sized) tables, which is the cheap
+    # side of that trade at any scale. (.persist() would share the
+    # exchange AND keep partitioning info, but a session-level cache
+    # entry keyed on the logical plan would be hit by the bench's
+    # repeat reps — cross-rep result reuse, i.e. exactly the gaming the
+    # round rules forbid.)
+    #
+    # counts is consumed three times (totals, median cum, deviation
+    # grain) and devs twice — checkpoint both so the upstream scan and
+    # the value-grain aggregation run ONCE, not once per consumer
+    # (the graph/SemDeDup lineage-cut discipline). Both tables are
+    # value-cardinality-sized, tiny next to the data.
+    counts = counts.localCheckpoint(eager=False)
     totals = counts.groupBy("grp").agg(F.sum("_c").cast("long").alias("n"))
     w = (
         Window.partitionBy("grp")
@@ -467,6 +478,7 @@ def robust_outliers_from_counts(counts: DataFrame) -> DataFrame:
         .select("grp", F.abs(F.col("_x") - F.col("med")).alias("_d"), "_c")
         .groupBy("grp", "_d")
         .agg(F.sum("_c").cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
     )
     wd = (
         Window.partitionBy("grp")
