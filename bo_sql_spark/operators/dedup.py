@@ -532,20 +532,25 @@ def simhash64(
     exploded = docs.select(F.col(id_col), tok).withColumn(
         "h", F.xxhash64(F.lit(7), F.col("tok"))
     )
-    # bit j tested via shiftright (1<<63 would overflow signed int64)
+    # bit j tested via shiftright (1<<63 would overflow signed int64).
+    # r15-opt: branch-free aggregate state, same rewrite as the
+    # portable twin — sum(when(bit,1).otherwise(-1)) > 0 iff
+    # 2*sum(bit) > count, so 64 unconditional sums + one count replace
+    # 64 conditional sums; identical signature bit-for-bit.
     bit_sums = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(
+                f"b{j}"
+            )
             for j in range(64)
-        ]
+        ],
     )
     sig = None
     min_long = -(1 << 63)  # bit 63 set == long sign bit
     for j in range(64):
         one = F.lit(min_long) if j == 63 else F.lit(1 << j)
-        bit = F.when(F.col(f"b{j}") > 0, one).otherwise(F.lit(0))
+        bit = F.when(F.col(f"b{j}") * 2 > F.col("_n"), one).otherwise(F.lit(0))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
 
@@ -611,17 +616,27 @@ def simhash_portable(
         )
     )
     if impl == "wide":
+        # r15-opt: branch-free aggregate state. The ±1 sign fold
+        # sum(when(bit,1).otherwise(-1)) = 2*sum(bit) - n, so bit j of
+        # the signature is set iff 2*s_j > n where s_j is the PLAIN sum
+        # of ((h >> j) & 1) — 60 unconditional long sums + one count
+        # replace 60 conditional sums (same exact integers, same
+        # signature bit-for-bit; pinned against the ±1 form in
+        # tests/test_r14_opt.py).
         bit_sums = exploded.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_n"),
             *[
-                F.sum(
-                    F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                ).alias(f"b{j}")
+                F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(
+                    f"b{j}"
+                )
                 for j in range(_SIMHASH_P_BITS)
-            ]
+            ],
         )
         sig = None
         for j in range(_SIMHASH_P_BITS):
-            bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bit = F.when(
+                F.col(f"b{j}") * 2 > F.col("_n"), F.lit(1 << j)
+            ).otherwise(F.lit(0))
             sig = bit if sig is None else sig.bitwiseOR(bit)
         return bit_sums.select(F.col(id_col), sig.alias("simhash"))
     longg = exploded.select(

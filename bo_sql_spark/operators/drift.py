@@ -650,11 +650,20 @@ def embedding_centroid_drift(
     ).select("grp", F.posexplode_outer("qv").alias("d", "x")).filter(
         F.col("d").isNull() | (F.col("d") < dims)
     )
-    sums = longg.groupBy("grp", "d").agg(
-        F.sum(F.col("x").cast(dec)).alias("s"),
-        F.count(F.lit(1)).alias("_cnt"),
+    from bo_sql_spark.parallel import lineage_cut
+
+    # r15-opt (§5 one-consumer rule): sums is a (groups x dims)-row
+    # mergeable summary consumed by the global fold AND the per-group
+    # join, and glob (dims rows) by the join AND the self-dot — without
+    # the cuts each branch re-ran the corpus posexplode (r15 scan
+    # audit: 3 parquet scans of embeddings in this one executed plan).
+    sums = lineage_cut(
+        longg.groupBy("grp", "d").agg(
+            F.sum(F.col("x").cast(dec)).alias("s"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
     )
-    glob = (
+    glob = lineage_cut(
         sums.filter(F.col("d").isNotNull())
         .groupBy("d")
         .agg(F.sum("s").cast(dec).alias("g"))

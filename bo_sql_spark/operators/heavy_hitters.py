@@ -38,18 +38,27 @@ from pyspark.sql import DataFrame
 
 
 def misra_gries_candidates(
-    df: DataFrame, key_col: str, m: int
+    df: DataFrame, key_col: str, m: int, emit_total: bool = False
 ) -> DataFrame:
     """Phase 1: per-partition MG summaries -> (key, est) candidate rows,
     at most ``m`` per partition. ``est`` undercounts by at most
     N_p/(m+1) (the MG bound); it is NOT exact and callers must recount.
-    """
+
+    ``emit_total=True`` additionally emits ONE NULL-key row per
+    non-empty partition carrying that partition's exact row count in
+    ``est`` — the same pass that summarizes keys also counts rows, so
+    heavy_hitters' global-total aggregate stops being a third corpus
+    scan (r15 scan audit: text_heavy_hitters re-tokenized the corpus
+    for candidates, recount, AND total). Requires null-free input (the
+    NULL key is the marker; heavy_hitters pre-filters)."""
 
     key_type = df.schema[key_col].dataType.simpleString()
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: pd.Series | None = None
+        nrows = 0
         for pdf in batches:
+            nrows += len(pdf)
             # value_counts(dropna=True is the default) would silently
             # drop NULL keys; callers pre-filter nulls (heavy_hitters /
             # recount_candidates do) so dropping here is consistent —
@@ -62,11 +71,15 @@ def misra_gries_candidates(
                 kth = counters.nlargest(m + 1).iloc[-1]
                 counters = counters - kth
                 counters = counters[counters > 0]
-        if counters is None or counters.empty:
-            return
-        yield pd.DataFrame(
-            {key_col: counters.index, "est": counters.astype("int64").values}
-        )
+        if counters is not None and not counters.empty:
+            yield pd.DataFrame(
+                {key_col: counters.index, "est": counters.astype("int64").values}
+            )
+        # NB: the MG trim can empty the counters on a NON-empty
+        # partition (all counts equal the (m+1)-th), so the total row
+        # is emitted independently of the candidate rows.
+        if emit_total and nrows:
+            yield pd.DataFrame({key_col: [None], "est": [nrows]})
 
     return df.select(key_col).mapInPandas(
         summarize, schema=f"{key_col} {key_type}, est long"
@@ -100,9 +113,22 @@ def heavy_hitters(
             f"need m ({m}) > ratio_denom ({ratio_denom}) for the MG "
             "superset guarantee"
         )
+    from bo_sql_spark.parallel import lineage_cut
+
     df = df.filter(F.col(key_col).isNotNull())
-    cand = misra_gries_candidates(df, key_col, m).select(key_col).distinct()
-    return recount_candidates(df, cand, key_col, ratio_denom)
+    # r15-opt: one MG pass yields candidates AND per-partition totals
+    # (NULL-key rows) — two corpus scans, not three. The summary table
+    # (<= m+1 rows per partition) feeds both, so cut it.
+    summ = lineage_cut(
+        misra_gries_candidates(df, key_col, m, emit_total=True)
+    )
+    cand = (
+        summ.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
+    )
+    total = summ.filter(F.col(key_col).isNull()).agg(
+        F.sum("est").cast("long").alias("_total")
+    )
+    return recount_candidates(df, cand, key_col, ratio_denom, total=total)
 
 
 def recount_candidates(
@@ -110,6 +136,7 @@ def recount_candidates(
     candidates: DataFrame,
     key_col: str,
     ratio_denom: int,
+    total: DataFrame | None = None,
 ) -> DataFrame:
     """Phase 2, shared by the batch and streaming paths: exact recount
     of a (guaranteed-superset) candidate set via broadcast semi-join,
@@ -131,7 +158,11 @@ def recount_candidates(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    # total may arrive precomputed (heavy_hitters folds it into the MG
+    # pass); the fallback aggregate keeps the streaming drain path,
+    # whose candidates come from a store, on its own exact count.
+    if total is None:
+        total = df.agg(F.count(F.lit(1)).alias("_total"))
     return (
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * ratio_denom >= F.col("_total"))

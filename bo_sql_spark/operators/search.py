@@ -128,17 +128,59 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one term")
+    from bo_sql_spark.parallel import lineage_cut
+
+    # r15-opt (§2.3 aggregate-before-shuffle / §2.4 remove shuffles):
+    # the dl, tf and df branches each re-planned the tokenize pass —
+    # the r15 scan audit read 4 parquet scans of documents in
+    # text_bm25_topdocs' ONE executed plan, i.e. the corpus was
+    # tokenized four times for one ranking. One doc-grain aggregate
+    # now computes dl and a conditional tf count per query term in a
+    # single pass (query terms are FEW by definition — an OR query's
+    # term list, 3 here); tf rows are unpivoted from it, df/corpus
+    # stats fold over it, and dl rides along so the old corpus-wide
+    # tf-dl join disappears. Same integers everywhere (count/sum
+    # reorderings of exact longs), so scores and the top-k cut are
+    # unchanged — oracle untouched. The doc-grain table is cut
+    # (one-consumer rule: 3 consumers), a per-doc row of 1 + |terms|
+    # longs, the guide §8 "lightweight proxy" shape.
+    tl = list(dict.fromkeys(terms))
     toks = doc_terms(docs, id_col, text_col)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    corpus = dl.agg(
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(tl)
+        ],
+    )
+    corpus = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
-    qtoks = toks.filter(F.col("term").isin(list(terms)))
-    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    df_ = qtoks.groupBy("term").agg(F.count_distinct(id_col).cast("long").alias("df"))
+    tf = (
+        per_doc.select(
+            F.col(id_col),
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"_tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(tl)
+                    ]
+                )
+            ).alias("_s"),
+        )
+        .select(id_col, "dl", F.col("_s.term").alias("term"), F.col("_s.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = bm25_term_idf(df_, corpus, idf_mode=idf_mode)
-    joined = tf.join(F.broadcast(idf), "term").join(dl, id_col)
+    joined = tf.join(F.broadcast(idf), "term")
     return bm25_fold(joined, k=k, id_col=id_col)
 
 

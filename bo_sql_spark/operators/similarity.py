@@ -1623,6 +1623,16 @@ def ivfpq_encode(
     cent = centroids.select(
         F.col(cent_id).alias("cell"), F.col(cent_vec).alias("_cv")
     )
+    # r15: a lineage cut on resid (it feeds codebook seeding, train
+    # steps, and the encode explode; the scan audit read 11 parquet
+    # scans of embeddings in similarity_ivfpq_adc's one executed plan)
+    # was built, measured 0.56x in cut-on/cut-off interleaved pairs,
+    # and RETRACTED. The duplicated branches are almost all id-PRUNED:
+    # the seed/centroid/query filters push below ivf_assign's
+    # groupBy(id) to the scan, so at scale they are min/max-skipped
+    # index reads, not corpus passes — only the encode branch reads the
+    # corpus in full. The cut's ExistingRDD leaf (broken codegen/AQE,
+    # extra stage boundaries) costs more than those pruned re-scans.
     resid = assigned.join(F.broadcast(cent), "cell").select(
         id_col, "cell", vec_sub(F.col(vec_col), F.col("_cv")).alias("r")
     )
@@ -1641,6 +1651,10 @@ def ivfpq_encode(
         codebooks = pq_train_step(
             resid, codebooks, m=m, dsub=dsub, id_col=id_col, vec_col="r"
         ).select("sub", "code", "c_vec")
+    # (a codebooks cut was A/B'd here with the resid cut and dropped:
+    # the m*ks-row table's two consumers re-aggregate from the CUT
+    # residuals, which is cheap, while every extra cut is one more
+    # serialization barrier — the 3-cut variant read 0.61x at fixture)
     # pq_encode with the cell carried through both aggregations (cell
     # is functionally dependent on id, so first() is exact) — avoids a
     # corpus-wide rejoin of codes with the assignment.
@@ -1705,6 +1719,10 @@ def ivfpq_adc_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cv = F.col(cent_vec)
     d2 = dot(q, q) - 2 * dot(q, cv) + dot(cv, cv)
+    # (probed is consumed by the LUT cross join and the encoded-side
+    # filter; a lineage cut here was A/B'd in the r15 3-cut variant
+    # and dropped — its subtree is a pruned centroid scan + top-n_probe
+    # sort, cheaper to re-plan than to barrier on)
     probed = (
         centroids.select(F.col(cent_id).alias("cell"), cv.alias("_cv"), d2.alias("_d2"))
         .orderBy("_d2", "cell")

@@ -208,6 +208,15 @@ def cross_entropy_lm(
     with ln applied THERE (broadcast back), so the per-posting work is
     one multiply; corpus text never shuffles. Emits (id, n_tokens,
     cross_entropy_micros)."""
+    # r15: a lineage cut on the tf table (its LM branch + per-doc fold
+    # each re-tokenize; scan audit read 3 parquet scans) was built,
+    # measured 0.84x in fresh-session interleaved pairs, and RETRACTED:
+    # unlike the doc-grain proxies the other cuts materialize, tf is
+    # TOKEN-grain — checkpointing it stores a corpus-sized table, so
+    # the 100 TB trade (memory/disk ~ corpus vs one extra tokenize
+    # pass) is ambiguous and the fixture wall decides. The composed
+    # corpus_filter_entropy keeps its r11 cut: there tf feeds FOUR
+    # folds, not two, which is past the break-even.
     return cross_entropy_from_tf(doc_term_freq(docs, id_col, text_col), id_col)
 
 

@@ -8717,9 +8717,16 @@ def dedup_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     tags=("pipeline", "similarity", "approx"),
 )
 def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bo_sql_spark.parallel import lineage_cut
+
     emb = _t(spark, sf_dir)["embeddings"]
-    stats = S.sq8_stats(emb)
-    codes = S.sq8_encode(emb, stats)
+    # r15-opt (§5 one-consumer rule): stats feeds the encode AND the
+    # topk decode; codes feeds the query row AND the corpus side — the
+    # r15 scan audit read 5 parquet scans of embeddings in this ONE
+    # executed plan (stats subtree re-planned per consumer). Cut both:
+    # one stats pass + one encode pass per run.
+    stats = lineage_cut(S.sq8_stats(emb))
+    codes = lineage_cut(S.sq8_encode(emb, stats))
     qcodes = codes.filter(F.col("vec_id") == 0)
     return S.sq8_topk(
         codes.filter(F.col("vec_id") != 0), qcodes, stats, k=10

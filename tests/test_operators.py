@@ -3032,6 +3032,55 @@ def test_simhash_portable_matches_pure_python(spark):
     assert 3 not in rows and 4 not in rows
 
 
+def test_simhash64_branchfree_equals_sign_fold(spark):
+    """r15: simhash64's aggregate is the branch-free 2*sum(bit) > n
+    form. Pin it against an independently-planned ±1 sign fold at
+    (id, j) grain (the narrow-shape reference) on docs with ties and
+    odd/even token counts."""
+    from bo_sql_spark.operators.dedup import simhash64
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x x y"), (3, "lone"), (4, "p q r s")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    tok = F.explode(
+        F.array_distinct(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        )
+    ).alias("tok")
+    ref_rows = (
+        docs.select("doc_id", tok)
+        .withColumn("h", F.xxhash64(F.lit(7), F.col("tok")))
+        .select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, j) & 1) = 1"), 1).otherwise(-1)
+            ).alias("s")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr(
+                        "CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)"
+                        " ELSE shiftleft(CAST(1 AS BIGINT), j) END"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+        .collect()
+    )
+    want = {r["doc_id"]: r["simhash"] for r in ref_rows}
+    assert got == want
+
+
 def test_simhash_portable_banding_equals_bruteforce(spark, sf_dir):
     """The pigeonhole claim: with 4 bands and max_hamming=3 the banded
     pair set EQUALS the all-pairs Hamming scan — banding loses nothing
